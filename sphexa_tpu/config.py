@@ -1,0 +1,80 @@
+"""Runtime constants and precision policy.
+
+Mirrors the runtime-constant surface of the reference's ParticlesData
+(reference: sph/include/sph/particles_data.hpp:86-138) as a static,
+hashable config so it can close over jitted step functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# Precision policy (reference: sph/include/sph/types.hpp:39-46 uses
+# double coordinates + float hydro; on TPU we use fp32 coordinates with
+# compensated summation in the reductions that need it).
+COORD_DTYPE = jnp.float32
+HYDRO_DTYPE = jnp.float32
+KEY_DTYPE = jnp.uint32
+INDEX_DTYPE = jnp.int32
+
+
+@dataclasses.dataclass(frozen=True)
+class SphConfig:
+    """Static SPH runtime constants (hashable; safe as a jit static arg).
+
+    Defaults follow the reference defaults
+    (sph/include/sph/particles_data.hpp:90-138).
+    """
+
+    # neighbor targets
+    ng0: int = 100            # desired mean neighbor count
+    ngmax: int = 150          # max neighbors before h is re-adjusted
+    ngpad: int = 160          # padded neighbor-list width (static shape)
+
+    # time-step control
+    kcour: float = 0.2        # Courant fraction
+    krho: float = 0.06        # 1/|divv| fraction
+    max_dt_increase: float = 1.1
+    eta_acc: float = 0.2      # acceleration-based dt control
+    eps: float = 0.005        # gravitational smoothing
+
+    # physics constants
+    gamma: float = 5.0 / 3.0  # adiabatic index
+    mui: float = 10.0         # mean molecular weight of ions
+    gravG: float = 0.0        # gravitational constant (0 = hydro only)
+
+    # artificial-viscosity switches
+    alphamin: float = 0.05
+    alphamax: float = 1.0
+    decay_constant: float = 0.2
+
+    # Atwood-number ramp for crossed/uncrossed VE momentum terms
+    atmin: float = 0.1
+    atmax: float = 0.2
+
+    # smoothing kernel
+    sinc_index: float = 6.0
+    kernel_table_size: int = 20000
+    use_kernel_table: bool = False   # False = evaluate sinc^n analytically
+
+    # AV velocity-gradient cleaning terms in the momentum equation
+    av_clean: bool = False
+
+    # neighbor-engine shape parameters (static!)
+    cell_cap: int = 64        # max particles per search cell
+    chunk: int = 4096         # i-particle chunk size for pair stages
+    h_iter: int = 5           # coupled h/neighbor-count iterations
+
+    @property
+    def ramp(self) -> float:
+        return 1.0 / (self.atmax - self.atmin)
+
+    def replace(self, **kw) -> "SphConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

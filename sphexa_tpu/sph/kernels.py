@@ -1,0 +1,175 @@
+"""Smoothing-kernel definitions, normalization, and lookup tables.
+
+Physics follows the reference definitions
+(reference: sph/include/sph/kernels.hpp:34-84 — sinc kernel, AV pair
+viscosity, h-update controller; sph/include/sph/sph_kernel_tables.hpp —
+3D normalization by Simpson quadrature; sph/include/sph/table_lookup.hpp
+— 20000-entry linear-interpolation table on [0, 2]).
+
+TPU note: the default evaluation path is the *analytic* sinc^n kernel
+(sin + multiply chain on the VPU) rather than a table gather — random
+gathers are slow on TPU while transcendentals are cheap. The table path
+is kept for parity experiments (SphConfig.use_kernel_table).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+SUPPORT = 2.0  # kernel support in units of h
+
+
+# --------------------------------------------------------------------------
+# host-side (float64 numpy) kernel definition and normalization
+# --------------------------------------------------------------------------
+
+def wharmonic_np(v):
+    """sinc(pi/2 * v), float64 numpy (host)."""
+    v = np.asarray(v, dtype=np.float64)
+    pv = (np.pi / 2.0) * v
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.where(v == 0.0, 1.0, np.sin(pv) / pv)
+    return w
+
+
+def wharmonic_derivative_np(v):
+    """d/dv sinc(pi/2 * v), float64 numpy (host)."""
+    v = np.asarray(v, dtype=np.float64)
+    pv = (np.pi / 2.0) * v
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sinc = np.where(v == 0.0, 1.0, np.sin(pv) / pv)
+        d = sinc * (np.pi / 2.0) * (np.cos(pv) / np.sin(pv) - 1.0 / pv)
+    return np.where(v == 0.0, 0.0, d)
+
+
+def simpson(a: float, b: float, n: int, func) -> float:
+    """Simpson quadrature with sorted-summand accumulation for accuracy
+    (same integration scheme the reference uses to normalize kernels,
+    sph_kernel_tables.hpp:28-56)."""
+    h = (b - a) / n
+    xs = a + h * np.arange(1, n)
+    samples = func(xs)
+    odd = np.sort(samples[0::2])     # x_1, x_3, ... (odd indices)
+    even = np.sort(samples[1::2])    # x_2, x_4, ...
+    return h / 3.0 * (func(np.array([a]))[0] + func(np.array([b]))[0]
+                      + 4.0 * odd.sum() + 2.0 * even.sum())
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_3d_k(sinc_index: float, support: float = SUPPORT) -> float:
+    """3D normalization constant 1 / int_0^s 4 pi x^2 W(x) dx."""
+    def vol(x):
+        return 4.0 * np.pi * x * x * wharmonic_np(x) ** sinc_index
+    return 1.0 / simpson(0.0, support, 2000, vol)
+
+
+@functools.lru_cache(maxsize=None)
+def make_tables(sinc_index: float, table_size: int = 20000):
+    """Tabulate W(v) = sinc(pi v/2)^n and dW/dv at table_size points on
+    [0, support]; returns float32 numpy arrays."""
+    v = np.linspace(0.0, SUPPORT, table_size)
+    w = wharmonic_np(v) ** sinc_index
+    wd = sinc_index * wharmonic_np(v) ** (sinc_index - 1.0) * wharmonic_derivative_np(v)
+    return w.astype(np.float32), wd.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# device-side evaluation
+# --------------------------------------------------------------------------
+
+def _pow_int(x, n: int):
+    """x**n by binary multiplication for small integer n."""
+    result = None
+    base = x
+    while n > 0:
+        if n & 1:
+            result = base if result is None else result * base
+        base = base * base
+        n >>= 1
+    return result
+
+
+def w_sinc(v, sinc_index: float = 6.0):
+    """W(v) = sinc(pi/2 v)^n on device; zero outside the support."""
+    pv = (jnp.pi / 2.0) * v
+    safe = jnp.where(v > 1e-12, pv, 1.0)
+    sinc = jnp.where(v > 1e-12, jnp.sin(safe) / safe, 1.0)
+    n_int = int(sinc_index)
+    if float(n_int) == float(sinc_index) and 1 <= n_int <= 16:
+        w = _pow_int(sinc, n_int)
+    else:
+        w = jnp.power(jnp.maximum(sinc, 0.0), sinc_index)
+    return jnp.where(v < SUPPORT, w, 0.0)
+
+
+def w_sinc_derivative(v, sinc_index: float = 6.0):
+    """dW/dv on device. d(sinc)/dv = sinc*(pi/2)*(cot(pv) - 1/pv).
+
+    The closed form cancels catastrophically in fp32 for small pv
+    (cot(x) - 1/x ~ -x/3), so we switch to the Taylor series there.
+    """
+    pv = (jnp.pi / 2.0) * v
+    small = pv < 0.25
+    safe_pv = jnp.where(small, 1.0, pv)
+    sin = jnp.sin(safe_pv)
+    cos = jnp.cos(safe_pv)
+    sinc_exact = sin / safe_pv
+    pv2 = pv * pv
+    sinc_series = 1.0 - pv2 / 6.0 + pv2 * pv2 / 120.0
+    sinc = jnp.where(small, sinc_series, sinc_exact)
+    # d(sinc)/dpv: exact = sinc*(cot - 1/pv); series = -pv/3 + pv^3/30
+    dsinc_exact = sinc_exact * (cos / sin - 1.0 / safe_pv)
+    dsinc_series = -pv / 3.0 + pv * pv2 / 30.0
+    dsinc = (jnp.pi / 2.0) * jnp.where(small, dsinc_series, dsinc_exact)
+    n_int = int(sinc_index)
+    if float(n_int) == float(sinc_index) and 2 <= n_int <= 16:
+        wnm1 = _pow_int(sinc, n_int - 1)
+    else:
+        wnm1 = jnp.power(jnp.maximum(sinc, 0.0), sinc_index - 1.0)
+    d = sinc_index * wnm1 * dsinc
+    return jnp.where(v < SUPPORT, d, 0.0)
+
+
+def table_lookup(table, v):
+    """Linear-interpolation lookup, same semantics as the reference
+    lt::lookup (table_lookup.hpp:14-26): zero at or beyond the support."""
+    table = jnp.asarray(table)
+    num_intervals = table.shape[0] - 1
+    inv_dx = num_intervals / SUPPORT
+    idxf = v * inv_dx
+    idx = jnp.clip(idxf.astype(jnp.int32), 0, num_intervals - 1)
+    lo = jnp.take(table, idx)
+    hi = jnp.take(table, idx + 1)
+    frac = idxf - idx.astype(v.dtype)
+    out = lo + (hi - lo) * frac
+    return jnp.where(idxf < num_intervals, out, 0.0)
+
+
+# --------------------------------------------------------------------------
+# scalar SPH helper physics
+# --------------------------------------------------------------------------
+
+def artificial_viscosity(alpha_i, alpha_j, c_i, c_j, w_ij):
+    """Pair AV from alpha-weighted signal velocity, beta = 2
+    (reference: kernels.hpp:71-84)."""
+    beta = 2.0
+    vij_signal = (alpha_i + alpha_j) / 4.0 * (c_i + c_j) - beta * w_ij
+    return jnp.where(w_ij < 0.0, -vij_signal * w_ij, 0.0)
+
+
+def update_h(ng0: int, nc, h):
+    """nc -> h controller: h * 0.5 * (1 + 1023 * ng0/nc)^(1/10)
+    (reference: kernels.hpp:27-32). Fixed point at nc == ng0."""
+    c0 = 1023.0
+    nc_safe = jnp.maximum(nc.astype(h.dtype), 1.0)
+    return h * 0.5 * jnp.power(1.0 + c0 * ng0 / nc_safe, 0.1)
+
+
+def ts_k_courant(maxvsignal, h, c, kcour: float):
+    """Courant dt from the signal velocity (reference: kernels.hpp:11-16)."""
+    v = jnp.where(maxvsignal > 0.0, maxvsignal, c)
+    return kcour * h / v
