@@ -70,7 +70,15 @@ def _neighbor_cell_ids(grid: CellGrid, box: Box, ix, iy, iz):
                             jz.astype(jnp.uint32) & (n - 1))
         ids.append(cid.astype(INDEX_DTYPE))
         valids.append(valid)
-    return jnp.stack(ids, axis=-1), jnp.stack(valids, axis=-1)
+    ids = jnp.stack(ids, axis=-1)
+    valid = jnp.stack(valids, axis=-1)
+    if n < 3 and (px or py or pz):
+        # with < 3 cells per periodic dim, offsets -1 and +1 alias to the
+        # same cell: invalidate duplicate ids (keep the first occurrence)
+        dup = (ids[..., :, None] == ids[..., None, :])
+        earlier = jnp.tril(jnp.ones((27, 27), bool), k=-1)
+        valid &= ~jnp.any(dup & earlier & valid[..., None, :], axis=-1)
+    return ids, valid
 
 
 def build_neighbor_list(grid: CellGrid, box: Box, cl: CellList,
