@@ -83,8 +83,10 @@ def _neighbor_cell_ids(grid: CellGrid, box: Box, ix, iy, iz):
 
 def build_neighbor_list(grid: CellGrid, box: Box, cl: CellList,
                         x, y, z, h, cfg: SphConfig,
-                        adapt_h: bool = True) -> NeighborList:
-    """x, y, z, h must already be in cell-sorted order (cl.perm applied)."""
+                        adapt_h: bool = True, alive=None) -> NeighborList:
+    """x, y, z, h must already be in cell-sorted order (cl.perm applied).
+    `alive` (sorted frame) excludes padding rows from search, h adaptation
+    and the overflow diagnostics."""
     N = x.shape[0]
     C = min(cfg.chunk, N)
     K = cfg.ngpad
@@ -130,6 +132,9 @@ def build_neighbor_list(grid: CellGrid, box: Box, cl: CellList,
 
         not_self = cand != i_idx[:, None]
         base_valid = cand_valid & not_self
+        if alive is not None:
+            i_alive = alive[i_idx]
+            base_valid &= i_alive[:, None]
 
         def count_nc(hh):
             r2 = (2.0 * hh) ** 2
@@ -142,6 +147,8 @@ def build_neighbor_list(grid: CellGrid, box: Box, cl: CellList,
                 nc_true = count_nc(hh)
                 nc_sph = nc_true + 1
                 need = (nc_sph < ngmin) | (nc_true > cfg.ngmax)
+                if alive is not None:
+                    need &= alive[i_idx]
                 return jnp.where(need, update_h(cfg.ng0, nc_sph, hh), hh)
 
             hi = jax.lax.fori_loop(0, cfg.h_iter, h_iter, hi)

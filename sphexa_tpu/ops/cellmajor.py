@@ -1,0 +1,184 @@
+"""Cell-major padded particle layout — the TPU fast-path data structure.
+
+The reference walks octrees per kernel (find_neighbors.cuh); the XLA
+fallback here gathers [N, K] neighbor lists. Both are gather-bound. This
+layout removes gathers from the hot loop entirely:
+
+  - the search grid gets one ghost-cell layer per side; ghost cells hold
+    *pre-shifted copies* of the wrapped interior cells, so pair kernels
+    need no periodic folding and no wrap logic
+  - every cell owns CAP fixed slots; particles are binned by cell and
+    parked in slots (overflow is counted and surfaced — bump CAP)
+  - per-particle fields are materialized field-major [F, n_cells * CAP]:
+    one field per sublane row, slots on lanes — so a Pallas program for
+    cell c reads its 27 neighbor blocks as contiguous [F, CAP] tiles
+    whose HBM->VMEM streaming the Pallas pipeline double-buffers
+
+The layout is rebuilt once per step (one argsort + O(N) index math);
+every SPH pair stage then runs start-to-finish on dense tiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sphexa_tpu.config import INDEX_DTYPE
+from sphexa_tpu.sfc.box import Box, normalize_coords
+
+
+@dataclasses.dataclass(frozen=True)
+class CMGrid:
+    """Static cell-major grid description (hashable)."""
+    level: int           # interior cells per dim = 2^level
+    cap: int = 64        # particle slots per cell
+
+    @property
+    def n(self) -> int:
+        return 1 << self.level
+
+    @property
+    def np_(self) -> int:  # padded cells per dim (one ghost layer per side)
+        return self.n + 2
+
+    @property
+    def n_cells(self) -> int:
+        return self.np_ ** 3
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_cells * self.cap
+
+    def padded_id(self, cx, cy, cz):
+        """Row-major padded cell id from interior coords (adds ghost offset)."""
+        npd = self.np_
+        return ((cx + 1) * npd + (cy + 1)) * npd + (cz + 1)
+
+
+class CMLayout(NamedTuple):
+    src: jnp.ndarray         # [n_slots] original-frame row per slot
+    valid: jnp.ndarray       # [n_slots] slot holds a (copy of a) real particle
+    interior: jnp.ndarray    # [n_slots] slot belongs to an interior cell
+    shift: tuple             # (sx, sy, sz) [n_slots] ghost coordinate shifts
+    ghost_pull: jnp.ndarray  # [n_slots] interior source slot (identity inside)
+    slot_of: jnp.ndarray     # [N] slot of each original particle (parked rows
+                             #     -> n_slots sentinel)
+    overflow: jnp.ndarray    # scalar: particles dropped due to CAP overflow
+
+
+def _cell_coords_all(grid: CMGrid):
+    """Integer coords (padded frame) of every padded cell, as numpy consts."""
+    npd = grid.np_
+    ids = np.arange(grid.n_cells)
+    cz = ids % npd
+    cy = (ids // npd) % npd
+    cx = ids // (npd * npd)
+    return cx, cy, cz
+
+
+def build_layout(grid: CMGrid, box: Box, x, y, z, alive=None) -> CMLayout:
+    N = x.shape[0]
+    n = grid.n
+    cap = grid.cap
+    npd = grid.np_
+
+    nx, ny, nz = normalize_coords(box, x, y, z)
+    ix = jnp.minimum((nx * n).astype(jnp.int32), n - 1)
+    iy = jnp.minimum((ny * n).astype(jnp.int32), n - 1)
+    iz = jnp.minimum((nz * n).astype(jnp.int32), n - 1)
+    cid = grid.padded_id(ix, iy, iz)
+    if alive is not None:
+        cid = jnp.where(alive, cid, grid.n_cells)  # park dead rows past the end
+
+    order = jnp.argsort(cid).astype(INDEX_DTYPE)
+    cid_sorted = cid[order]
+    targets = jnp.arange(grid.n_cells + 1, dtype=cid_sorted.dtype)
+    cell_start = jnp.searchsorted(cid_sorted, targets).astype(INDEX_DTYPE)
+
+    rank = jnp.arange(N, dtype=INDEX_DTYPE) - cell_start[jnp.minimum(cid_sorted, grid.n_cells)]
+    ok = (rank < cap) & (cid_sorted < grid.n_cells)
+    overflow = jnp.sum((rank >= cap) & (cid_sorted < grid.n_cells))
+    slot_sorted = jnp.where(ok, cid_sorted * cap + rank, grid.n_slots)
+
+    # slot per original particle
+    slot_of = jnp.full((N,), grid.n_slots, INDEX_DTYPE).at[order].set(
+        slot_sorted.astype(INDEX_DTYPE))
+
+    # inverse: original row per slot (+1 sentinel row)
+    src = jnp.zeros((grid.n_slots + 1,), INDEX_DTYPE).at[slot_sorted].set(
+        order, mode="drop")[: grid.n_slots]
+    valid = jnp.zeros((grid.n_slots + 1,), bool).at[slot_sorted].set(
+        True, mode="drop")[: grid.n_slots]
+
+    # ---- ghost cells: pull from wrapped interior cells with coord shifts ----
+    cx, cy, cz = _cell_coords_all(grid)  # padded coords, numpy
+    is_interior_cell = ((cx >= 1) & (cx <= n) & (cy >= 1) & (cy <= n)
+                        & (cz >= 1) & (cz <= n))
+
+    px, py, pz = box.periodic
+
+    def wrap(c, periodic):
+        # padded coord -> source padded coord + box-length shift count
+        if periodic:
+            shift = np.where(c == 0, 1, np.where(c == npd - 1, -1, 0))
+        else:
+            shift = np.zeros_like(c)  # non-periodic ghosts stay empty
+        return c + shift * n, shift
+
+    sxc, shx = wrap(cx, px)
+    syc, shy = wrap(cy, py)
+    szc, shz = wrap(cz, pz)
+    src_cell = (sxc * npd + syc) * npd + szc
+    # ghost cell is fillable only if all out-of-range dims are periodic
+    fillable = (((cx >= 1) & (cx <= n)) | px) & (((cy >= 1) & (cy <= n)) | py) \
+        & (((cz >= 1) & (cz <= n)) | pz)
+
+    lane = np.arange(cap)
+    cell_of_slot = np.repeat(np.arange(grid.n_cells), cap)
+    ghost_pull_np = (np.repeat(src_cell, cap) * cap
+                     + np.tile(lane, grid.n_cells)).astype(np.int32)
+    interior_slot = np.repeat(is_interior_cell, cap)
+    fillable_slot = np.repeat(fillable, cap)
+    shift_x = np.repeat(-shx * box.lx, cap).astype(np.float32)
+    shift_y = np.repeat(-shy * box.ly, cap).astype(np.float32)
+    shift_z = np.repeat(-shz * box.lz, cap).astype(np.float32)
+
+    ghost_pull = jnp.asarray(ghost_pull_np)
+    interior = jnp.asarray(interior_slot)
+    fillable_j = jnp.asarray(fillable_slot)
+
+    src = jnp.where(interior, src, src[ghost_pull])
+    valid = jnp.where(interior, valid, valid[ghost_pull] & fillable_j)
+
+    return CMLayout(src=src, valid=valid, interior=interior,
+                    shift=(jnp.asarray(shift_x), jnp.asarray(shift_y),
+                           jnp.asarray(shift_z)),
+                    ghost_pull=ghost_pull, slot_of=slot_of, overflow=overflow)
+
+
+def to_cm(layout: CMLayout, field, fill=0.0):
+    """Materialize a per-particle field into the cell-major frame."""
+    out = field[layout.src]
+    return jnp.where(layout.valid, out, fill)
+
+
+def positions_cm(layout: CMLayout, x, y, z):
+    """Positions with ghost shifts applied (no PBC folds needed after)."""
+    sx, sy, sz = layout.shift
+    return (to_cm(layout, x) + sx, to_cm(layout, y) + sy,
+            to_cm(layout, z) + sz)
+
+
+def refresh_ghosts(layout: CMLayout, field):
+    """Update ghost slots of a cm-frame field after a stage computed new
+    interior values (the periodic analog of a halo field refresh)."""
+    return jnp.where(layout.interior, field, field[layout.ghost_pull])
+
+
+def from_cm(layout: CMLayout, field_cm, n: int, fill=0.0):
+    """Gather a cm-frame result back to the original particle frame."""
+    padded = jnp.concatenate([field_cm, jnp.full((1,), fill, field_cm.dtype)])
+    return padded[jnp.minimum(layout.slot_of, field_cm.shape[0])]

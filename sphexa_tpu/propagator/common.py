@@ -1,0 +1,78 @@
+"""Shared step tail: global timestep + integration + diagnostics,
+used by the XLA, Pallas, and sharded VE propagators."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.sfc.box import Box
+from sphexa_tpu.sph import timestep as ts
+from sphexa_tpu.sph.eos import ideal_gas_cv
+from sphexa_tpu.sph.kernels import update_h
+from sphexa_tpu.sph.positions import position_update, temp_update
+from sphexa_tpu.state import Particles, SimState
+from sphexa_tpu.util.kahan import kahan_sum
+
+
+class StepDiagnostics(NamedTuple):
+    dt: jnp.ndarray
+    ttot: jnp.ndarray
+    etot: jnp.ndarray
+    ecin: jnp.ndarray
+    eint: jnp.ndarray
+    h_max: jnp.ndarray
+    nc_mean: jnp.ndarray
+    max_nc: jnp.ndarray
+    max_cell_count: jnp.ndarray
+    maxvsignal: jnp.ndarray
+
+
+def compute_energies(ps: Particles, cfg: SphConfig):
+    """Kinetic + internal energy with compensated reductions
+    (reference: main/src/observables/conserved_quantities.hpp:118)."""
+    cv = ideal_gas_cv(cfg.mui, cfg.gamma)
+    ecin = 0.5 * kahan_sum(jnp.where(
+        ps.alive, ps.m * (ps.vx ** 2 + ps.vy ** 2 + ps.vz ** 2), 0.0))
+    eint = kahan_sum(jnp.where(ps.alive, ps.m * cv * ps.temp, 0.0))
+    return ecin, eint
+
+
+def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
+                c, divv, nc_sph, box: Box, cfg: SphConfig,
+                max_nc, max_cell_count):
+    """Timestep + Press-2 integration + AB2 energy + h controller + diag.
+    `ps` must carry the force-step-updated h/alpha."""
+    dt_courant = ts.courant_timestep(maxvsignal, ps.h, c, ps.alive, cfg.kcour)
+    dt_rho = ts.rho_timestep(divv, ps.alive, cfg.krho)
+    candidates = [dt_courant, dt_rho]
+    if cfg.gravG != 0.0:
+        candidates.append(ts.acceleration_timestep(
+            ax, ay, az, ps.alive, cfg.eta_acc, cfg.eps))
+    dt = ts.combine_timesteps(state.dt, jnp.stack(candidates), cfg)
+    dt_m1 = state.dt
+
+    x, y, z, vx, vy, vz, dx, dy, dz = position_update(
+        dt, dt_m1, ps.x, ps.y, ps.z, ax, ay, az,
+        ps.x_m1, ps.y_m1, ps.z_m1, box,
+        h=ps.h, vx=ps.vx, vy=ps.vy, vz=ps.vz)
+    temp = temp_update(ps.temp, dt, dt_m1, du, ps.du_m1, cfg.mui, cfg.gamma)
+    h = update_h(cfg.ng0, nc_sph, ps.h)
+
+    ps = ps.replace(x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
+                    x_m1=dx, y_m1=dy, z_m1=dz, temp=temp, h=h, du_m1=du)
+
+    ecin, eint = compute_energies(ps, cfg)
+    diag = StepDiagnostics(
+        dt=dt, ttot=state.ttot + dt, etot=ecin + eint, ecin=ecin,
+        eint=eint, h_max=jnp.max(jnp.where(ps.alive, ps.h, 0.0)),
+        nc_mean=(jnp.sum(jnp.where(ps.alive, nc_sph, 0))
+                 / jnp.maximum(jnp.sum(ps.alive), 1)).astype(jnp.float32),
+        max_nc=max_nc, max_cell_count=max_cell_count,
+        maxvsignal=jnp.max(jnp.where(ps.alive, maxvsignal, 0.0)))
+
+    new_state = SimState(p=ps, ttot=state.ttot + dt, dt=dt, dt_m1=dt_m1,
+                         iteration=state.iteration + 1)
+    return new_state, diag

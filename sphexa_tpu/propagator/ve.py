@@ -64,7 +64,7 @@ def compute_forces_ve(ps: Particles, box: Box, grid: CellGrid,
     cl = build_cell_list(grid, box, ps.x, ps.y, ps.z, alive=ps.alive)
     ps = ps.permute(cl.perm)
     nl = build_neighbor_list(grid, box, cl, ps.x, ps.y, ps.z, ps.h, cfg,
-                             adapt_h=True)
+                             adapt_h=True, alive=ps.alive)
     ps = ps.replace(h=nl.h)
     x, y, z, h = ps.x, ps.y, ps.z, ps.h
     idx, nc = nl.idx, nl.nc

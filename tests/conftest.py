@@ -1,15 +1,20 @@
 """Test configuration: force an 8-device virtual CPU platform so that
 multi-chip sharding tests mirror the reference's mpiexec -np {2,8,12}
 integration tests (reference: domain/test/integration_mpi/CMakeLists.txt)
-without real TPU hardware."""
+without real TPU hardware.
+
+Note: in this JAX version the old --xla_force_host_platform_device_count
+flag is a no-op, and jax_num_cpu_devices only takes effect when the
+platform is also selected through jax.config (not the JAX_PLATFORMS env
+var), before backend initialization.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.pop("JAX_PLATFORMS", None)
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
