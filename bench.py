@@ -3,9 +3,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: particle-updates per second for the full VE step (neighbor build
-+ 5 pair stages + dt + integration) at Sedov side^3 particles.
-Baseline target: 50e6 particle-updates/s on one TPU v5p chip (BASELINE.md).
+Metric: particle-updates per second for the full VE step (layout build
++ h/nc iteration + 5 Pallas pair stages + dt + integration) at Sedov
+side^3 particles. Baseline target: 50e6 particle-updates/s on one TPU
+chip (BASELINE.md north star).
+
+On TPU this uses the Pallas cell-major fast path; on CPU (no TPU
+available) it falls back to the XLA gather path at a small size.
 """
 
 from __future__ import annotations
@@ -18,24 +22,33 @@ import jax
 
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.init.sedov import init_sedov
-from sphexa_tpu.neighbors import CellGrid, choose_level
-from sphexa_tpu.propagator.ve import make_ve_step
 
 BASELINE_PUPS = 50e6  # particle-updates/sec north star (BASELINE.md)
 
 
 def main():
     small = os.environ.get("SPHEXA_BENCH_SMALL")
-    on_cpu = jax.devices()[0].platform == "cpu"
-    side = 30 if (small or on_cpu) else 100
+    on_tpu = jax.devices()[0].platform == "tpu"
+    side = (30 if small else 100) if on_tpu else 20
     warmup = 2
-    iters = 5 if (small or on_cpu) else 10
+    iters = 10 if on_tpu else 3
 
-    cfg = SphConfig(chunk=8192, cell_cap=96, ngpad=160)
+    cfg = SphConfig()
     state, box, cfg = init_sedov(side, cfg, dt0=1e-4)
     n = side ** 3
-    grid = CellGrid(choose_level(box, float(state.p.h[0]) * 1.3))
-    step = make_ve_step(box, grid, cfg)
+
+    if on_tpu:
+        from sphexa_tpu.ops.cellmajor import choose_cm_grid
+        from sphexa_tpu.propagator.ve_pallas import make_ve_step_pallas
+
+        grid = choose_cm_grid(box, float(state.p.h[0]) * 1.2, n, cap=128)
+        step = make_ve_step_pallas(box, grid, cfg)
+    else:
+        from sphexa_tpu.neighbors import CellGrid, choose_level
+        from sphexa_tpu.propagator.ve import make_ve_step
+
+        grid = CellGrid(choose_level(box, float(state.p.h[0]) * 1.2))
+        step = make_ve_step(box, grid, cfg)
 
     for _ in range(warmup):
         state, diag = step(state)

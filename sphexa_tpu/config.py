@@ -66,7 +66,9 @@ class SphConfig:
     # neighbor-engine shape parameters (static!)
     cell_cap: int = 64        # max particles per search cell
     chunk: int = 4096         # i-particle chunk size for pair stages
-    h_iter: int = 5           # coupled h/neighbor-count iterations
+    h_iter: int = 2           # coupled h/neighbor-count iterations
+                              # (steady-state h is near-converged between
+                              # steps; raise for cold-start transients)
 
     @property
     def ramp(self) -> float:

@@ -32,13 +32,14 @@ from sphexa_tpu.sfc.box import Box, normalize_coords
 
 @dataclasses.dataclass(frozen=True)
 class CMGrid:
-    """Static cell-major grid description (hashable)."""
-    level: int           # interior cells per dim = 2^level
-    cap: int = 64        # particle slots per cell
+    """Static cell-major grid description (hashable).
 
-    @property
-    def n(self) -> int:
-        return 1 << self.level
+    n is the interior cell count per dim (any integer — row-major ids
+    need no power-of-two). cap must be a multiple of 128 (Pallas TPU
+    lane-tiling constraint on [F, cap] blocks).
+    """
+    n: int               # interior cells per dim
+    cap: int = 128       # particle slots per cell
 
     @property
     def np_(self) -> int:  # padded cells per dim (one ghost layer per side)
@@ -67,6 +68,22 @@ class CMLayout(NamedTuple):
     slot_of: jnp.ndarray     # [N] slot of each original particle (parked rows
                              #     -> n_slots sentinel)
     overflow: jnp.ndarray    # scalar: particles dropped due to CAP overflow
+
+
+def choose_cm_grid(box: Box, h_max: float, n_global: int,
+                   target_occupancy: float = 80.0, cap: int = 128,
+                   slack: float = 1.05) -> CMGrid:
+    """Pick the interior cell count: as many cells as the 2*h_max search
+    radius allows (correctness bound), but no more than needed to keep the
+    mean occupancy near target (efficiency bound)."""
+    import math
+
+    L = min(box.lx, box.ly, box.lz)
+    n_corr = max(1, int(math.floor(L / (2.0 * h_max * slack))))
+    vol_per_cell = target_occupancy * (box.lx * box.ly * box.lz) / max(n_global, 1)
+    cell_occ = vol_per_cell ** (1.0 / 3.0)
+    n_occ = max(1, int(math.ceil(L / cell_occ)))
+    return CMGrid(n=min(n_corr, max(n_occ, 1)), cap=cap)
 
 
 def _cell_coords_all(grid: CMGrid):

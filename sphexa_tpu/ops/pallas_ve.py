@@ -2,22 +2,22 @@
 
 Physics identical to sphexa_tpu/sph/hydro_ve.py (reference:
 sph/include/sph/hydro_ve/*_kern.hpp); execution model completely
-different: one Pallas program per interior cell, its 27 neighbor-cell
-blocks [F, CAP] delivered by the Pallas pipeline (BlockSpec index maps
-into the field-major slot matrix), concatenated in VMEM, and consumed as
-a dense masked [CAP, 27*CAP] pair tile on the VPU. Ghost cells carry
-pre-shifted periodic images, so there is no PBC fold and no wrap logic
-in the kernel. Self-interaction is excluded by particle-gid compare.
+different: one Pallas program per interior cell. The 27 neighbor-cell
+blocks [F, CAP] stream through the Pallas pipeline (BlockSpec index maps
+into the field-major slot matrix) and are consumed as nine [CAP, 3*CAP]
+z-run tiles on the VPU — dense masked arithmetic, no gathers, no tree
+walk, no PBC folds (ghost cells carry pre-shifted periodic images).
+Self-interaction is excluded by particle-gid compare.
 
 This is the TPU analog of the reference's persistent-warp GPU kernels
-(xmass_gpu.cu etc.) with the tree walk replaced by the regular 27-block
-stream.
+(xmass_gpu.cu etc.), with the divergent tree traversal replaced by the
+regular 27-block stream. CAP must be a multiple of 128 (lane tiling).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sphexa_tpu.config import SphConfig
-from sphexa_tpu.ops.cellmajor import CMGrid, CMLayout, positions_cm, refresh_ghosts, to_cm
+from sphexa_tpu.ops.cellmajor import CMGrid, CMLayout, positions_cm, to_cm
 from sphexa_tpu.sph.kernels import kernel_3d_k
 
 # base row indices in every stage's J matrix
@@ -44,20 +44,17 @@ def _offsets(grid: CMGrid):
 def _center_pid(grid: CMGrid, c):
     n = grid.n
     npd = grid.np_
-    cz = c % n
-    cy = (c // n) % n
-    cx = c // (n * n)
+    cz = jax.lax.rem(c, n)
+    cy = jax.lax.rem(jax.lax.div(c, n), n)
+    cx = jax.lax.div(c, n * n)
     return ((cx + 1) * npd + (cy + 1)) * npd + (cz + 1)
 
 
 def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
                         fi2: int = 0, interpret: bool = False):
-    """Build a pallas_call running `body(center, jcat[, i2]) -> [fo, CAP]`
-    over all interior cells.
-
-    center: [fj, CAP] the cell's own block;  jcat: [fj, 27*CAP] the
-    neighborhood; i2 (optional): [fi2, CAP] extra i-side-only fields.
-    """
+    """Build a pallas_call running `body(center, get_run[, i2]) -> [fo, CAP]`
+    over all interior cells. get_run(g) returns the g-th z-run tile
+    [fj, 3*CAP] (g in 0..8); center is the cell's own [fj, CAP] block."""
     CAP = grid.cap
     offs = _offsets(grid)
 
@@ -80,12 +77,17 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
     def kernel(*refs):
         jrefs = refs[:27]
         oref = refs[-1]
-        jcat = jnp.concatenate([r[...] for r in jrefs], axis=1)
+
+        def get_run(g):
+            return jnp.concatenate(
+                [jrefs[3 * g][...], jrefs[3 * g + 1][...],
+                 jrefs[3 * g + 2][...]], axis=1)
+
         center = jrefs[13][...]
         if fi2:
-            oref[...] = body(center, jcat, refs[27][...])
+            oref[...] = body(center, get_run, refs[27][...])
         else:
-            oref[...] = body(center, jcat)
+            oref[...] = body(center, get_run)
 
     def call(J, I2=None):
         n_cells = grid.n ** 3
@@ -107,41 +109,35 @@ def _icol(center, row):
     return jnp.transpose(center[row:row + 1, :])
 
 
-def _geom(center, jcat):
-    """Common prelude: displacements, distance, masks."""
+def _geom(center, jrun):
+    """Per-run prelude: displacements, distance, kernel argument, mask."""
     xi, yi, zi = (_icol(center, r) for r in (RX, RY, RZ))
-    xj = jcat[RX:RX + 1, :]
-    yj = jcat[RY:RY + 1, :]
-    zj = jcat[RZ:RZ + 1, :]
-    rx = xi - xj
-    ry = yi - yj
-    rz = zi - zj
+    rx = xi - jrun[RX:RX + 1, :]
+    ry = yi - jrun[RY:RY + 1, :]
+    rz = zi - jrun[RZ:RZ + 1, :]
     d2 = rx * rx + ry * ry + rz * rz
     dist = jnp.sqrt(d2)
     hi = _icol(center, RH)
-    mask = (jcat[RVALID:RVALID + 1, :] > 0.5) & \
-        (jcat[RGID:RGID + 1, :] != _icol(center, RGID))
     v1 = dist / hi
-    in_range = v1 < 2.0
-    return rx, ry, rz, dist, hi, v1, mask & in_range
+    mask = (jrun[RVALID:RVALID + 1, :] > 0.5) & \
+        (jrun[RGID:RGID + 1, :] != _icol(center, RGID)) & (v1 < 2.0)
+    return rx, ry, rz, dist, hi, v1, mask
 
 
-def _w_sinc6_tile(v, sinc_index: float):
-    """sinc(pi v/2)^n on a tile; v may be 0 (masked later)."""
+def _w_sinc_tile(v, sinc_index: float):
     pv = (jnp.pi / 2.0) * v
     small = pv < 0.25
     safe = jnp.where(small, 1.0, pv)
     sinc_exact = jnp.sin(safe) / safe
     pv2 = pv * pv
     sinc = jnp.where(small, 1.0 - pv2 / 6.0 + pv2 * pv2 / 120.0, sinc_exact)
-    n_int = int(sinc_index)
     w = sinc
-    for _ in range(n_int - 1):
+    for _ in range(int(sinc_index) - 1):
         w = w * sinc
     return jnp.where(v < 2.0, w, 0.0)
 
 
-def _wd_sinc6_tile(v, sinc_index: float):
+def _wd_sinc_tile(v, sinc_index: float):
     pv = (jnp.pi / 2.0) * v
     small = pv < 0.25
     safe = jnp.where(small, 1.0, pv)
@@ -153,9 +149,8 @@ def _wd_sinc6_tile(v, sinc_index: float):
     dsinc = jnp.where(small, -pv / 3.0 + pv * pv2 / 30.0,
                       sinc_exact * (cos / sin - 1.0 / safe))
     dsinc = (jnp.pi / 2.0) * dsinc
-    n_int = int(sinc_index)
     wnm1 = sinc
-    for _ in range(n_int - 2):
+    for _ in range(int(sinc_index) - 2):
         wnm1 = wnm1 * sinc
     return jnp.where(v < 2.0, sinc_index * wnm1 * dsinc, 0.0)
 
@@ -165,40 +160,52 @@ def _msum(val, mask):
 
 
 # --------------------------------------------------------------------------
-# stage bodies
+# stage bodies (each loops over the nine z-run tiles, accumulating)
 # --------------------------------------------------------------------------
 
-def _nc_body(center, jcat):
-    _, _, _, _, _, v1, mask = _geom(center, jcat)
-    nc = jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True)
-    return jnp.transpose(nc)  # [1, CAP]
+def _nc_body(center, get_run):
+    nc = 0.0
+    for g in range(9):
+        *_, mask = _geom(center, get_run(g))
+        nc = nc + jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True)
+    return jnp.transpose(nc)
 
 
-def _xmass_body(center, jcat, *, K3d, sinc_index):
+def _xmass_body(center, get_run, *, K3d, sinc_index):
     RM = NBASE
-    _, _, _, _, hi, v1, mask = _geom(center, jcat)
-    w = _w_sinc6_tile(v1, sinc_index)
+    acc = 0.0
+    for g in range(9):
+        jr = get_run(g)
+        _, _, _, _, hi, v1, mask = _geom(center, jr)
+        w = _w_sinc_tile(v1, sinc_index)
+        acc = acc + _msum(w * jr[RM:RM + 1, :], mask)
     mi = _icol(center, RM)
-    rho0 = mi + _msum(w * jcat[RM:RM + 1, :], mask)
-    xm = mi * (hi * hi * hi) / (K3d * rho0)
+    hi = _icol(center, RH)
+    xm = mi * (hi * hi * hi) / (K3d * (mi + acc))
     return jnp.transpose(xm)
 
 
-def _gradh_body(center, jcat, *, K3d, sinc_index):
+def _gradh_body(center, get_run, *, K3d, sinc_index):
     RM, RXM = NBASE, NBASE + 1
-    _, _, _, _, hi, v1, mask = _geom(center, jcat)
-    w = _w_sinc6_tile(v1, sinc_index)
-    dw = _wd_sinc6_tile(v1, sinc_index)
-    dterh = -(3.0 * w + v1 * dw)
+    kx_a = 0.0
+    whomega_a = 0.0
+    wrho0_a = 0.0
+    for g in range(9):
+        jr = get_run(g)
+        _, _, _, _, hi, v1, mask = _geom(center, jr)
+        w = _w_sinc_tile(v1, sinc_index)
+        dw = _wd_sinc_tile(v1, sinc_index)
+        dterh = -(3.0 * w + v1 * dw)
+        kx_a = kx_a + _msum(w * jr[RXM:RXM + 1, :], mask)
+        whomega_a = whomega_a + _msum(dterh * jr[RXM:RXM + 1, :], mask)
+        wrho0_a = wrho0_a + _msum(dterh * jr[RM:RM + 1, :], mask)
 
     mi = _icol(center, RM)
     xmi = _icol(center, RXM)
-    mj = jcat[RM:RM + 1, :]
-    xmj = jcat[RXM:RXM + 1, :]
-
-    kx = xmi + _msum(w * xmj, mask)
-    whomega = -3.0 * xmi + _msum(dterh * xmj, mask)
-    wrho0 = -3.0 * mi + _msum(dterh * mj, mask)
+    hi = _icol(center, RH)
+    kx = xmi + kx_a
+    whomega = -3.0 * xmi + whomega_a
+    wrho0 = -3.0 * mi + wrho0_a
 
     hinv = 1.0 / hi
     h3inv = hinv * hinv * hinv
@@ -212,26 +219,29 @@ def _gradh_body(center, jcat, *, K3d, sinc_index):
     return jnp.concatenate([jnp.transpose(kx), jnp.transpose(gradh)], axis=0)
 
 
-def _iad_divv_body(center, jcat, *, K3d, sinc_index):
+def _iad_divv_body(center, get_run, *, K3d, sinc_index):
     RKX, RXM, RVX, RVY, RVZ = NBASE, NBASE + 1, NBASE + 2, NBASE + 3, NBASE + 4
-    rx, ry, rz, dist, hi, v1, mask = _geom(center, jcat)
-    w = _w_sinc6_tile(v1, sinc_index)
-    volj = jcat[RXM:RXM + 1, :] / jcat[RKX:RKX + 1, :]
-    weight = jnp.where(mask, volj * w, 0.0)
-
+    hi = _icol(center, RH)
     hinv = 1.0 / hi
     h3inv = hinv * hinv * hinv
-    sx = rx * hinv
-    sy = ry * hinv
-    sz = rz * hinv
-    wn = weight * (K3d * h3inv)
 
-    t11 = jnp.sum(sx * sx * wn, axis=1, keepdims=True)
-    t12 = jnp.sum(sx * sy * wn, axis=1, keepdims=True)
-    t13 = jnp.sum(sx * sz * wn, axis=1, keepdims=True)
-    t22 = jnp.sum(sy * sy * wn, axis=1, keepdims=True)
-    t23 = jnp.sum(sy * sz * wn, axis=1, keepdims=True)
-    t33 = jnp.sum(sz * sz * wn, axis=1, keepdims=True)
+    # pass 1: IAD tau matrix in h-scaled coordinates (fp32-stable)
+    t11 = t12 = t13 = t22 = t23 = t33 = 0.0
+    for g in range(9):
+        jr = get_run(g)
+        rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
+        w = _w_sinc_tile(v1, sinc_index)
+        volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
+        wn = jnp.where(mask, volj * w, 0.0) * (K3d * h3inv)
+        sx = rx * hinv
+        sy = ry * hinv
+        sz = rz * hinv
+        t11 = t11 + jnp.sum(sx * sx * wn, axis=1, keepdims=True)
+        t12 = t12 + jnp.sum(sx * sy * wn, axis=1, keepdims=True)
+        t13 = t13 + jnp.sum(sx * sz * wn, axis=1, keepdims=True)
+        t22 = t22 + jnp.sum(sy * sy * wn, axis=1, keepdims=True)
+        t23 = t23 + jnp.sum(sy * sz * wn, axis=1, keepdims=True)
+        t33 = t33 + jnp.sum(sz * sz * wn, axis=1, keepdims=True)
 
     det = (t11 * t22 * t33 + 2.0 * t12 * t23 * t13
            - t11 * t23 * t23 - t22 * t13 * t13 - t33 * t12 * t12)
@@ -243,31 +253,43 @@ def _iad_divv_body(center, jcat, *, K3d, sinc_index):
     c23 = (t13 * t12 - t11 * t23) * fac
     c33 = (t11 * t22 - t12 * t12) * fac
 
-    termA1 = -(c11 * rx + c12 * ry + c13 * rz) * w
-    termA2 = -(c12 * rx + c22 * ry + c23 * rz) * w
-    termA3 = -(c13 * rx + c23 * ry + c33 * rz) * w
-
-    vx_ji = jcat[RVX:RVX + 1, :] - _icol(center, RVX)
-    vy_ji = jcat[RVY:RVY + 1, :] - _icol(center, RVY)
-    vz_ji = jcat[RVZ:RVZ + 1, :] - _icol(center, RVZ)
-    xmj = jcat[RXM:RXM + 1, :]
-
-    dVx = [_msum(vx_ji * xmj * t, mask) for t in (termA1, termA2, termA3)]
-    dVy = [_msum(vy_ji * xmj * t, mask) for t in (termA1, termA2, termA3)]
-    dVz = [_msum(vz_ji * xmj * t, mask) for t in (termA1, termA2, termA3)]
+    # pass 2: velocity gradients with the i-side cij
+    dVx1 = dVx2 = dVx3 = dVy1 = dVy2 = dVy3 = dVz1 = dVz2 = dVz3 = 0.0
+    vxi = _icol(center, RVX)
+    vyi = _icol(center, RVY)
+    vzi = _icol(center, RVZ)
+    for g in range(9):
+        jr = get_run(g)
+        rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
+        w = _w_sinc_tile(v1, sinc_index)
+        termA1 = -(c11 * rx + c12 * ry + c13 * rz) * w
+        termA2 = -(c12 * rx + c22 * ry + c23 * rz) * w
+        termA3 = -(c13 * rx + c23 * ry + c33 * rz) * w
+        vx_ji = jr[RVX:RVX + 1, :] - vxi
+        vy_ji = jr[RVY:RVY + 1, :] - vyi
+        vz_ji = jr[RVZ:RVZ + 1, :] - vzi
+        xmj = jr[RXM:RXM + 1, :]
+        dVx1 = dVx1 + _msum(vx_ji * xmj * termA1, mask)
+        dVx2 = dVx2 + _msum(vx_ji * xmj * termA2, mask)
+        dVx3 = dVx3 + _msum(vx_ji * xmj * termA3, mask)
+        dVy1 = dVy1 + _msum(vy_ji * xmj * termA1, mask)
+        dVy2 = dVy2 + _msum(vy_ji * xmj * termA2, mask)
+        dVy3 = dVy3 + _msum(vy_ji * xmj * termA3, mask)
+        dVz1 = dVz1 + _msum(vz_ji * xmj * termA1, mask)
+        dVz2 = dVz2 + _msum(vz_ji * xmj * termA2, mask)
+        dVz3 = dVz3 + _msum(vz_ji * xmj * termA3, mask)
 
     kxi = _icol(center, RKX)
     norm_kx = K3d * h3inv / kxi
-    divv = norm_kx * (dVx[0] + dVy[1] + dVz[2])
-    curlv = norm_kx * jnp.sqrt((dVz[1] - dVy[2]) ** 2
-                               + (dVx[2] - dVz[0]) ** 2
-                               + (dVy[0] - dVx[1]) ** 2)
-    dV11 = norm_kx * dVx[0]
-    dV12 = norm_kx * (dVx[1] + dVy[0])
-    dV13 = norm_kx * (dVx[2] + dVz[0])
-    dV22 = norm_kx * dVy[1]
-    dV23 = norm_kx * (dVy[2] + dVz[1])
-    dV33 = norm_kx * dVz[2]
+    divv = norm_kx * (dVx1 + dVy2 + dVz3)
+    curlv = norm_kx * jnp.sqrt((dVz2 - dVy3) ** 2 + (dVx3 - dVz1) ** 2
+                               + (dVy1 - dVx2) ** 2)
+    dV11 = norm_kx * dVx1
+    dV12 = norm_kx * (dVx2 + dVy1)
+    dV13 = norm_kx * (dVx3 + dVz1)
+    dV22 = norm_kx * dVy2
+    dV23 = norm_kx * (dVy3 + dVz2)
+    dV33 = norm_kx * dVz3
 
     outs = [c11, c12, c13, c22, c23, c33, divv, curlv,
             dV11, dV12, dV13, dV22, dV23, dV33,
@@ -275,43 +297,52 @@ def _iad_divv_body(center, jcat, *, K3d, sinc_index):
     return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
 
 
-def _av_body(center, jcat, i2, *, K3d, sinc_index, cfg: SphConfig):
+def _av_body(center, get_run, i2, *, K3d, sinc_index, cfg: SphConfig):
     RC, RKX, RXM, RDIVV = NBASE, NBASE + 1, NBASE + 2, NBASE + 3
     RVX, RVY, RVZ = NBASE + 4, NBASE + 5, NBASE + 6
-    rx, ry, rz, dist, hi, v1, mask = _geom(center, jcat)
 
     ci = _icol(center, RC)
     divv_i = _icol(center, RDIVV)
     alpha_i = jnp.transpose(i2[6:7, :])
-    dt = jnp.transpose(i2[7:8, :])  # dt broadcast as an input row (traced)
-
-    vx_ij = _icol(center, RVX) - jcat[RVX:RVX + 1, :]
-    vy_ij = _icol(center, RVY) - jcat[RVY:RVY + 1, :]
-    vz_ij = _icol(center, RVZ) - jcat[RVZ:RVZ + 1, :]
-    rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
-
-    safe_dist = jnp.where(mask & (dist > 0), dist, 1.0)
-    vsig = jnp.where(mask & (rv < 0.0),
-                     ci + jcat[RC:RC + 1, :] - 3.0 * rv / safe_dist, 0.0)
-    vijsignal = jnp.maximum(jnp.max(vsig, axis=1, keepdims=True), 1e-30 * ci)
-
+    dt = jnp.transpose(i2[7:8, :])
+    hi = _icol(center, RH)
     h3inv = 1.0 / (hi * hi * hi)
-    w = _w_sinc6_tile(v1, sinc_index) * (K3d * h3inv)
     c11i = jnp.transpose(i2[0:1, :])
     c12i = jnp.transpose(i2[1:2, :])
     c13i = jnp.transpose(i2[2:3, :])
     c22i = jnp.transpose(i2[3:4, :])
     c23i = jnp.transpose(i2[4:5, :])
     c33i = jnp.transpose(i2[5:6, :])
-    termA1 = -(c11i * rx + c12i * ry + c13i * rz) * w
-    termA2 = -(c12i * rx + c22i * ry + c23i * rz) * w
-    termA3 = -(c13i * rx + c23i * ry + c33i * rz) * w
+    vxi = _icol(center, RVX)
+    vyi = _icol(center, RVY)
+    vzi = _icol(center, RVZ)
 
-    volj = jcat[RXM:RXM + 1, :] / jcat[RKX:RKX + 1, :]
-    factor = volj * (divv_i - jcat[RDIVV:RDIVV + 1, :])
-    gx = _msum(factor * termA1, mask)
-    gy = _msum(factor * termA2, mask)
-    gz = _msum(factor * termA3, mask)
+    vsig_max = _NEG
+    gx = gy = gz = 0.0
+    for g in range(9):
+        jr = get_run(g)
+        rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
+        vx_ij = vxi - jr[RVX:RVX + 1, :]
+        vy_ij = vyi - jr[RVY:RVY + 1, :]
+        vz_ij = vzi - jr[RVZ:RVZ + 1, :]
+        rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
+        safe_dist = jnp.where(mask & (dist > 0), dist, 1.0)
+        vsig = jnp.where(mask & (rv < 0.0),
+                         ci + jr[RC:RC + 1, :] - 3.0 * rv / safe_dist, _NEG)
+        vsig_max = jnp.maximum(vsig_max,
+                               jnp.max(vsig, axis=1, keepdims=True))
+
+        w = _w_sinc_tile(v1, sinc_index) * (K3d * h3inv)
+        termA1 = -(c11i * rx + c12i * ry + c13i * rz) * w
+        termA2 = -(c12i * rx + c22i * ry + c23i * rz) * w
+        termA3 = -(c13i * rx + c23i * ry + c33i * rz) * w
+        volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
+        factor = jnp.where(mask, volj * (divv_i - jr[RDIVV:RDIVV + 1, :]), 0.0)
+        gx = gx + jnp.sum(factor * termA1, axis=1, keepdims=True)
+        gy = gy + jnp.sum(factor * termA2, axis=1, keepdims=True)
+        gz = gz + jnp.sum(factor * termA3, axis=1, keepdims=True)
+
+    vijsignal = jnp.maximum(vsig_max, 1e-30 * ci)
     graddivv = jnp.sqrt(gx * gx + gy * gy + gz * gz)
 
     a_const = hi * hi * graddivv
@@ -327,87 +358,102 @@ def _av_body(center, jcat, i2, *, K3d, sinc_index, cfg: SphConfig):
     return jnp.transpose(alpha)
 
 
-def _momentum_body(center, jcat, *, K3d, sinc_index, cfg: SphConfig):
+def _momentum_body(center, get_run, *, K3d, sinc_index, cfg: SphConfig):
     (RVX, RVY, RVZ, RC, RPRHO, RKX, RXM, RAL, RM,
      R11, R12, R13, R22, R23, R33) = range(NBASE, NBASE + 15)
-    rx, ry, rz, dist, hi, v1, mask = _geom(center, jcat)
 
-    hj = jcat[RH:RH + 1, :]
-    v2 = dist / hj
-    Wi = _w_sinc6_tile(v1, sinc_index) / (hi * hi * hi)
-    Wj = _w_sinc6_tile(v2, sinc_index) / (hj * hj * hj)
-    Wi = jnp.where(mask, Wi, 0.0)
-    Wj = jnp.where(mask, Wj, 0.0)
-
+    hi = _icol(center, RH)
+    hi3inv = 1.0 / (hi * hi * hi)
     c11i = _icol(center, R11)
     c12i = _icol(center, R12)
     c13i = _icol(center, R13)
     c22i = _icol(center, R22)
     c23i = _icol(center, R23)
     c33i = _icol(center, R33)
-    termA1_i = -(c11i * rx + c12i * ry + c13i * rz) * Wi
-    termA2_i = -(c12i * rx + c22i * ry + c23i * rz) * Wi
-    termA3_i = -(c13i * rx + c23i * ry + c33i * rz) * Wi
-    termA1_j = -(jcat[R11:R11 + 1, :] * rx + jcat[R12:R12 + 1, :] * ry
-                 + jcat[R13:R13 + 1, :] * rz) * Wj
-    termA2_j = -(jcat[R12:R12 + 1, :] * rx + jcat[R22:R22 + 1, :] * ry
-                 + jcat[R23:R23 + 1, :] * rz) * Wj
-    termA3_j = -(jcat[R13:R13 + 1, :] * rx + jcat[R23:R23 + 1, :] * ry
-                 + jcat[R33:R33 + 1, :] * rz) * Wj
-
-    vx_ij = _icol(center, RVX) - jcat[RVX:RVX + 1, :]
-    vy_ij = _icol(center, RVY) - jcat[RVY:RVY + 1, :]
-    vz_ij = _icol(center, RVZ) - jcat[RVZ:RVZ + 1, :]
-    rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
-
-    safe_dist = jnp.where(mask & (dist > 0), dist, 1.0)
-    wij = rv / safe_dist
+    vxi = _icol(center, RVX)
+    vyi = _icol(center, RVY)
+    vzi = _icol(center, RVZ)
     ci = _icol(center, RC)
-    cj = jcat[RC:RC + 1, :]
     alpha_i = _icol(center, RAL)
-    vij_signal = (alpha_i + jcat[RAL:RAL + 1, :]) / 4.0 * (ci + cj) - 2.0 * wij
-    visc = jnp.where(mask & (wij < 0.0), -vij_signal * wij, 0.0)
-
-    vsig_ts = jnp.where(mask, 0.5 * (ci + cj) - 2.0 * wij, _NEG)
-    maxvsignal = jnp.maximum(jnp.max(vsig_ts, axis=1, keepdims=True), 0.0)
-
     mi = _icol(center, RM)
-    mj = jcat[RM:RM + 1, :]
     xmi = _icol(center, RXM)
-    xmj = jcat[RXM:RXM + 1, :]
     rhoi = _icol(center, RKX) * mi / xmi
-    rhoj = jcat[RKX:RKX + 1, :] * mj / xmj
-
-    atwood = jnp.abs(rhoi - rhoj) / (rhoi + rhoj)
-    sigma = cfg.ramp * (atwood - cfg.atmin)
-    lxmi = jnp.log(xmi)
-    lxmj = jnp.log(xmj)
-    a_ramp = jnp.exp((2.0 - sigma) * lxmi + sigma * lxmj)
-    b_ramp = jnp.exp((2.0 - sigma) * lxmj + sigma * lxmi)
-    a_mom = jnp.where(atwood < cfg.atmin, xmi * xmi,
-                      jnp.where(atwood > cfg.atmax, xmi * xmj, a_ramp))
-    b_mom = jnp.where(atwood < cfg.atmin, xmj * xmj,
-                      jnp.where(atwood > cfg.atmax, xmi * xmj, b_ramp))
-
-    a_visc = mj / rhoi * visc
-    b_visc = mj / rhoj * visc
-    a_visc_x = 0.5 * (a_visc * termA1_i + b_visc * termA1_j)
-    a_visc_y = 0.5 * (a_visc * termA2_i + b_visc * termA2_j)
-    a_visc_z = 0.5 * (a_visc * termA3_i + b_visc * termA3_j)
-    a_visc_energy = jnp.maximum(
-        _msum(a_visc_x * vx_ij + a_visc_y * vy_ij + a_visc_z * vz_ij, mask),
-        0.0)
-
-    energy = _msum(mj * a_mom * (vx_ij * termA1_i + vy_ij * termA2_i
-                                 + vz_ij * termA3_i), mask)
-
     prhoi = _icol(center, RPRHO)
-    mom_i = mj * prhoi * a_mom
-    mom_j = mj * jcat[RPRHO:RPRHO + 1, :] * b_mom
-    mom_x = _msum(mom_i * termA1_i + mom_j * termA1_j + a_visc_x, mask)
-    mom_y = _msum(mom_i * termA2_i + mom_j * termA2_j + a_visc_y, mask)
-    mom_z = _msum(mom_i * termA3_i + mom_j * termA3_j + a_visc_z, mask)
+    lxmi = jnp.log(xmi)
 
+    mom_x = mom_y = mom_z = 0.0
+    energy = 0.0
+    a_visc_energy = 0.0
+    vsig_max = _NEG
+    for g in range(9):
+        jr = get_run(g)
+        rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
+        hj = jr[RH:RH + 1, :]
+        v2 = dist / hj
+        Wi = jnp.where(mask, _w_sinc_tile(v1, sinc_index) * hi3inv, 0.0)
+        Wj = jnp.where(mask, _w_sinc_tile(v2, sinc_index) / (hj * hj * hj), 0.0)
+
+        termA1_i = -(c11i * rx + c12i * ry + c13i * rz) * Wi
+        termA2_i = -(c12i * rx + c22i * ry + c23i * rz) * Wi
+        termA3_i = -(c13i * rx + c23i * ry + c33i * rz) * Wi
+        termA1_j = -(jr[R11:R11 + 1, :] * rx + jr[R12:R12 + 1, :] * ry
+                     + jr[R13:R13 + 1, :] * rz) * Wj
+        termA2_j = -(jr[R12:R12 + 1, :] * rx + jr[R22:R22 + 1, :] * ry
+                     + jr[R23:R23 + 1, :] * rz) * Wj
+        termA3_j = -(jr[R13:R13 + 1, :] * rx + jr[R23:R23 + 1, :] * ry
+                     + jr[R33:R33 + 1, :] * rz) * Wj
+
+        vx_ij = vxi - jr[RVX:RVX + 1, :]
+        vy_ij = vyi - jr[RVY:RVY + 1, :]
+        vz_ij = vzi - jr[RVZ:RVZ + 1, :]
+        rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
+        safe_dist = jnp.where(mask & (dist > 0), dist, 1.0)
+        wij = rv / safe_dist
+        cj = jr[RC:RC + 1, :]
+        vij_signal = (alpha_i + jr[RAL:RAL + 1, :]) / 4.0 * (ci + cj) \
+            - 2.0 * wij
+        visc = jnp.where(mask & (wij < 0.0), -vij_signal * wij, 0.0)
+
+        vsig_ts = jnp.where(mask, 0.5 * (ci + cj) - 2.0 * wij, _NEG)
+        vsig_max = jnp.maximum(vsig_max,
+                               jnp.max(vsig_ts, axis=1, keepdims=True))
+
+        mj = jr[RM:RM + 1, :]
+        xmj = jr[RXM:RXM + 1, :]
+        rhoj = jr[RKX:RKX + 1, :] * mj / xmj
+        atwood = jnp.abs(rhoi - rhoj) / (rhoi + rhoj)
+        sigma = cfg.ramp * (atwood - cfg.atmin)
+        lxmj = jnp.log(xmj)
+        a_ramp = jnp.exp((2.0 - sigma) * lxmi + sigma * lxmj)
+        b_ramp = jnp.exp((2.0 - sigma) * lxmj + sigma * lxmi)
+        a_mom = jnp.where(atwood < cfg.atmin, xmi * xmi,
+                          jnp.where(atwood > cfg.atmax, xmi * xmj, a_ramp))
+        b_mom = jnp.where(atwood < cfg.atmin, xmj * xmj,
+                          jnp.where(atwood > cfg.atmax, xmi * xmj, b_ramp))
+
+        a_visc = mj / rhoi * visc
+        b_visc = mj / rhoj * visc
+        a_visc_x = 0.5 * (a_visc * termA1_i + b_visc * termA1_j)
+        a_visc_y = 0.5 * (a_visc * termA2_i + b_visc * termA2_j)
+        a_visc_z = 0.5 * (a_visc * termA3_i + b_visc * termA3_j)
+        a_visc_energy = a_visc_energy + _msum(
+            a_visc_x * vx_ij + a_visc_y * vy_ij + a_visc_z * vz_ij, mask)
+
+        energy = energy + _msum(
+            mj * a_mom * (vx_ij * termA1_i + vy_ij * termA2_i
+                          + vz_ij * termA3_i), mask)
+
+        mom_i = mj * prhoi * a_mom
+        mom_j = mj * jr[RPRHO:RPRHO + 1, :] * b_mom
+        mom_x = mom_x + _msum(mom_i * termA1_i + mom_j * termA1_j + a_visc_x,
+                              mask)
+        mom_y = mom_y + _msum(mom_i * termA2_i + mom_j * termA2_j + a_visc_y,
+                              mask)
+        mom_z = mom_z + _msum(mom_i * termA3_i + mom_j * termA3_j + a_visc_z,
+                              mask)
+
+    a_visc_energy = jnp.maximum(a_visc_energy, 0.0)
+    maxvsignal = jnp.maximum(vsig_max, 0.0)
     du = K3d * (prhoi * energy + 0.5 * a_visc_energy)
     outs = [-K3d * mom_x, -K3d * mom_y, -K3d * mom_z, du, maxvsignal,
             jnp.zeros_like(du), jnp.zeros_like(du), jnp.zeros_like(du)]
@@ -418,7 +464,7 @@ def _momentum_body(center, jcat, *, K3d, sinc_index, cfg: SphConfig):
 # stage drivers: assemble J matrices and invoke the kernels
 # --------------------------------------------------------------------------
 
-def _pad_rows(rows: Sequence, mult: int = 8):
+def _pad_rows(rows, mult: int = 8):
     rows = list(rows)
     while len(rows) % mult:
         rows.append(jnp.zeros_like(rows[0]))
@@ -429,6 +475,7 @@ class PallasVE:
     """Compiled pallas pair-stage collection for one (grid, cfg)."""
 
     def __init__(self, grid: CMGrid, cfg: SphConfig, interpret: bool = False):
+        assert grid.cap % 128 == 0, "CAP must be a multiple of 128 lanes"
         self.grid = grid
         self.cfg = cfg
         self.K3d = kernel_3d_k(cfg.sinc_index)
@@ -440,12 +487,14 @@ class PallasVE:
         self._gradh = make_cell_pair_call(
             grid, 8, 2, functools.partial(_gradh_body, **kw), interpret=ip)
         self._iad = make_cell_pair_call(
-            grid, 16, 16, functools.partial(_iad_divv_body, **kw), interpret=ip)
+            grid, 16, 16, functools.partial(_iad_divv_body, **kw),
+            interpret=ip)
+        self._av = make_cell_pair_call(
+            grid, 16, 1,
+            functools.partial(_av_body, cfg=cfg, **kw), fi2=8, interpret=ip)
         self._mom = make_cell_pair_call(
             grid, 24, 8, functools.partial(_momentum_body, cfg=cfg, **kw),
             interpret=ip)
-        self._av = None
-        self._interpret = ip
 
     def base_rows(self, layout: CMLayout, x, y, z, h):
         """The 6 base rows shared by all stages (cm frame inputs)."""
@@ -456,12 +505,10 @@ class PallasVE:
         return [xcm, ycm, zcm, hcm, valid, gid]
 
     def nc(self, base):
-        J = _pad_rows(base)
-        return self._nc(J)[0]
+        return self._nc(_pad_rows(base))[0]
 
     def xmass(self, base, m_cm):
-        J = _pad_rows(base + [m_cm])
-        return self._xmass(J)[0]
+        return self._xmass(_pad_rows(base + [m_cm]))[0]
 
     def gradh(self, base, m_cm, xm_cm):
         out = self._gradh(_pad_rows(base + [m_cm, xm_cm]))
@@ -477,12 +524,6 @@ class PallasVE:
 
     def av_switches(self, base, c_cm, kx_cm, xm_cm, divv_cm, vx_cm, vy_cm,
                     vz_cm, cij, alpha_cm, dt):
-        if self._av is None:
-            body = functools.partial(_av_body, K3d=self.K3d,
-                                     sinc_index=self.cfg.sinc_index,
-                                     cfg=self.cfg)
-            self._av = make_cell_pair_call(self.grid, 16, 1, body, fi2=8,
-                                           interpret=self._interpret)
         J = _pad_rows(base + [c_cm, kx_cm, xm_cm, divv_cm, vx_cm, vy_cm,
                               vz_cm], 16)
         dt_row = jnp.full_like(alpha_cm, dt)
