@@ -46,8 +46,9 @@ def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
     """Timestep + Press-2 integration + AB2 energy + h controller + diag.
     `ps` must carry the force-step-updated h/alpha."""
     dt_courant = ts.courant_timestep(maxvsignal, ps.h, c, ps.alive, cfg.kcour)
-    dt_rho = ts.rho_timestep(divv, ps.alive, cfg.krho)
-    candidates = [dt_courant, dt_rho]
+    candidates = [dt_courant]
+    if divv is not None:  # std pipeline has no divv (reference: std_hydro)
+        candidates.append(ts.rho_timestep(divv, ps.alive, cfg.krho))
     if cfg.gravG != 0.0:
         candidates.append(ts.acceleration_timestep(
             ax, ay, az, ps.alive, cfg.eta_acc, cfg.eps))

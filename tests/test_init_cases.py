@@ -1,0 +1,59 @@
+"""Every named test case must initialize and run a few stable VE/std
+steps (reference analog: the init/*.hpp cases exercised by CI runs)."""
+
+import numpy as np
+import pytest
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.init.factory import available_cases, make_initializer
+from sphexa_tpu.neighbors import CellGrid, choose_level
+from sphexa_tpu.propagator.ve import make_ve_step
+from sphexa_tpu.propagator.std import make_std_step
+
+
+def test_factory_lists_cases():
+    cases = available_cases()
+    for want in ["sedov", "noh", "isobaric-cube", "gresho-chan",
+                 "kelvin-helmholtz", "wind-shock", "evrard"]:
+        assert want in cases, cases
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,side", [
+    ("sedov", 12), ("noh", 12), ("isobaric-cube", 10),
+    ("gresho-chan", 12), ("kelvin-helmholtz", 24), ("wind-shock", 12),
+])
+def test_case_runs_stable(name, side):
+    cfg = SphConfig(chunk=1024, cell_cap=256, ngpad=256)
+    init = make_initializer(name)
+    state, box, cfg = init(side, cfg)
+    cfg = cfg.replace(gravG=0.0)  # hydro-only in this smoke test
+    h_max = float(np.max(np.asarray(state.p.h)[np.asarray(state.p.alive)]))
+    grid = CellGrid(choose_level(box, h_max * 1.3))
+    step = make_ve_step(box, grid, cfg)
+
+    for _ in range(5):
+        state, diag = step(state)
+
+    assert np.isfinite(float(diag.etot))
+    assert float(diag.dt) > 0
+    assert np.isfinite(np.asarray(state.p.x)).all()
+    nc = float(diag.nc_mean)
+    assert 20 < nc < 400, nc
+
+
+@pytest.mark.slow
+def test_std_propagator_sedov():
+    cfg = SphConfig(chunk=1024, cell_cap=256, ngpad=256)
+    init = make_initializer("sedov")
+    state, box, cfg = init(12, cfg, dt0=2e-4)
+    grid = CellGrid(choose_level(box, float(state.p.h[0]) * 1.3))
+    step = make_std_step(box, grid, cfg)
+    e0 = None
+    for _ in range(10):
+        state, diag = step(state)
+        if e0 is None:
+            e0 = float(diag.etot)
+    assert np.isfinite(float(diag.etot))
+    assert abs(float(diag.etot) - e0) / e0 < 5e-3
+    assert float(diag.ecin) > 0
