@@ -23,6 +23,7 @@ class StepDiagnostics(NamedTuple):
     etot: jnp.ndarray
     ecin: jnp.ndarray
     eint: jnp.ndarray
+    egrav: jnp.ndarray
     h_max: jnp.ndarray
     nc_mean: jnp.ndarray
     max_nc: jnp.ndarray
@@ -42,7 +43,7 @@ def compute_energies(ps: Particles, cfg: SphConfig):
 
 def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
                 c, divv, nc_sph, box: Box, cfg: SphConfig,
-                max_nc, max_cell_count):
+                max_nc, max_cell_count, egrav=0.0):
     """Timestep + Press-2 integration + AB2 energy + h controller + diag.
     `ps` must carry the force-step-updated h/alpha."""
     dt_courant = ts.courant_timestep(maxvsignal, ps.h, c, ps.alive, cfg.kcour)
@@ -66,9 +67,10 @@ def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
                     x_m1=dx, y_m1=dy, z_m1=dz, temp=temp, h=h, du_m1=du)
 
     ecin, eint = compute_energies(ps, cfg)
+    egrav = jnp.float32(egrav)
     diag = StepDiagnostics(
-        dt=dt, ttot=state.ttot + dt, etot=ecin + eint, ecin=ecin,
-        eint=eint, h_max=jnp.max(jnp.where(ps.alive, ps.h, 0.0)),
+        dt=dt, ttot=state.ttot + dt, etot=ecin + eint + egrav, ecin=ecin,
+        eint=eint, egrav=egrav, h_max=jnp.max(jnp.where(ps.alive, ps.h, 0.0)),
         nc_mean=(jnp.sum(jnp.where(ps.alive, nc_sph, 0))
                  / jnp.maximum(jnp.sum(ps.alive), 1)).astype(jnp.float32),
         max_nc=max_nc, max_cell_count=max_cell_count,

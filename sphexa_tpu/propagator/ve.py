@@ -76,10 +76,22 @@ def make_ve_step(box: Box, grid: CellGrid, cfg: SphConfig):
     @jax.jit
     def step(state: SimState):
         ps, me, aux = compute_forces_ve(state.p, box, grid, cfg, state.dt)
-        return finish_step(state, ps, me.ax, me.ay, me.az, me.du,
+        ax, ay, az = me.ax, me.ay, me.az
+        egrav = 0.0
+        if cfg.gravG != 0.0:
+            # self-gravity (reference: ve_hydro.hpp:195-204 upsweep+traverse)
+            from sphexa_tpu.gravity.direct import direct_gravity, egrav as _eg
+            g = direct_gravity(ps.x, ps.y, ps.z, ps.m, ps.alive,
+                               cfg.gravG, cfg.eps)
+            ax = ax + g.ax
+            ay = ay + g.ay
+            az = az + g.az
+            egrav = _eg(ps.m, g.pot, ps.alive)
+        return finish_step(state, ps, ax, ay, az, me.du,
                            me.maxvsignal, aux["c"], aux["divv"],
                            aux["nc_sph"], box, cfg,
                            max_nc=aux["max_nc"],
-                           max_cell_count=aux["max_cell_count"])
+                           max_cell_count=aux["max_cell_count"],
+                           egrav=egrav)
 
     return step
