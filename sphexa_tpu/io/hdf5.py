@@ -1,0 +1,123 @@
+"""HDF5 output and checkpoint/restart.
+
+Layout mirrors the reference's H5Part convention
+(reference: main/src/io/ifile_io_hdf5.cpp:49, extern/h5part): one group
+`Step#<n>` per output step with per-particle fields as datasets, step
+attributes (iteration, time, minDt, minDt_m1, ...) on the group, and
+file-level attributes for the run settings — so reference post-
+processing conventions (e.g. the compare_*.py analytical comparators)
+can read our dumps. A dump containing every conserved field IS the
+checkpoint (reference: README.md:184-192)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.sfc.box import Box, Boundary
+from sphexa_tpu.state import Particles, SimState, make_particles, make_state, _FIELDS
+
+CONSERVED_FIELDS = ["x", "y", "z", "x_m1", "y_m1", "z_m1", "vx", "vy", "vz",
+                    "temp", "h", "m", "alpha", "du_m1"]
+
+
+def _attrs_from_state(state: SimState, cfg: SphConfig, n_global: int):
+    return dict(iteration=int(state.iteration), time=float(state.ttot),
+                minDt=float(state.dt), minDt_m1=float(state.dt_m1),
+                numParticlesGlobal=n_global, ng0=cfg.ng0, ngmax=cfg.ngmax,
+                gravConstant=cfg.gravG, gamma=cfg.gamma, muiConst=cfg.mui,
+                Kcour=cfg.kcour, Krho=cfg.krho, alphamin=cfg.alphamin,
+                alphamax=cfg.alphamax, decay_constant=cfg.decay_constant,
+                sincIndex=cfg.sinc_index, eps=cfg.eps, etaAcc=cfg.eta_acc)
+
+
+class HDF5Writer:
+    """Step-structured writer (reference: IFileWriter, ifile_io.hpp:51)."""
+
+    def __init__(self, path: str):
+        import h5py
+        self.path = path
+        self.h5py = h5py
+        self._file = h5py.File(path, "a")
+
+    def write_step(self, state: SimState, cfg: SphConfig, box: Box,
+                   fields: dict | None = None):
+        """Write one output step. `fields` may add derived columns
+        (rho, p, ...) beyond the conserved set."""
+        ps = state.p
+        alive = np.asarray(ps.alive)
+        n = int(alive.sum())
+        step_idx = len([k for k in self._file.keys() if k.startswith("Step#")])
+        g = self._file.create_group(f"Step#{step_idx}")
+        for k, v in _attrs_from_state(state, cfg, n).items():
+            g.attrs[k] = v
+        g.attrs["box"] = [box.xmin, box.xmax, box.ymin, box.ymax,
+                          box.zmin, box.zmax]
+        g.attrs["boundary"] = [box.bx.value, box.by.value, box.bz.value]
+        for name in CONSERVED_FIELDS:
+            g.create_dataset(name, data=np.asarray(getattr(ps, name))[alive])
+        for name, arr in (fields or {}).items():
+            g.create_dataset(name, data=np.asarray(arr)[alive])
+        self._file.flush()
+        return step_idx
+
+    def write_file_attrs(self, settings: dict):
+        for k, v in settings.items():
+            self._file.attrs[k] = v
+
+    def close(self):
+        self._file.close()
+
+
+class HDF5Reader:
+    def __init__(self, path: str):
+        import h5py
+        self._file = h5py.File(path, "r")
+
+    def num_steps(self) -> int:
+        return len([k for k in self._file.keys() if k.startswith("Step#")])
+
+    def read_step(self, step: int = -1):
+        if step < 0:
+            step = self.num_steps() + step
+        g = self._file[f"Step#{step}"]
+        fields = {k: np.asarray(g[k]) for k in g.keys()}
+        attrs = dict(g.attrs)
+        return fields, attrs
+
+    def close(self):
+        self._file.close()
+
+
+def save_checkpoint(path: str, state: SimState, cfg: SphConfig, box: Box,
+                    extra_fields: dict | None = None):
+    w = HDF5Writer(path)
+    idx = w.write_step(state, cfg, box, extra_fields)
+    w.close()
+    return idx
+
+
+def load_checkpoint(path: str, cfg: SphConfig, step: int = -1,
+                    capacity: int | None = None):
+    """Restart from a dump (reference: init/file_init.hpp:75 FileInit)."""
+    r = HDF5Reader(path)
+    fields, attrs = r.read_step(step)
+    r.close()
+
+    n = len(fields["x"])
+    kw = {k: fields[k] for k in CONSERVED_FIELDS if k in fields}
+    ps = make_particles(capacity or n, n, **kw)
+    state = make_state(ps, dt0=float(attrs["minDt"]),
+                       ttot=float(attrs["time"]))
+    state = state.replace(dt_m1=np.float32(attrs["minDt_m1"]),
+                          iteration=np.int32(attrs["iteration"]))
+
+    b = attrs["box"]
+    bd = [Boundary(int(v)) for v in attrs["boundary"]]
+    box = Box(float(b[0]), float(b[1]), float(b[2]), float(b[3]),
+              float(b[4]), float(b[5]), bd[0], bd[1], bd[2])
+    cfg = cfg.replace(ng0=int(attrs["ng0"]), ngmax=int(attrs["ngmax"]),
+                      gamma=float(attrs["gamma"]), mui=float(attrs["muiConst"]),
+                      gravG=float(attrs["gravConstant"]),
+                      kcour=float(attrs["Kcour"]), krho=float(attrs["Krho"]))
+    return state, box, cfg

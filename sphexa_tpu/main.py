@@ -1,0 +1,163 @@
+"""Command-line front end (reference: main/src/sphexa/sphexa.cpp:66-194).
+
+    python -m sphexa_tpu.main --init sedov -n 50 -s 100 -w 25 -o dump.h5
+
+Builds the initializer / propagator / writer via factories, then runs
+the iteration loop: forces+integrate -> observables -> output triggers.
+Restart with --init path.h5[:step].
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="sphexa-tpu",
+                                description="TPU-native SPH simulation")
+    p.add_argument("--init", required=True,
+                   help="test case name (sedov, noh, ...) or checkpoint "
+                        "file.h5[:step] to restart from")
+    p.add_argument("-n", type=int, default=50,
+                   help="cube side; N = n^3 particles")
+    p.add_argument("-s", "--steps", type=int, default=10,
+                   help="number of iterations")
+    p.add_argument("--sim-time", type=float, default=None,
+                   help="stop when simulation time reached")
+    p.add_argument("--prop", default="ve",
+                   choices=["ve", "std", "ve-pallas"],
+                   help="propagator choice (reference: --prop)")
+    p.add_argument("-w", "--output-every", type=int, default=0,
+                   help="write output every N iterations (0 = never)")
+    p.add_argument("-o", "--outfile", default="dump.sphexa.h5")
+    p.add_argument("--ascii", action="store_true", help="ASCII output")
+    p.add_argument("--constants", default="constants.txt",
+                   help="per-step observables file")
+    p.add_argument("--dt0", type=float, default=None,
+                   help="override initial timestep")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timings")
+    return p.parse_args(argv)
+
+
+def build_sim(args):
+    from sphexa_tpu.config import SphConfig
+
+    cfg = SphConfig()
+    if ":" in args.init or args.init.endswith(".h5"):
+        from sphexa_tpu.io.hdf5 import load_checkpoint
+        path, _, step_s = args.init.partition(":")
+        step = int(step_s) if step_s else -1
+        state, box, cfg = load_checkpoint(path, cfg, step=step)
+    else:
+        from sphexa_tpu.init.factory import make_initializer
+        init = make_initializer(args.init)
+        state, box, cfg = init(args.n, cfg, dt0=args.dt0)
+    return state, box, cfg
+
+
+def make_stepper(args, box, cfg, h_max, n):
+    if args.prop == "ve-pallas":
+        from sphexa_tpu.ops.cellmajor import choose_cm_grid
+        from sphexa_tpu.propagator.ve_pallas import make_ve_step_pallas
+        grid = choose_cm_grid(box, h_max * 1.25, n)
+        import jax
+        interpret = jax.devices()[0].platform != "tpu"
+        return make_ve_step_pallas(box, grid, cfg, interpret=interpret), grid
+    from sphexa_tpu.neighbors import CellGrid, choose_level
+    grid = CellGrid(choose_level(box, h_max * 1.25))
+    if args.prop == "std":
+        from sphexa_tpu.propagator.std import make_std_step
+        return make_std_step(box, grid, cfg), grid
+    from sphexa_tpu.propagator.ve import make_ve_step
+    return make_ve_step(box, grid, cfg), grid
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    state, box, cfg = build_sim(args)
+
+    alive = np.asarray(state.p.alive)
+    n_active = int(alive.sum())
+    h_max = float(np.max(np.asarray(state.p.h)[alive]))
+    step_fn, grid = make_stepper(args, box, cfg, h_max, n_active)
+
+    writer = None
+    if args.output_every:
+        if args.ascii:
+            from sphexa_tpu.io.ascii import AsciiWriter
+            writer = AsciiWriter(args.outfile)
+        else:
+            from sphexa_tpu.io.hdf5 import HDF5Writer
+            if os.path.exists(args.outfile):
+                os.remove(args.outfile)
+            writer = HDF5Writer(args.outfile)
+
+    from sphexa_tpu.observables import conserved_quantities, format_constants_line
+    const_f = open(args.constants, "a") if args.constants else None
+
+    if not args.quiet:
+        print(f"# sphexa-tpu: {args.init} N={n_active} prop={args.prop} "
+              f"grid={grid}", flush=True)
+
+    t_start = time.perf_counter()
+    for it in range(args.steps):
+        t0 = time.perf_counter()
+        state, diag = step_fn(state)
+        dt_wall = time.perf_counter() - t0
+
+        # grid resolution follows h growth: rebuild (recompile) on violation
+        new_h_max = float(diag.h_max)
+        if new_h_max > h_max * 1.25:
+            h_max = new_h_max
+            step_fn, grid = make_stepper(args, box, cfg, h_max, n_active)
+            if not args.quiet:
+                print(f"# re-gridded for h_max={h_max:.4g}: {grid}")
+
+        q = conserved_quantities(state.p, cfg, egrav=float(diag.egrav))
+        if const_f:
+            const_f.write(format_constants_line(
+                int(state.iteration) - 1, float(diag.ttot), float(diag.dt), q)
+                + "\n")
+            const_f.flush()
+
+        if not args.quiet:
+            # reference-style "### Check" iteration line
+            # (ipropagator.hpp:100-128)
+            print(f"### Check ### iter {int(state.iteration)-1}: "
+                  f"t={float(diag.ttot):.6g} dt={float(diag.dt):.4g} "
+                  f"etot={float(q.etot):.8g} ecin={float(q.ecin):.6g} "
+                  f"eint={float(q.eint):.6g} egrav={float(q.egrav):.6g} "
+                  f"nc~{float(diag.nc_mean):.0f} "
+                  f"wall={dt_wall*1e3:.0f}ms", flush=True)
+        if int(diag.max_nc) > cfg.ngpad or int(diag.max_cell_count) > cfg.cell_cap:
+            print(f"# WARNING: neighbor overflow (max_nc={int(diag.max_nc)}, "
+                  f"max_cell={int(diag.max_cell_count)}) — raise caps",
+                  file=sys.stderr)
+
+        if writer and (it + 1) % args.output_every == 0:
+            writer.write_step(state, cfg, box)
+
+        if args.sim_time is not None and float(diag.ttot) >= args.sim_time:
+            break
+
+    wall = time.perf_counter() - t_start
+    if not args.quiet:
+        its = int(state.iteration) - 1
+        print(f"# done: {its} iterations, {wall:.1f}s wall, "
+              f"{n_active * (it + 1) / wall / 1e6:.2f}M particle-updates/s")
+    if writer:
+        writer.close()
+    if const_f:
+        const_f.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()
