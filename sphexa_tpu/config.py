@@ -63,6 +63,11 @@ class SphConfig:
     # AV velocity-gradient cleaning terms in the momentum equation
     av_clean: bool = False
 
+    # gravity solver: "direct" (N^2, exact) or "fmm" (dense level-
+    # synchronous fast multipole, ~1e-2 rms force error like BH theta~1)
+    gravity_solver: str = "direct"
+    fmm_level: int = 4
+
     # neighbor-engine shape parameters (static!)
     cell_cap: int = 64        # max particles per search cell
     chunk: int = 4096         # i-particle chunk size for pair stages

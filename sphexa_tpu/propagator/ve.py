@@ -80,9 +80,16 @@ def make_ve_step(box: Box, grid: CellGrid, cfg: SphConfig):
         egrav = 0.0
         if cfg.gravG != 0.0:
             # self-gravity (reference: ve_hydro.hpp:195-204 upsweep+traverse)
-            from sphexa_tpu.gravity.direct import direct_gravity, egrav as _eg
-            g = direct_gravity(ps.x, ps.y, ps.z, ps.m, ps.alive,
-                               cfg.gravG, cfg.eps)
+            from sphexa_tpu.gravity.direct import egrav as _eg
+            if cfg.gravity_solver == "fmm":
+                from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
+                g = fmm_gravity(ps.x, ps.y, ps.z, ps.m, ps.alive, box,
+                                cfg.gravG, FmmConfig(level=cfg.fmm_level),
+                                eps=cfg.eps)
+            else:
+                from sphexa_tpu.gravity.direct import direct_gravity
+                g = direct_gravity(ps.x, ps.y, ps.z, ps.m, ps.alive,
+                                   cfg.gravG, cfg.eps)
             ax = ax + g.ax
             ay = ay + g.ay
             az = az + g.az
