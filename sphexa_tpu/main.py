@@ -30,7 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--sim-time", type=float, default=None,
                    help="stop when simulation time reached")
     p.add_argument("--prop", default="ve",
-                   choices=["ve", "std", "ve-pallas"],
+                   choices=["ve", "std", "ve-pallas", "nbody",
+                            "turbulence-ve"],
                    help="propagator choice (reference: --prop)")
     p.add_argument("-w", "--output-every", type=int, default=0,
                    help="write output every N iterations (0 = never)")
@@ -63,6 +64,14 @@ def build_sim(args):
 
 
 def make_stepper(args, box, cfg, h_max, n):
+    if args.prop == "nbody":
+        from sphexa_tpu.propagator.nbody import make_nbody_step
+        return make_nbody_step(box, cfg), None
+    if args.prop == "turbulence-ve":
+        from sphexa_tpu.neighbors import CellGrid, choose_level
+        from sphexa_tpu.propagator.turb_ve import TurbVeProp
+        grid = CellGrid(choose_level(box, h_max * 1.25))
+        return TurbVeProp(box, grid, cfg, verbose=not args.quiet), grid
     if args.prop == "ve-pallas":
         from sphexa_tpu.ops.cellmajor import choose_cm_grid
         from sphexa_tpu.propagator.ve_pallas import make_ve_step_pallas

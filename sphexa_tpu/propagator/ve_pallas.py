@@ -18,7 +18,7 @@ from sphexa_tpu.ops.pallas_ve import PallasVE
 from sphexa_tpu.propagator.common import finish_step
 from sphexa_tpu.sfc.box import Box
 from sphexa_tpu.sph.eos import eos_ve
-from sphexa_tpu.sph.kernels import update_h
+
 
 
 def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
@@ -42,6 +42,7 @@ def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
         adapt_ok = layout.valid & layout.interior
 
         # ---- coupled h / neighbor-count iteration (nc kernel + controller)
+        from sphexa_tpu.sph.kernels import update_h
         ngmin = cfg.ng0 // 4
         nc = pve.nc(base)
         for _ in range(cfg.h_iter):
