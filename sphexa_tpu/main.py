@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings")
+    p.add_argument("--viz-every", type=int, default=0,
+                   help="render a PNG slice every N iterations (in-situ "
+                        "viz hook; 0 = off)")
     return p.parse_args(argv)
 
 
@@ -111,6 +114,11 @@ def main(argv=None):
     from sphexa_tpu.observables import conserved_quantities, format_constants_line
     const_f = open(args.constants, "a") if args.constants else None
 
+    viz = None
+    if args.viz_every:
+        from sphexa_tpu.io.viz import VizHook
+        viz = VizHook(every=args.viz_every)
+
     if not args.quiet:
         print(f"# sphexa-tpu: {args.init} N={n_active} prop={args.prop} "
               f"grid={grid}", flush=True)
@@ -152,6 +160,8 @@ def main(argv=None):
 
         if writer and (it + 1) % args.output_every == 0:
             writer.write_step(state, cfg, box)
+        if viz:
+            viz.execute(state, box, int(state.iteration) - 1)
 
         if args.sim_time is not None and float(diag.ttot) >= args.sim_time:
             break

@@ -214,8 +214,10 @@ def av_switches(x, y, z, vx, vy, vz, h, c, K, box, kx, xm, divv, cij, alpha,
 
 
 def momentum_energy(x, y, z, vx, vy, vz, h, m, prho, c, cij, K, box,
-                    kx, xm, alpha, atmin, atmax, ramp, within=None):
-    """(reference: hydro_ve/momentum_energy_kern.hpp:65-222, avClean=False)"""
+                    kx, xm, alpha, atmin, atmax, ramp, within=None,
+                    gradv=None, nc=None):
+    """(reference: hydro_ve/momentum_energy_kern.hpp:65-222; gradv
+    enables the avClean rv correction of :44-63)"""
     if within is None:
         within = all_pairs_neighbors(x, y, z, h, box)
     c11, c12, c13, c22, c23, c33 = cij
@@ -243,6 +245,32 @@ def momentum_energy(x, y, z, vx, vy, vz, h, m, prho, c, cij, K, box,
     vy_ij = vy[:, None] - vy[None, :]
     vz_ij = vz[:, None] - vz[None, :]
     rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
+
+    if gradv is not None:
+        # avClean correction (momentum_energy_kern.hpp:44-63)
+        dV11, dV12, dV13, dV22, dV23, dV33 = gradv
+
+        def quad(g11, g12, g13, g22, g23, g33):
+            # r . symv(gradV, r) with the symv of kernels.hpp:88-95
+            q1 = g11 * rx + g12 * ry + g13 * rz
+            q2 = g22 * ry + g23 * rz
+            q3 = g33 * rz
+            return rx * q1 + ry * q2 + rz * q3
+
+        dmy1 = quad(dV11[:, None], dV12[:, None], dV13[:, None],
+                    dV22[:, None], dV23[:, None], dV33[:, None])
+        dmy2 = quad(dV11[None, :], dV12[None, :], dV13[None, :],
+                    dV22[None, :], dV23[None, :], dV33[None, :])
+        eta_ab = np.minimum(v1, v2)
+        eta_crit = np.cbrt(32.0 * np.pi / 3.0 / (nc[:, None] + 1.0))
+        eta_diff = 5.0 * (eta_ab - eta_crit)
+        dmy3 = np.where(eta_ab < eta_crit, np.exp(-eta_diff ** 2), 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            A_ab = np.where(dmy2 != 0.0, dmy1 / np.where(dmy2 != 0, dmy2, 1.0), 0.0)
+        A_abp1 = 1.0 + A_ab
+        phi_ab = 0.5 * dmy3 * np.clip(4.0 * A_ab / A_abp1 ** 2, 0.0, 1.0)
+        rv = rv + (-phi_ab * (dmy1 + dmy2))
+
     wij = rv / dist
 
     beta = 2.0

@@ -147,3 +147,55 @@ def test_momentum_energy(pipeline):
     assert rel_err(me.az, me_o[2]) < 2e-3
     assert rel_err(me.du, me_o[3]) < 2e-3
     assert rel_err(me.maxvsignal, me_o[4]) < 1e-4
+
+
+def test_momentum_energy_av_clean(cloud, pipeline):
+    """avClean velocity-gradient correction vs oracle
+    (reference: momentum_energy_kern.hpp:44-63 avRvCorrection)."""
+    c = cloud
+    box = c["box"]
+    cfg = SphConfig(chunk=512, cell_cap=256, ngpad=256, av_clean=True)
+    grid = CellGrid(choose_level(box, float(c["h"].max())))
+    xs, ys, zs, hs = (jnp.asarray(c[k], jnp.float32) for k in "xyzh")
+    cl = build_cell_list(grid, box, xs, ys, zs)
+    p = np.asarray(cl.perm)
+    xs, ys, zs, hs = xs[p], ys[p], zs[p], hs[p]
+    f = {k: jnp.asarray(c[k], jnp.float32)[p]
+         for k in ("m", "vx", "vy", "vz", "temp", "alpha")}
+    nl = build_neighbor_list(grid, box, cl, xs, ys, zs, hs, cfg,
+                             adapt_h=False)
+
+    xm = hydro_ve.compute_xmass(box, xs, ys, zs, hs, f["m"], nl.idx, nl.nc, cfg)
+    kx, gradh = hydro_ve.compute_ve_def_gradh(box, xs, ys, zs, hs, f["m"],
+                                              xm, nl.idx, nl.nc, cfg)
+    _, _, csnd, prho = eos_ve(f["temp"], f["m"], kx, xm, gradh,
+                              cfg.mui, cfg.gamma)
+    iad = hydro_ve.compute_iad_divv_curlv(box, xs, ys, zs, f["vx"], f["vy"],
+                                          f["vz"], hs, kx, xm, nl.idx, nl.nc,
+                                          cfg)
+    cij = (iad.c11, iad.c12, iad.c13, iad.c22, iad.c23, iad.c33)
+    gradv = (iad.dV11, iad.dV12, iad.dV13, iad.dV22, iad.dV23, iad.dV33)
+    me = hydro_ve.compute_momentum_energy(
+        box, xs, ys, zs, f["vx"], f["vy"], f["vz"], hs, f["m"], prho, csnd,
+        cij, kx, xm, f["alpha"], nl.idx, nl.nc, cfg, gradv=gradv)
+
+    # oracle with avClean
+    xo, yo, zo, ho, mo = (c[k][p] for k in ("x", "y", "z", "h", "m"))
+    vxo, vyo, vzo = c["vx"][p], c["vy"][p], c["vz"][p]
+    K3d = kernel_3d_k(cfg.sinc_index)
+    within = oracle.all_pairs_neighbors(xo, yo, zo, ho, box)
+    xm_o = oracle.xmass(xo, yo, zo, ho, mo, K3d, box, within)
+    kx_o, gradh_o = oracle.ve_def_gradh(xo, yo, zo, ho, mo, xm_o, K3d, box,
+                                        within)
+    _, _, c_o, prho_o = oracle.eos_ve(c["temp"][p], mo, kx_o, xm_o, gradh_o,
+                                      cfg.mui, cfg.gamma)
+    cij_o = oracle.iad(xo, yo, zo, ho, K3d, box, xm_o / kx_o, within)
+    _, _, gradv_o = oracle.divv_curlv(xo, yo, zo, vxo, vyo, vzo, ho, K3d,
+                                      box, kx_o, xm_o, cij_o, within)
+    me_o = oracle.momentum_energy(xo, yo, zo, vxo, vyo, vzo, ho, mo, prho_o,
+                                  c_o, cij_o, K3d, box, kx_o, xm_o,
+                                  c["alpha"][p], cfg.atmin, cfg.atmax,
+                                  cfg.ramp, within, gradv=gradv_o,
+                                  nc=within.sum(1))
+    assert rel_err(me.ax, me_o[0]) < 5e-3
+    assert rel_err(me.du, me_o[3]) < 5e-3
