@@ -7,9 +7,19 @@ import pytest
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.init.sedov import init_sedov
 from sphexa_tpu.neighbors import CellGrid, choose_level
-from sphexa_tpu.observables.radial import shock_radius_from_density
-from sphexa_tpu.observables.sedov_solution import shock_radius
+from sphexa_tpu.observables.radial import (l1_error, radial_profile,
+                                           shock_radius_from_density)
+from sphexa_tpu.observables.sedov_solution import (alpha_constant,
+                                                   sedov_profile,
+                                                   shock_radius)
 from sphexa_tpu.propagator.ve import compute_forces_ve, make_ve_step
+
+
+def test_alpha_matches_classical_tabulation():
+    """Energy-integral constant from the self-similar ODE integration
+    must reproduce Sedov's classical values — validates the derivation."""
+    assert abs(alpha_constant(5.0 / 3.0) - 0.4936) < 2e-3
+    assert abs(alpha_constant(1.4) - 0.8511) < 2e-3
 
 
 @pytest.mark.slow
@@ -45,3 +55,17 @@ def test_sedov_shock_trajectory():
     # compression approaches (gamma+1)/(gamma-1) = 4 (smeared by SPH)
     rho_pk = measured[-1][2]
     assert rho_pk > 1.8, rho_pk
+
+    # L1 density-profile error vs the exact self-similar solution
+    # (reference acceptance metric: compare_solutions.py computeL1Error;
+    # 24^3 with fp32 + SPH smoothing => generous threshold)
+    t_end = float(state.ttot)
+    ps = state.p
+    _, _, aux = compute_forces_ve(ps, box, grid, cfg, state.dt)
+    centers, rho_sim, counts = radial_profile(ps.x, ps.y, ps.z, aux["rho"],
+                                              nbins=32, rmax=0.5)
+    rho_ana, _, _ = sedov_profile(centers, t_end, E=1.0, rho0=1.0,
+                                  gamma=cfg.gamma)
+    ok = counts > 3
+    err = l1_error(rho_sim[ok], rho_ana[ok])
+    assert err < 0.4, err
