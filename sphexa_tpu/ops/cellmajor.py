@@ -71,7 +71,7 @@ class CMLayout(NamedTuple):
 
 
 def choose_cm_grid(box: Box, h_max: float, n_global: int,
-                   target_occupancy: float = 80.0, cap: int = 128,
+                   target_occupancy: float = 100.0, cap: int = 128,
                    slack: float = 1.05) -> CMGrid:
     """Pick the interior cell count: as many cells as the 2*h_max search
     radius allows (correctness bound), but no more than needed to keep the

@@ -423,13 +423,18 @@ def _momentum_body(center, get_run, *, K3d, sinc_index, cfg: SphConfig):
         rhoj = jr[RKX:RKX + 1, :] * mj / xmj
         atwood = jnp.abs(rhoi - rhoj) / (rhoi + rhoj)
         sigma = cfg.ramp * (atwood - cfg.atmin)
-        lxmj = jnp.log(xmj)
-        a_ramp = jnp.exp((2.0 - sigma) * lxmi + sigma * lxmj)
-        b_ramp = jnp.exp((2.0 - sigma) * lxmj + sigma * lxmi)
+        # xmi^(2-s) xmj^s = xmi*xmj * (xmj/xmi)^(s-1): one log+exp pair
+        # instead of two of each (the ramp only fires near interfaces)
+        # t = (xmj/xmi)^(sigma-1): a = prod*t = xmi^(2-s) xmj^s,
+        #                          b = prod/t = xmj^(2-s) xmi^s
+        t = jnp.exp((sigma - 1.0) * jnp.log(xmj / xmi))
+        prod = xmi * xmj
+        a_ramp = prod * t
+        b_ramp = prod / t
         a_mom = jnp.where(atwood < cfg.atmin, xmi * xmi,
-                          jnp.where(atwood > cfg.atmax, xmi * xmj, a_ramp))
+                          jnp.where(atwood > cfg.atmax, prod, a_ramp))
         b_mom = jnp.where(atwood < cfg.atmin, xmj * xmj,
-                          jnp.where(atwood > cfg.atmax, xmi * xmj, b_ramp))
+                          jnp.where(atwood > cfg.atmax, prod, b_ramp))
 
         a_visc = mj / rhoi * visc
         b_visc = mj / rhoj * visc
