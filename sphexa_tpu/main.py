@@ -123,6 +123,14 @@ def main(argv=None):
         print(f"# sphexa-tpu: {args.init} N={n_active} prop={args.prop} "
               f"grid={grid}", flush=True)
 
+    profiler_ctx = None
+    if args.profile:
+        # device-level per-op timing (the TPU analog of the reference's
+        # per-substage Timer, util/timer.hpp): traces to ./sphexa-trace
+        import jax
+        jax.profiler.start_trace("sphexa-trace")
+        profiler_ctx = True
+
     t_start = time.perf_counter()
     for it in range(args.steps):
         t0 = time.perf_counter()
@@ -165,6 +173,12 @@ def main(argv=None):
 
         if args.sim_time is not None and float(diag.ttot) >= args.sim_time:
             break
+
+    if profiler_ctx:
+        import jax
+        jax.block_until_ready(state.p.x)
+        jax.profiler.stop_trace()
+        print("# profile trace written to ./sphexa-trace")
 
     wall = time.perf_counter() - t_start
     if not args.quiet:

@@ -36,6 +36,8 @@ def test_sedov_shock_trajectory():
     for _ in range(90):
         state, diag = step(state)
         t = float(diag.ttot)
+        if shock_radius(t, 1.0, 1.0, cfg.gamma) > 0.4:
+            break  # stop before periodic images contaminate the profile
         if t > 0.015 and len(measured) < 100:
             ps = state.p
             # density via VE normalization on current state
@@ -68,4 +70,5 @@ def test_sedov_shock_trajectory():
                                   gamma=cfg.gamma)
     ok = counts > 3
     err = l1_error(rho_sim[ok], rho_ana[ok])
-    assert err < 0.4, err
+    # dominated by SPH smearing of the shock front at 24^3
+    assert err < 0.35, err
