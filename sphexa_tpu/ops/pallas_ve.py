@@ -297,6 +297,158 @@ def _iad_divv_body(center, get_run, *, K3d, sinc_index):
     return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
 
 
+def _iad_divv_body_mm(center, get_run, *, K3d, sinc_index):
+    """Moment-matmul formulation of IAD + divv/curlv: the pair reductions
+    are factored into j-side moments so a single [CAP, 3*CAP] x
+    [3*CAP, 32] MXU contraction per z-run replaces both VPU reduction
+    passes. Coordinates are centered on the i-cell so the raw-moment
+    expansion stays fp32-accurate (spread ~ a few h, not box-scale).
+
+    tau_ab = xi_a xi_b S0 - xi_a S_b - xi_b S_a + S_ab
+    dV
+      dVc_a = -sum_b C_ab [ xi_b (U0_c - vc_i S0') - (U_b_c - vc_i S'_b) ]
+    with S* over weight w, columns {volj, volj xj}, {xmj, xmj xj},
+    {xmj vcj, xmj vcj xj}.
+    """
+    RKX, RXM, RVX, RVY, RVZ = NBASE, NBASE + 1, NBASE + 2, NBASE + 3, NBASE + 4
+    hi = _icol(center, RH)
+    hinv = 1.0 / hi
+    h3inv = hinv * hinv * hinv
+
+    # center coordinates on this cell's mean valid position (any common
+    # origin with O(cell) spread works; invalid slots are excluded so
+    # their fill values cannot drag the origin away)
+    vrow = center[RVALID:RVALID + 1, :]
+    nv = jnp.maximum(jnp.sum(vrow, axis=1, keepdims=True), 1.0)
+    ox = jnp.sum(center[RX:RX + 1, :] * vrow, axis=1, keepdims=True) / nv
+    oy = jnp.sum(center[RY:RY + 1, :] * vrow, axis=1, keepdims=True) / nv
+    oz = jnp.sum(center[RZ:RZ + 1, :] * vrow, axis=1, keepdims=True) / nv
+    xi = _icol(center, RX) - jnp.transpose(ox)
+    yi = _icol(center, RY) - jnp.transpose(oy)
+    zi = _icol(center, RZ) - jnp.transpose(oz)
+    vxi = _icol(center, RVX)
+    vyi = _icol(center, RVY)
+    vzi = _icol(center, RVZ)
+    gid_i = _icol(center, RGID)
+
+    # moment column layout (24 columns, padded to 32 lanes):
+    #  0: volj          1-3: volj*xj
+    #  4: xmj           5-7: xmj*xj
+    #  8: xmj*vxj      9-11: xmj*vxj*xj
+    # 12: xmj*vyj     13-15: xmj*vyj*xj
+    # 16: xmj*vzj     17-19: xmj*vzj*xj
+    # 20-23: volj * {xx, ... } -> not needed; tau uses second moments:
+    # 20: volj*xj*xj  (xx) 21: xy 22: xz 23: yy 24: yz 25: zz
+    NMOM = 32
+    mom = 0.0
+    for g in range(9):
+        jr = get_run(g)
+        xj = jr[RX:RX + 1, :] - ox
+        yj = jr[RY:RY + 1, :] - oy
+        zj = jr[RZ:RZ + 1, :] - oz
+        rx = xi - xj
+        ry = yi - yj
+        rz = zi - zj
+        dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        v1 = dist * hinv
+        mask = (jr[RVALID:RVALID + 1, :] > 0.5) & \
+            (jr[RGID:RGID + 1, :] != gid_i) & (v1 < 2.0)
+        w = jnp.where(mask, _w_sinc_tile(v1, sinc_index), 0.0)  # [CAP, 3CAP]
+
+        volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
+        volj = jnp.where(jr[RVALID:RVALID + 1, :] > 0.5, volj, 0.0)
+        xmj = jr[RXM:RXM + 1, :]
+        ux = xmj * jr[RVX:RVX + 1, :]
+        uy = xmj * jr[RVY:RVY + 1, :]
+        uz = xmj * jr[RVZ:RVZ + 1, :]
+        one = jnp.ones_like(xj)
+        cols = [volj, volj * xj, volj * yj, volj * zj,
+                xmj, xmj * xj, xmj * yj, xmj * zj,
+                ux, ux * xj, ux * yj, ux * zj,
+                uy, uy * xj, uy * yj, uy * zj,
+                uz, uz * xj, uz * yj, uz * zj,
+                volj * xj * xj, volj * xj * yj, volj * xj * zj,
+                volj * yj * yj, volj * yj * zj, volj * zj * zj]
+        while len(cols) < NMOM:
+            cols.append(jnp.zeros_like(one))
+        M = jnp.concatenate(cols, axis=0)  # [NMOM, 3CAP]
+        # MXU contraction over the j axis
+        mom = mom + jax.lax.dot_general(
+            w, M, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [CAP, NMOM]
+
+    def mc(k):
+        return mom[:, k:k + 1]  # [CAP, 1]
+
+    # ---- tau (h-scaled at the end) and cij ----
+    S0 = mc(0)
+    Sx, Sy, Sz = mc(1), mc(2), mc(3)
+    knorm = K3d * h3inv
+    hi2inv = hinv * hinv
+
+    def tau(a_i, b_i, Sa, Sb, Sab):
+        return (a_i * b_i * S0 - a_i * Sb - b_i * Sa + Sab) \
+            * knorm * hi2inv
+
+    t11 = tau(xi, xi, Sx, Sx, mc(20))
+    t12 = tau(xi, yi, Sx, Sy, mc(21))
+    t13 = tau(xi, zi, Sx, Sz, mc(22))
+    t22 = tau(yi, yi, Sy, Sy, mc(23))
+    t23 = tau(yi, zi, Sy, Sz, mc(24))
+    t33 = tau(zi, zi, Sz, Sz, mc(25))
+
+    det = (t11 * t22 * t33 + 2.0 * t12 * t23 * t13
+           - t11 * t23 * t23 - t22 * t13 * t13 - t33 * t12 * t12)
+    fac = 1.0 / (det * hi * hi)
+    c11 = (t22 * t33 - t23 * t23) * fac
+    c12 = (t13 * t23 - t33 * t12) * fac
+    c13 = (t12 * t23 - t22 * t13) * fac
+    c22 = (t11 * t33 - t13 * t13) * fac
+    c23 = (t13 * t12 - t11 * t23) * fac
+    c33 = (t11 * t22 - t12 * t12) * fac
+
+    # ---- velocity gradients from the same moments ----
+    S0m = mc(4)
+    Sm = (mc(5), mc(6), mc(7))
+    xiv = (xi, yi, zi)
+
+    def dv_terms(U0, U, v_i):
+        # E_b = xi_b * (U0 - v_i*S0m) - (U_b - v_i*Sm_b)
+        return [xiv[b] * (U0 - v_i * S0m) - (U[b] - v_i * Sm[b])
+                for b in range(3)]
+
+    Ex = dv_terms(mc(8), (mc(9), mc(10), mc(11)), vxi)
+    Ey = dv_terms(mc(12), (mc(13), mc(14), mc(15)), vyi)
+    Ez = dv_terms(mc(16), (mc(17), mc(18), mc(19)), vzi)
+
+    def contract(E):
+        # dV_a = sum_j v_ji xmj termA_a = -(C F)_a with F_b = E_b
+        return (-(c11 * E[0] + c12 * E[1] + c13 * E[2]),
+                -(c12 * E[0] + c22 * E[1] + c23 * E[2]),
+                -(c13 * E[0] + c23 * E[1] + c33 * E[2]))
+
+    dVx = contract(Ex)
+    dVy = contract(Ey)
+    dVz = contract(Ez)
+
+    kxi = _icol(center, RKX)
+    norm_kx = knorm / kxi
+    divv = norm_kx * (dVx[0] + dVy[1] + dVz[2])
+    curlv = norm_kx * jnp.sqrt((dVz[1] - dVy[2]) ** 2 + (dVx[2] - dVz[0]) ** 2
+                               + (dVy[0] - dVx[1]) ** 2)
+    dV11 = norm_kx * dVx[0]
+    dV12 = norm_kx * (dVx[1] + dVy[0])
+    dV13 = norm_kx * (dVx[2] + dVz[0])
+    dV22 = norm_kx * dVy[1]
+    dV23 = norm_kx * (dVy[2] + dVz[1])
+    dV33 = norm_kx * dVz[2]
+
+    outs = [c11, c12, c13, c22, c23, c33, divv, curlv,
+            dV11, dV12, dV13, dV22, dV23, dV33,
+            jnp.zeros_like(divv), jnp.zeros_like(divv)]
+    return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
+
+
 def _av_body(center, get_run, i2, *, K3d, sinc_index, cfg: SphConfig):
     RC, RKX, RXM, RDIVV = NBASE, NBASE + 1, NBASE + 2, NBASE + 3
     RVX, RVY, RVZ = NBASE + 4, NBASE + 5, NBASE + 6
@@ -491,8 +643,9 @@ class PallasVE:
             grid, 8, 1, functools.partial(_xmass_body, **kw), interpret=ip)
         self._gradh = make_cell_pair_call(
             grid, 8, 2, functools.partial(_gradh_body, **kw), interpret=ip)
+        iad_body = _iad_divv_body_mm if cfg.mxu_moments else _iad_divv_body
         self._iad = make_cell_pair_call(
-            grid, 16, 16, functools.partial(_iad_divv_body, **kw),
+            grid, 16, 16, functools.partial(iad_body, **kw),
             interpret=ip)
         self._av = make_cell_pair_call(
             grid, 16, 1,
