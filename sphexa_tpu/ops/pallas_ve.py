@@ -124,13 +124,28 @@ def _geom(center, jrun):
     return rx, ry, rz, dist, hi, v1, mask
 
 
+# Degree-6 polynomials in v^2 for sinc(pi v/2) and (d sinc/dv)/v on
+# [0, 2]: max error ~2e-9 (below fp32 resolution), ~7 madds instead of a
+# transcendental + divide + branch per evaluation. Fitted offline with a
+# series-stabilized derivative target.
+_SINC_COEF = (0.9999999994767121, -0.4112335029385433, 0.05073384282987128,
+              -0.002980403757215835, 0.00010206937256680724,
+              -2.263662159341907e-06, 3.090834479517968e-08)
+_DSINC_OVER_V_COEF = (-0.8224670332327884, 0.2029356039981833,
+                      -0.017882974714120713, 0.0008171065849809642,
+                      -2.2900667062091163e-05, 4.308552351132641e-07,
+                      -5.184117393639658e-09)
+
+
+def _poly_even(v2, coef):
+    acc = coef[-1]
+    for c in reversed(coef[:-1]):
+        acc = acc * v2 + c
+    return acc
+
+
 def _w_sinc_tile(v, sinc_index: float):
-    pv = (jnp.pi / 2.0) * v
-    small = pv < 0.25
-    safe = jnp.where(small, 1.0, pv)
-    sinc_exact = jnp.sin(safe) / safe
-    pv2 = pv * pv
-    sinc = jnp.where(small, 1.0 - pv2 / 6.0 + pv2 * pv2 / 120.0, sinc_exact)
+    sinc = _poly_even(v * v, _SINC_COEF)
     w = sinc
     for _ in range(int(sinc_index) - 1):
         w = w * sinc
@@ -138,17 +153,9 @@ def _w_sinc_tile(v, sinc_index: float):
 
 
 def _wd_sinc_tile(v, sinc_index: float):
-    pv = (jnp.pi / 2.0) * v
-    small = pv < 0.25
-    safe = jnp.where(small, 1.0, pv)
-    sin = jnp.sin(safe)
-    cos = jnp.cos(safe)
-    sinc_exact = sin / safe
-    pv2 = pv * pv
-    sinc = jnp.where(small, 1.0 - pv2 / 6.0 + pv2 * pv2 / 120.0, sinc_exact)
-    dsinc = jnp.where(small, -pv / 3.0 + pv * pv2 / 30.0,
-                      sinc_exact * (cos / sin - 1.0 / safe))
-    dsinc = (jnp.pi / 2.0) * dsinc
+    v2 = v * v
+    sinc = _poly_even(v2, _SINC_COEF)
+    dsinc = v * _poly_even(v2, _DSINC_OVER_V_COEF)
     wnm1 = sinc
     for _ in range(int(sinc_index) - 2):
         wnm1 = wnm1 * sinc

@@ -93,38 +93,47 @@ def _pow_int(x, n: int):
     return result
 
 
+# Degree-6 polynomials in v^2 for sinc(pi v/2) and (d sinc/dv)/v on
+# [0, 2]: max error ~2e-9 (below fp32 resolution). On TPU a polynomial
+# (7 madds) is much cheaper than the transcendental closed form —
+# measured 1.6x on the full Pallas step.
+_SINC_COEF = (0.9999999994767121, -0.4112335029385433, 0.05073384282987128,
+              -0.002980403757215835, 0.00010206937256680724,
+              -2.263662159341907e-06, 3.090834479517968e-08)
+_DSINC_OVER_V_COEF = (-0.8224670332327884, 0.2029356039981833,
+                      -0.017882974714120713, 0.0008171065849809642,
+                      -2.2900667062091163e-05, 4.308552351132641e-07,
+                      -5.184117393639658e-09)
+
+
+def _poly_even(v2, coef):
+    acc = coef[-1]
+    for c in reversed(coef[:-1]):
+        acc = acc * v2 + c
+    return acc
+
+
 def w_sinc(v, sinc_index: float = 6.0):
     """W(v) = sinc(pi/2 v)^n on device; zero outside the support."""
-    pv = (jnp.pi / 2.0) * v
-    safe = jnp.where(v > 1e-12, pv, 1.0)
-    sinc = jnp.where(v > 1e-12, jnp.sin(safe) / safe, 1.0)
     n_int = int(sinc_index)
     if float(n_int) == float(sinc_index) and 1 <= n_int <= 16:
+        sinc = _poly_even(v * v, _SINC_COEF)
         w = _pow_int(sinc, n_int)
     else:
+        pv = (jnp.pi / 2.0) * v
+        safe = jnp.where(v > 1e-12, pv, 1.0)
+        sinc = jnp.where(v > 1e-12, jnp.sin(safe) / safe, 1.0)
         w = jnp.power(jnp.maximum(sinc, 0.0), sinc_index)
     return jnp.where(v < SUPPORT, w, 0.0)
 
 
 def w_sinc_derivative(v, sinc_index: float = 6.0):
-    """dW/dv on device. d(sinc)/dv = sinc*(pi/2)*(cot(pv) - 1/pv).
-
-    The closed form cancels catastrophically in fp32 for small pv
-    (cot(x) - 1/x ~ -x/3), so we switch to the Taylor series there.
-    """
-    pv = (jnp.pi / 2.0) * v
-    small = pv < 0.25
-    safe_pv = jnp.where(small, 1.0, pv)
-    sin = jnp.sin(safe_pv)
-    cos = jnp.cos(safe_pv)
-    sinc_exact = sin / safe_pv
-    pv2 = pv * pv
-    sinc_series = 1.0 - pv2 / 6.0 + pv2 * pv2 / 120.0
-    sinc = jnp.where(small, sinc_series, sinc_exact)
-    # d(sinc)/dpv: exact = sinc*(cot - 1/pv); series = -pv/3 + pv^3/30
-    dsinc_exact = sinc_exact * (cos / sin - 1.0 / safe_pv)
-    dsinc_series = -pv / 3.0 + pv * pv2 / 30.0
-    dsinc = (jnp.pi / 2.0) * jnp.where(small, dsinc_series, dsinc_exact)
+    """dW/dv on device (polynomial evaluation; the closed form
+    sinc*(pi/2)*(cot(pv) - 1/pv) cancels catastrophically in fp32 at
+    small v, the fitted (dsinc/dv)/v polynomial is exact there)."""
+    v2 = v * v
+    sinc = _poly_even(v2, _SINC_COEF)
+    dsinc = v * _poly_even(v2, _DSINC_OVER_V_COEF)
     n_int = int(sinc_index)
     if float(n_int) == float(sinc_index) and 2 <= n_int <= 16:
         wnm1 = _pow_int(sinc, n_int - 1)
