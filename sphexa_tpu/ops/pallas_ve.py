@@ -118,7 +118,7 @@ def _geom(center, jrun):
     d2 = rx * rx + ry * ry + rz * rz
     dist = jnp.sqrt(d2)
     hi = _icol(center, RH)
-    v1 = dist / hi
+    v1 = dist * (1.0 / hi)  # column reciprocal, not a per-pair divide
     mask = (jrun[RVALID:RVALID + 1, :] > 0.5) & \
         (jrun[RGID:RGID + 1, :] != _icol(center, RGID)) & (v1 < 2.0)
     return rx, ry, rz, dist, hi, v1, mask
@@ -547,10 +547,11 @@ def _momentum_body(center, get_run, *, K3d, sinc_index, cfg: SphConfig):
     for g in range(9):
         jr = get_run(g)
         rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
-        hj = jr[RH:RH + 1, :]
-        v2 = dist / hj
+        hj_inv = 1.0 / jr[RH:RH + 1, :]           # [1, 3CAP] row reciprocal
+        v2 = dist * hj_inv
         Wi = jnp.where(mask, _w_sinc_tile(v1, sinc_index) * hi3inv, 0.0)
-        Wj = jnp.where(mask, _w_sinc_tile(v2, sinc_index) / (hj * hj * hj), 0.0)
+        Wj = jnp.where(mask, _w_sinc_tile(v2, sinc_index)
+                       * (hj_inv * hj_inv * hj_inv), 0.0)
 
         termA1_i = -(c11i * rx + c12i * ry + c13i * rz) * Wi
         termA2_i = -(c12i * rx + c22i * ry + c23i * rz) * Wi
@@ -595,8 +596,8 @@ def _momentum_body(center, get_run, *, K3d, sinc_index, cfg: SphConfig):
         b_mom = jnp.where(atwood < cfg.atmin, xmj * xmj,
                           jnp.where(atwood > cfg.atmax, prod, b_ramp))
 
-        a_visc = mj / rhoi * visc
-        b_visc = mj / rhoj * visc
+        a_visc = (mj * (1.0 / rhoi)) * visc       # col reciprocal
+        b_visc = (mj / rhoj) * visc               # row-level divide
         a_visc_x = 0.5 * (a_visc * termA1_i + b_visc * termA1_j)
         a_visc_y = 0.5 * (a_visc * termA2_i + b_visc * termA2_j)
         a_visc_z = 0.5 * (a_visc * termA3_i + b_visc * termA3_j)
