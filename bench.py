@@ -3,13 +3,14 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: particle-updates per second for the full VE step (layout build
-+ h/nc iteration + 5 Pallas pair stages + dt + integration) at Sedov
+Metric: particle-updates per second for the full VE step at Sedov
 side^3 particles. Baseline target: 50e6 particle-updates/s on one TPU
 chip (BASELINE.md north star).
 
-On TPU this uses the Pallas cell-major fast path; on CPU (no TPU
-available) it falls back to the XLA gather path at a small size.
+On TPU this uses the cell-major-resident Pallas engine (state lives in
+the slot frame; layout rebins happen in-graph on a drift margin); on
+CPU (no TPU available) it falls back to the XLA gather path at a small
+size.
 """
 
 from __future__ import annotations
@@ -30,7 +31,8 @@ def main():
     small = os.environ.get("SPHEXA_BENCH_SMALL")
     on_tpu = jax.devices()[0].platform == "tpu"
     side = (30 if small else 100) if on_tpu else 20
-    warmup = 2
+    side = int(os.environ.get("SPHEXA_BENCH_SIDE", side))
+    warmup = 3
     iters = 10 if on_tpu else 3
 
     cfg = SphConfig()
@@ -39,10 +41,23 @@ def main():
 
     if on_tpu:
         from sphexa_tpu.ops.cellmajor import choose_cm_grid
-        from sphexa_tpu.propagator.ve_pallas import make_ve_step_pallas
+        from sphexa_tpu.propagator.ve_pallas import ResidentVE
 
         grid = choose_cm_grid(box, float(state.p.h[0]) * 1.2, n, cap=128)
-        step = make_ve_step_pallas(box, grid, cfg)
+        eng = ResidentVE(box, grid, cfg)
+        rst = eng.bind(state)
+        assert int(rst.overflow) == 0, "cell CAP overflow at bind"
+
+        for _ in range(warmup):
+            rst, diag = eng.step(rst)
+        jax.block_until_ready(rst.x)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            rst, diag = eng.step(rst)
+        jax.block_until_ready(rst.x)
+        dt_wall = (time.perf_counter() - t0) / iters
+        assert int(diag.overflow) == 0, "cell CAP overflow during run"
     else:
         from sphexa_tpu.neighbors import CellGrid, choose_level
         from sphexa_tpu.propagator.ve import make_ve_step
@@ -50,15 +65,15 @@ def main():
         grid = CellGrid(choose_level(box, float(state.p.h[0]) * 1.2))
         step = make_ve_step(box, grid, cfg)
 
-    for _ in range(warmup):
-        state, diag = step(state)
-    jax.block_until_ready(state.p.x)
+        for _ in range(warmup):
+            state, diag = step(state)
+        jax.block_until_ready(state.p.x)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, diag = step(state)
-    jax.block_until_ready(state.p.x)
-    dt_wall = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, diag = step(state)
+        jax.block_until_ready(state.p.x)
+        dt_wall = (time.perf_counter() - t0) / iters
 
     pups = n / dt_wall
     print(json.dumps({

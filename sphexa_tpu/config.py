@@ -68,12 +68,13 @@ class SphConfig:
     gravity_solver: str = "direct"
     fmm_level: int = 4
 
-    # Pallas path: factor IAD/divv pair reductions into j-side moment
-    # matmuls on the MXU. Experimental (off by default): measured 1.24x
-    # on the IAD kernel, but the fp32 raw-moment assembly of tau loses
-    # ~2 digits to cancellation (off-diagonals worst). Needs the hybrid
-    # direct-tau + moment-dV split before it can be the default.
-    mxu_moments: bool = False
+    # Pallas path: factor the IAD velocity-gradient and AV graddivv pair
+    # reductions into cell-centered j-side moment matmuls on the MXU
+    # (single pass per stage). The cancellation-sensitive tau matrix
+    # stays in direct h-scaled VPU form — the hybrid split that fixes
+    # round 1's fp32 raw-moment cancellation. False = two-pass direct
+    # VPU bodies (reference semantics, used for cross-checks).
+    mxu_moments: bool = True
 
     # neighbor-engine shape parameters (static!)
     cell_cap: int = 64        # max particles per search cell

@@ -86,6 +86,15 @@ def choose_cm_grid(box: Box, h_max: float, n_global: int,
     return CMGrid(n=min(n_corr, max(n_occ, 1)), cap=cap)
 
 
+def interior_mask(grid: CMGrid) -> jnp.ndarray:
+    """Static bool [n_slots]: slot belongs to an interior (non-ghost) cell."""
+    cx, cy, cz = _cell_coords_all(grid)
+    n = grid.n
+    cell_int = ((cx >= 1) & (cx <= n) & (cy >= 1) & (cy <= n)
+                & (cz >= 1) & (cz <= n))
+    return jnp.asarray(np.repeat(cell_int, grid.cap))
+
+
 def _cell_coords_all(grid: CMGrid):
     """Integer coords (padded frame) of every padded cell, as numpy consts."""
     npd = grid.np_

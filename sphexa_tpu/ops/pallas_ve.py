@@ -2,16 +2,33 @@
 
 Physics identical to sphexa_tpu/sph/hydro_ve.py (reference:
 sph/include/sph/hydro_ve/*_kern.hpp); execution model completely
-different: one Pallas program per interior cell. The 27 neighbor-cell
-blocks [F, CAP] stream through the Pallas pipeline (BlockSpec index maps
-into the field-major slot matrix) and are consumed as nine [CAP, 3*CAP]
-z-run tiles on the VPU — dense masked arithmetic, no gathers, no tree
-walk, no PBC folds (ghost cells carry pre-shifted periodic images).
-Self-interaction is excluded by particle-gid compare.
+different — and, since round 2, column-structured:
 
-This is the TPU analog of the reference's persistent-warp GPU kernels
-(xmass_gpu.cu etc.), with the divergent tree traversal replaced by the
-regular 27-block stream. CAP must be a multiple of 128 (lane tiling).
+  - One Pallas program per interior (x, y) *column* of cells; a
+    fori_loop walks the n interior z-cells. The 9 neighbor z-columns
+    stream as single contiguous [F, npd*CAP] blocks (z-columns are
+    contiguous in the slot array), replacing round-1's 27 tiny 4KB
+    block DMAs per cell with 9 large DMAs per column — the DMA-latency
+    analog of the reference's warp-persistent kernels (xmass_gpu.cu).
+  - The per-cell 27-neighborhood is consumed as nine [CAP, 3*CAP]
+    z-run windows sliced out of the resident columns at 128-aligned
+    dynamic offsets: dense masked arithmetic, no gathers, no tree walk,
+    no PBC folds (ghost cells carry pre-shifted periodic images).
+  - Geometry is sqrt-free where possible: the sinc^n kernel is a
+    polynomial in v^2 = d^2/h^2, so stages that never need the actual
+    distance (xmass, gradh, IAD) skip the sqrt entirely; stages that
+    need 1/dist (AV, momentum) use one rsqrt.
+  - The h/neighbor-count controller iteration is fused into the xmass
+    kernel (candidates are already in VMEM; the mask only depends on
+    the i-side h), removing round-1's three standalone nc passes.
+  - With SphConfig.mxu_moments (default), the IAD velocity-gradient
+    and AV graddivv pair reductions are factored into j-side moment
+    matmuls on the MXU (single pass); the cancellation-sensitive tau
+    matrix stays in direct h-scaled VPU form (the fp32-stable hybrid).
+
+Self-interaction is excluded by particle-gid compare; invalid slots
+carry FILL_POS positions (distance overflow masks them) and gid -1.
+CAP must be a multiple of 128 (lane tiling).
 """
 
 from __future__ import annotations
@@ -21,80 +38,84 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.ops.cellmajor import CMGrid, CMLayout, positions_cm, to_cm
-from sphexa_tpu.sph.kernels import kernel_3d_k
+from sphexa_tpu.sfc.box import Box
+from sphexa_tpu.sph.kernels import (_DSINC_OVER_V_COEF, _SINC_COEF,
+                                    _poly_even, _pow_int, kernel_3d_k)
 
-# base row indices in every stage's J matrix
-RX, RY, RZ, RH, RVALID, RGID = 0, 1, 2, 3, 4, 5
-NBASE = 6
+# base row indices shared by every stage's J matrix
+RX, RY, RZ, RH, RGID = 0, 1, 2, 3, 4
+NBASE = 5
 
+FILL_POS = 1e17   # invalid-slot position fill: d2 overflows the support
 _NEG = -1e30
 
 
-def _offsets(grid: CMGrid):
-    npd = grid.np_
-    return [((dx * npd) + dy) * npd + dz
-            for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+# --------------------------------------------------------------------------
+# column-grid pallas_call builder
+# --------------------------------------------------------------------------
 
-
-def _center_pid(grid: CMGrid, c):
-    n = grid.n
-    npd = grid.np_
-    cz = jax.lax.rem(c, n)
-    cy = jax.lax.rem(jax.lax.div(c, n), n)
-    cx = jax.lax.div(c, n * n)
-    return ((cx + 1) * npd + (cy + 1)) * npd + (cz + 1)
-
-
-def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
-                        fi2: int = 0, interpret: bool = False):
+def make_column_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
+                          fi2: int = 0, interpret: bool = False):
     """Build a pallas_call running `body(center, get_run[, i2]) -> [fo, CAP]`
-    over all interior cells. get_run(g) returns the g-th z-run tile
-    [fj, 3*CAP] (g in 0..8); center is the cell's own [fj, CAP] block."""
+    for every interior cell, one program per interior (x, y) column.
+    get_run(g) returns the g-th z-run window [fj, 3*CAP] (g in 0..8);
+    center is the cell's own [fj, CAP] block."""
     CAP = grid.cap
-    offs = _offsets(grid)
+    npd = grid.np_
+    n = grid.n
+    COLW = npd * CAP
 
-    jspecs = [
-        pl.BlockSpec((fj, CAP),
-                     functools.partial(
-                         lambda c, off: (0, _center_pid(grid, c) + off),
-                         off=off),
+    def jmap(c, dx, dy):
+        return (0, (c // n + 1 + dx) * npd + (c % n + 1 + dy))
+
+    in_specs = [
+        pl.BlockSpec((fj, COLW), functools.partial(jmap, dx=dx, dy=dy),
                      memory_space=pltpu.VMEM)
-        for off in offs
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
     ]
-    in_specs = list(jspecs)
+    own = functools.partial(jmap, dx=0, dy=0)
     if fi2:
-        in_specs.append(pl.BlockSpec(
-            (fi2, CAP), lambda c: (0, _center_pid(grid, c)),
-            memory_space=pltpu.VMEM))
-    out_specs = pl.BlockSpec((fo, CAP), lambda c: (0, _center_pid(grid, c)),
-                             memory_space=pltpu.VMEM)
+        in_specs.append(pl.BlockSpec((fi2, COLW), own,
+                                     memory_space=pltpu.VMEM))
+    out_specs = pl.BlockSpec((fo, COLW), own, memory_space=pltpu.VMEM)
 
     def kernel(*refs):
-        jrefs = refs[:27]
+        jcols = refs[:9]
+        i2ref = refs[9] if fi2 else None
         oref = refs[-1]
+        zero = jnp.zeros((fo, CAP), jnp.float32)
+        oref[:, 0:CAP] = zero                     # z-ghost lanes of the
+        oref[:, (n + 1) * CAP:] = zero            # output column
 
-        def get_run(g):
-            return jnp.concatenate(
-                [jrefs[3 * g][...], jrefs[3 * g + 1][...],
-                 jrefs[3 * g + 2][...]], axis=1)
+        def process(s, _):
+            def at(k):  # lane offset of cell s+k, alignment-hinted per site
+                return pl.multiple_of((s + k) * CAP, CAP)
 
-        center = jrefs[13][...]
-        if fi2:
-            oref[...] = body(center, get_run, refs[27][...])
-        else:
-            oref[...] = body(center, get_run)
+            center = jcols[4][:, pl.ds(at(1), CAP)]
+
+            def get_run(g):
+                return jcols[g][:, pl.ds(at(0), 3 * CAP)]
+
+            if fi2:
+                out = body(center, get_run, i2ref[:, pl.ds(at(1), CAP)])
+            else:
+                out = body(center, get_run)
+            oref[:, pl.ds(at(1), CAP)] = out
+            return 0
+
+        jax.lax.fori_loop(0, n, process, 0)
 
     def call(J, I2=None):
-        n_cells = grid.n ** 3
-        args = [J] * 27 + ([I2] if fi2 else [])
+        args = [J] * 9 + ([I2] if fi2 else [])
         return pl.pallas_call(
             kernel,
-            grid=(n_cells,),
+            grid=(n * n,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=jax.ShapeDtypeStruct((fo, grid.n_slots), jnp.float32),
@@ -104,118 +125,239 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
     return call
 
 
-def _icol(center, row):
+# --------------------------------------------------------------------------
+# ghost-refresh kernel: re-derive every ghost slot from its interior source
+# (the single-chip analog of the reference's per-stage exchangeHalos,
+#  ve_hydro.hpp:132-205) — one memory-speed pass over [F, n_slots]
+# --------------------------------------------------------------------------
+
+def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
+                       xyz_rows=None, interpret: bool = False):
+    """Refresh all ghost columns and z-ghost lanes of a [nrows, n_slots]
+    row stack. xyz_rows=(ix,iy,iz) marks coordinate rows that receive
+    the +-L periodic shifts (or the FILL_POS invalidation on open
+    boundaries)."""
+    CAP = grid.cap
+    npd = grid.np_
+    n = grid.n
+    COLW = npd * CAP
+    px_per, py_per, pz_per = box.periodic
+    lx, ly, lz = float(box.lx), float(box.ly), float(box.lz)
+
+    def _zlane_consts():
+        # built in-kernel (pallas kernels cannot capture array constants)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, COLW), 1)
+        lo = lane < CAP
+        hi = lane >= (n + 1) * CAP
+        zshift = jnp.where(lo, -lz, jnp.where(hi, lz, 0.0)).astype(
+            jnp.float32)
+        return zshift, lo | hi
+
+    def _fill_const():
+        row = jax.lax.broadcasted_iota(jnp.int32, (nrows, COLW), 0)
+        posmask = jnp.zeros((nrows, COLW), bool)
+        for r in xyz_rows:
+            posmask = posmask | (row == r)
+        return jnp.where(posmask, FILL_POS, 0.0).astype(jnp.float32)
+
+    def srcmap(c):
+        px = c // npd
+        py = c % npd
+        wpx = jnp.where(px == 0, n, jnp.where(px == npd - 1, 1, px))
+        wpy = jnp.where(py == 0, n, jnp.where(py == npd - 1, 1, py))
+        return (0, wpx * npd + wpy)
+
+    def kernel(src_ref, oref):
+        c = pl.program_id(0)
+        px = c // npd
+        py = c % npd
+        v = src_ref[:, :]
+        out = jnp.concatenate(
+            [v[:, n * CAP:(n + 1) * CAP],       # low z ghost <- cell n
+             v[:, CAP:(n + 1) * CAP],           # interior cells unchanged
+             v[:, CAP:2 * CAP]], axis=1)        # high z ghost <- cell 1
+
+        if xyz_rows is not None:
+            ix, iy, iz = xyz_rows
+            zshift, zghost = _zlane_consts()
+            if px_per:
+                sx = jnp.where(px == 0, -lx,
+                               jnp.where(px == npd - 1, lx, 0.0))
+                out = out.at[ix:ix + 1, :].add(jnp.float32(sx))
+            if py_per:
+                sy = jnp.where(py == 0, -ly,
+                               jnp.where(py == npd - 1, ly, 0.0))
+                out = out.at[iy:iy + 1, :].add(jnp.float32(sy))
+            if pz_per:
+                out = out.at[iz:iz + 1, :].add(zshift)
+            # open/fixed boundaries: those ghosts hold no images
+            if not (px_per and py_per):
+                bad = jnp.zeros((), bool)
+                if not px_per:
+                    bad = bad | (px == 0) | (px == npd - 1)
+                if not py_per:
+                    bad = bad | (py == 0) | (py == npd - 1)
+                out = jnp.where(bad, _fill_const(), out)
+            if not pz_per:
+                out = jnp.where(zghost, _fill_const(), out)
+        oref[:, :] = out
+
+    def call(J):
+        return pl.pallas_call(
+            kernel,
+            grid=(npd * npd,),
+            in_specs=[pl.BlockSpec((nrows, COLW), srcmap,
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((nrows, COLW), lambda c: (0, c),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nrows, grid.n_slots),
+                                           jnp.float32),
+            interpret=interpret,
+        )(J)
+
+    return call
+
+
+# --------------------------------------------------------------------------
+# in-kernel helpers
+# --------------------------------------------------------------------------
+
+def _col(center, row):
     """i-side values as a [CAP, 1] column."""
     return jnp.transpose(center[row:row + 1, :])
 
 
-def _geom(center, jrun):
-    """Per-run prelude: displacements, distance, kernel argument, mask."""
-    xi, yi, zi = (_icol(center, r) for r in (RX, RY, RZ))
-    rx = xi - jrun[RX:RX + 1, :]
-    ry = yi - jrun[RY:RY + 1, :]
-    rz = zi - jrun[RZ:RZ + 1, :]
-    d2 = rx * rx + ry * ry + rz * rz
-    dist = jnp.sqrt(d2)
-    hi = _icol(center, RH)
-    v1 = dist * (1.0 / hi)  # column reciprocal, not a per-pair divide
-    mask = (jrun[RVALID:RVALID + 1, :] > 0.5) & \
-        (jrun[RGID:RGID + 1, :] != _icol(center, RGID)) & (v1 < 2.0)
-    return rx, ry, rz, dist, hi, v1, mask
-
-
-# Degree-6 polynomials in v^2 for sinc(pi v/2) and (d sinc/dv)/v on
-# [0, 2]: max error ~2e-9 (below fp32 resolution), ~7 madds instead of a
-# transcendental + divide + branch per evaluation. Fitted offline with a
-# series-stabilized derivative target.
-_SINC_COEF = (0.9999999994767121, -0.4112335029385433, 0.05073384282987128,
-              -0.002980403757215835, 0.00010206937256680724,
-              -2.263662159341907e-06, 3.090834479517968e-08)
-_DSINC_OVER_V_COEF = (-0.8224670332327884, 0.2029356039981833,
-                      -0.017882974714120713, 0.0008171065849809642,
-                      -2.2900667062091163e-05, 4.308552351132641e-07,
-                      -5.184117393639658e-09)
-
-
-def _poly_even(v2, coef):
-    acc = coef[-1]
-    for c in reversed(coef[:-1]):
-        acc = acc * v2 + c
-    return acc
-
-
-def _w_sinc_tile(v, sinc_index: float):
-    sinc = _poly_even(v * v, _SINC_COEF)
-    w = sinc
-    for _ in range(int(sinc_index) - 1):
-        w = w * sinc
-    return jnp.where(v < 2.0, w, 0.0)
-
-
-def _wd_sinc_tile(v, sinc_index: float):
-    v2 = v * v
+def _w_v2(v2, n_w: int):
+    """W = sinc(pi v/2)^n as a polynomial in v^2; zero outside support."""
     sinc = _poly_even(v2, _SINC_COEF)
-    dsinc = v * _poly_even(v2, _DSINC_OVER_V_COEF)
-    wnm1 = sinc
-    for _ in range(int(sinc_index) - 2):
-        wnm1 = wnm1 * sinc
-    return jnp.where(v < 2.0, sinc_index * wnm1 * dsinc, 0.0)
+    return jnp.where(v2 < 4.0, _pow_int(sinc, n_w), 0.0)
 
 
 def _msum(val, mask):
     return jnp.sum(jnp.where(mask, val, 0.0), axis=1, keepdims=True)
 
 
+def _geo(center, jr):
+    """Displacements and squared distance (sqrt-free prelude)."""
+    rx = _col(center, RX) - jr[RX:RX + 1, :]
+    ry = _col(center, RY) - jr[RY:RY + 1, :]
+    rz = _col(center, RZ) - jr[RZ:RZ + 1, :]
+    return rx, ry, rz, rx * rx + ry * ry + rz * rz
+
+
+def _pair_mask(center, jr, d2, hi_inv2):
+    v2 = d2 * hi_inv2
+    mask = (jr[RGID:RGID + 1, :] != _col(center, RGID)) & (v2 < 4.0)
+    return v2, mask
+
+
+def _cell_means(center, rows):
+    """Mean over valid slots of the center cell for each row index —
+    the local expansion origin for the MXU moment factorization."""
+    vrow = center[RGID:RGID + 1, :] >= 0.0
+    nv = jnp.maximum(jnp.sum(vrow.astype(jnp.float32), axis=1,
+                             keepdims=True), 1.0)
+    return [jnp.sum(jnp.where(vrow, center[r:r + 1, :], 0.0), axis=1,
+                    keepdims=True) / nv
+            for r in rows]
+
+
 # --------------------------------------------------------------------------
-# stage bodies (each loops over the nine z-run tiles, accumulating)
+# stage bodies (each loops over the nine z-run windows, accumulating)
 # --------------------------------------------------------------------------
 
-def _nc_body(center, get_run):
-    nc = 0.0
-    for g in range(9):
-        *_, mask = _geom(center, get_run(g))
-        nc = nc + jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True)
-    return jnp.transpose(nc)
-
-
-def _xmass_body(center, get_run, *, K3d, sinc_index):
+def _xh_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
+    """Fused neighbor-count / h-controller iteration / xmass stage.
+    h adaptation matches the reference coupled driver
+    (sph/include/sph/find_neighbors.hpp:48-56 + kernels.hpp:27-32): the
+    mask only depends on the i-side h, so iterating in-kernel over the
+    VMEM-resident candidates is exact and costs no extra HBM traffic.
+    Outputs [xm, h, nc]."""
     RM = NBASE
+    hi = _col(center, RH)
+    gid_i = _col(center, RGID)
+    xi, yi, zi = (_col(center, r) for r in (RX, RY, RZ))
+    gidr = lambda jr: jr[RGID:RGID + 1, :]
+
+    def count(hi_inv2):
+        nc = 0.0
+        for g in range(9):
+            jr = get_run(g)
+            rx = xi - jr[RX:RX + 1, :]
+            ry = yi - jr[RY:RY + 1, :]
+            rz = zi - jr[RZ:RZ + 1, :]
+            d2 = rx * rx + ry * ry + rz * rz
+            mask = (gidr(jr) != gid_i) & (d2 * hi_inv2 < 4.0)
+            nc = nc + jnp.sum(mask.astype(jnp.float32), axis=1,
+                              keepdims=True)
+        return nc
+
+    hinv = 1.0 / hi
+    nc = count(hinv * hinv)
+    ngmin = float(cfg.ng0 // 4)
+    for it in range(cfg.h_iter):
+        nc_sph = nc + 1.0
+        need = (nc_sph < ngmin) | (nc > float(cfg.ngmax))
+        h_new = hi * 0.5 * jnp.power(
+            1.0 + 1023.0 * float(cfg.ng0) / jnp.maximum(nc_sph, 1.0), 0.1)
+        hi = jnp.where(need, h_new, hi)
+        hinv = 1.0 / hi
+        if it < cfg.h_iter - 1:
+            nc = count(hinv * hinv)
+
+    # final pass: count + xmass accumulation with the converged h
+    hi_inv2 = hinv * hinv
+    nc = 0.0
     acc = 0.0
     for g in range(9):
         jr = get_run(g)
-        _, _, _, _, hi, v1, mask = _geom(center, jr)
-        w = _w_sinc_tile(v1, sinc_index)
+        rx = xi - jr[RX:RX + 1, :]
+        ry = yi - jr[RY:RY + 1, :]
+        rz = zi - jr[RZ:RZ + 1, :]
+        d2 = rx * rx + ry * ry + rz * rz
+        v2 = d2 * hi_inv2
+        mask = (gidr(jr) != gid_i) & (v2 < 4.0)
+        w = _w_v2(v2, n_w)
         acc = acc + _msum(w * jr[RM:RM + 1, :], mask)
-    mi = _icol(center, RM)
-    hi = _icol(center, RH)
+        nc = nc + jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True)
+
+    mi = _col(center, RM)
     xm = mi * (hi * hi * hi) / (K3d * (mi + acc))
-    return jnp.transpose(xm)
+    return jnp.concatenate(
+        [jnp.transpose(xm), jnp.transpose(hi), jnp.transpose(nc)], axis=0)
 
 
-def _gradh_body(center, get_run, *, K3d, sinc_index):
+def _gradh_body(center, get_run, *, K3d, n_w):
+    """VE normalization kx + grad-h (ve_def_gradh_kern.hpp:44), sqrt-free:
+    v*dW/dv = n sinc^{n-1} v^2 P_d(v^2) needs no distance."""
     RM, RXM = NBASE, NBASE + 1
-    kx_a = 0.0
-    whomega_a = 0.0
-    wrho0_a = 0.0
+    hi = _col(center, RH)
+    hinv = 1.0 / hi
+    hi_inv2 = hinv * hinv
+    kx_a = whomega_a = wrho0_a = 0.0
     for g in range(9):
         jr = get_run(g)
-        _, _, _, _, hi, v1, mask = _geom(center, jr)
-        w = _w_sinc_tile(v1, sinc_index)
-        dw = _wd_sinc_tile(v1, sinc_index)
-        dterh = -(3.0 * w + v1 * dw)
+        _, _, _, d2 = _geo(center, jr)
+        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        sinc = _poly_even(v2, _SINC_COEF)
+        wnm1 = _pow_int(sinc, n_w - 1)
+        inside = v2 < 4.0
+        w = jnp.where(inside, wnm1 * sinc, 0.0)
+        vdw = jnp.where(inside,
+                        n_w * wnm1 * (v2 * _poly_even(v2, _DSINC_OVER_V_COEF)),
+                        0.0)
+        dterh = -(3.0 * w + vdw)
         kx_a = kx_a + _msum(w * jr[RXM:RXM + 1, :], mask)
         whomega_a = whomega_a + _msum(dterh * jr[RXM:RXM + 1, :], mask)
         wrho0_a = wrho0_a + _msum(dterh * jr[RM:RM + 1, :], mask)
 
-    mi = _icol(center, RM)
-    xmi = _icol(center, RXM)
-    hi = _icol(center, RH)
+    mi = _col(center, RM)
+    xmi = _col(center, RXM)
     kx = xmi + kx_a
     whomega = -3.0 * xmi + whomega_a
     wrho0 = -3.0 * mi + wrho0_a
 
-    hinv = 1.0 / hi
-    h3inv = hinv * hinv * hinv
+    h3inv = hinv * hi_inv2
     kx = kx * K3d * h3inv
     whomega = whomega * K3d * h3inv * hinv
     wrho0 = wrho0 * K3d * h3inv * hinv
@@ -226,18 +368,49 @@ def _gradh_body(center, get_run, *, K3d, sinc_index):
     return jnp.concatenate([jnp.transpose(kx), jnp.transpose(gradh)], axis=0)
 
 
-def _iad_divv_body(center, get_run, *, K3d, sinc_index):
-    RKX, RXM, RVX, RVY, RVZ = NBASE, NBASE + 1, NBASE + 2, NBASE + 3, NBASE + 4
-    hi = _icol(center, RH)
-    hinv = 1.0 / hi
-    h3inv = hinv * hinv * hinv
+def _iad_tail(t11, t12, t13, t22, t23, t33, hi):
+    det = (t11 * t22 * t33 + 2.0 * t12 * t23 * t13
+           - t11 * t23 * t23 - t22 * t13 * t13 - t33 * t12 * t12)
+    fac = 1.0 / (det * hi * hi)
+    c11 = (t22 * t33 - t23 * t23) * fac
+    c12 = (t13 * t23 - t33 * t12) * fac
+    c13 = (t12 * t23 - t22 * t13) * fac
+    c22 = (t11 * t33 - t13 * t13) * fac
+    c23 = (t13 * t12 - t11 * t23) * fac
+    c33 = (t11 * t22 - t12 * t12) * fac
+    return c11, c12, c13, c22, c23, c33
 
-    # pass 1: IAD tau matrix in h-scaled coordinates (fp32-stable)
+
+def _iad_outputs(cij, dVx, dVy, dVz, norm_kx):
+    c11, c12, c13, c22, c23, c33 = cij
+    divv = norm_kx * (dVx[0] + dVy[1] + dVz[2])
+    curlv = norm_kx * jnp.sqrt((dVz[1] - dVy[2]) ** 2
+                               + (dVx[2] - dVz[0]) ** 2
+                               + (dVy[0] - dVx[1]) ** 2)
+    outs = [c11, c12, c13, c22, c23, c33, divv, curlv,
+            norm_kx * dVx[0], norm_kx * (dVx[1] + dVy[0]),
+            norm_kx * (dVx[2] + dVz[0]), norm_kx * dVy[1],
+            norm_kx * (dVy[2] + dVz[1]), norm_kx * dVz[2],
+            jnp.zeros_like(divv), jnp.zeros_like(divv)]
+    return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
+
+
+def _iad_direct_body(center, get_run, *, K3d, n_w):
+    """Two-pass direct IAD + divv/curlv (iad_kern.hpp + divv_curlv_kern.hpp),
+    all on the VPU; h-scaled tau keeps the 3x3 inverse fp32-stable."""
+    RKX, RXM, RVX, RVY, RVZ = (NBASE, NBASE + 1, NBASE + 2, NBASE + 3,
+                               NBASE + 4)
+    hi = _col(center, RH)
+    hinv = 1.0 / hi
+    hi_inv2 = hinv * hinv
+    h3inv = hinv * hi_inv2
+
     t11 = t12 = t13 = t22 = t23 = t33 = 0.0
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
-        w = _w_sinc_tile(v1, sinc_index)
+        rx, ry, rz, d2 = _geo(center, jr)
+        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        w = _w_v2(v2, n_w)
         volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
         wn = jnp.where(mask, volj * w, 0.0) * (K3d * h3inv)
         sx = rx * hinv
@@ -250,260 +423,133 @@ def _iad_divv_body(center, get_run, *, K3d, sinc_index):
         t23 = t23 + jnp.sum(sy * sz * wn, axis=1, keepdims=True)
         t33 = t33 + jnp.sum(sz * sz * wn, axis=1, keepdims=True)
 
-    det = (t11 * t22 * t33 + 2.0 * t12 * t23 * t13
-           - t11 * t23 * t23 - t22 * t13 * t13 - t33 * t12 * t12)
-    fac = 1.0 / (det * hi * hi)
-    c11 = (t22 * t33 - t23 * t23) * fac
-    c12 = (t13 * t23 - t33 * t12) * fac
-    c13 = (t12 * t23 - t22 * t13) * fac
-    c22 = (t11 * t33 - t13 * t13) * fac
-    c23 = (t13 * t12 - t11 * t23) * fac
-    c33 = (t11 * t22 - t12 * t12) * fac
+    cij = _iad_tail(t11, t12, t13, t22, t23, t33, hi)
+    c11, c12, c13, c22, c23, c33 = cij
 
-    # pass 2: velocity gradients with the i-side cij
-    dVx1 = dVx2 = dVx3 = dVy1 = dVy2 = dVy3 = dVz1 = dVz2 = dVz3 = 0.0
-    vxi = _icol(center, RVX)
-    vyi = _icol(center, RVY)
-    vzi = _icol(center, RVZ)
+    vxi = _col(center, RVX)
+    vyi = _col(center, RVY)
+    vzi = _col(center, RVZ)
+    dVx = [0.0, 0.0, 0.0]
+    dVy = [0.0, 0.0, 0.0]
+    dVz = [0.0, 0.0, 0.0]
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
-        w = _w_sinc_tile(v1, sinc_index)
-        termA1 = -(c11 * rx + c12 * ry + c13 * rz) * w
-        termA2 = -(c12 * rx + c22 * ry + c23 * rz) * w
-        termA3 = -(c13 * rx + c23 * ry + c33 * rz) * w
+        rx, ry, rz, d2 = _geo(center, jr)
+        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        w = _w_v2(v2, n_w)
+        termA = (-(c11 * rx + c12 * ry + c13 * rz) * w,
+                 -(c12 * rx + c22 * ry + c23 * rz) * w,
+                 -(c13 * rx + c23 * ry + c33 * rz) * w)
         vx_ji = jr[RVX:RVX + 1, :] - vxi
         vy_ji = jr[RVY:RVY + 1, :] - vyi
         vz_ji = jr[RVZ:RVZ + 1, :] - vzi
         xmj = jr[RXM:RXM + 1, :]
-        dVx1 = dVx1 + _msum(vx_ji * xmj * termA1, mask)
-        dVx2 = dVx2 + _msum(vx_ji * xmj * termA2, mask)
-        dVx3 = dVx3 + _msum(vx_ji * xmj * termA3, mask)
-        dVy1 = dVy1 + _msum(vy_ji * xmj * termA1, mask)
-        dVy2 = dVy2 + _msum(vy_ji * xmj * termA2, mask)
-        dVy3 = dVy3 + _msum(vy_ji * xmj * termA3, mask)
-        dVz1 = dVz1 + _msum(vz_ji * xmj * termA1, mask)
-        dVz2 = dVz2 + _msum(vz_ji * xmj * termA2, mask)
-        dVz3 = dVz3 + _msum(vz_ji * xmj * termA3, mask)
+        for b in range(3):
+            dVx[b] = dVx[b] + _msum(vx_ji * xmj * termA[b], mask)
+            dVy[b] = dVy[b] + _msum(vy_ji * xmj * termA[b], mask)
+            dVz[b] = dVz[b] + _msum(vz_ji * xmj * termA[b], mask)
 
-    kxi = _icol(center, RKX)
-    norm_kx = K3d * h3inv / kxi
-    divv = norm_kx * (dVx1 + dVy2 + dVz3)
-    curlv = norm_kx * jnp.sqrt((dVz2 - dVy3) ** 2 + (dVx3 - dVz1) ** 2
-                               + (dVy1 - dVx2) ** 2)
-    dV11 = norm_kx * dVx1
-    dV12 = norm_kx * (dVx2 + dVy1)
-    dV13 = norm_kx * (dVx3 + dVz1)
-    dV22 = norm_kx * dVy2
-    dV23 = norm_kx * (dVy3 + dVz2)
-    dV33 = norm_kx * dVz3
-
-    outs = [c11, c12, c13, c22, c23, c33, divv, curlv,
-            dV11, dV12, dV13, dV22, dV23, dV33,
-            jnp.zeros_like(divv), jnp.zeros_like(divv)]
-    return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
+    norm_kx = K3d * h3inv / _col(center, RKX)
+    return _iad_outputs(cij, dVx, dVy, dVz, norm_kx)
 
 
-def _iad_divv_body_mm(center, get_run, *, K3d, sinc_index):
-    """Moment-matmul formulation of IAD + divv/curlv: the pair reductions
-    are factored into j-side moments so a single [CAP, 3*CAP] x
-    [3*CAP, 32] MXU contraction per z-run replaces both VPU reduction
-    passes. Coordinates are centered on the i-cell so the raw-moment
-    expansion stays fp32-accurate (spread ~ a few h, not box-scale).
-
-    tau_ab = xi_a xi_b S0 - xi_a S_b - xi_b S_a + S_ab
-    dV
-      dVc_a = -sum_b C_ab [ xi_b (U0_c - vc_i S0') - (U_b_c - vc_i S'_b) ]
-    with S* over weight w, columns {volj, volj xj}, {xmj, xmj xj},
-    {xmj vcj, xmj vcj xj}.
-    """
-    RKX, RXM, RVX, RVY, RVZ = NBASE, NBASE + 1, NBASE + 2, NBASE + 3, NBASE + 4
-    hi = _icol(center, RH)
+def _iad_hybrid_body(center, get_run, *, K3d, n_w):
+    """Single-pass hybrid IAD: the cancellation-sensitive tau matrix is
+    accumulated directly in h-scaled coordinates on the VPU, while the
+    first-order velocity-gradient reductions are factored into 16
+    cell-centered j-side moments and contracted on the MXU
+    ([CAP, 3*CAP] x [3*CAP, 16] per z-run). Centering positions and
+    velocities on the cell mean keeps the raw moments fp32-accurate
+    (spread ~ a few h instead of box scale)."""
+    RKX, RXM, RVX, RVY, RVZ = (NBASE, NBASE + 1, NBASE + 2, NBASE + 3,
+                               NBASE + 4)
+    hi = _col(center, RH)
     hinv = 1.0 / hi
-    h3inv = hinv * hinv * hinv
+    hi_inv2 = hinv * hinv
+    h3inv = hinv * hi_inv2
 
-    # center coordinates on this cell's mean valid position (any common
-    # origin with O(cell) spread works; invalid slots are excluded so
-    # their fill values cannot drag the origin away)
-    vrow = center[RVALID:RVALID + 1, :]
-    nv = jnp.maximum(jnp.sum(vrow, axis=1, keepdims=True), 1.0)
-    ox = jnp.sum(center[RX:RX + 1, :] * vrow, axis=1, keepdims=True) / nv
-    oy = jnp.sum(center[RY:RY + 1, :] * vrow, axis=1, keepdims=True) / nv
-    oz = jnp.sum(center[RZ:RZ + 1, :] * vrow, axis=1, keepdims=True) / nv
-    xi = _icol(center, RX) - jnp.transpose(ox)
-    yi = _icol(center, RY) - jnp.transpose(oy)
-    zi = _icol(center, RZ) - jnp.transpose(oz)
-    vxi = _icol(center, RVX)
-    vyi = _icol(center, RVY)
-    vzi = _icol(center, RVZ)
-    gid_i = _icol(center, RGID)
+    ox, oy, oz, ovx, ovy, ovz = _cell_means(
+        center, (RX, RY, RZ, RVX, RVY, RVZ))
+    oxT, oyT, ozT = (jnp.transpose(o) for o in (ox, oy, oz))
+    xib = (_col(center, RX) - oxT, _col(center, RY) - oyT,
+           _col(center, RZ) - ozT)
+    vic = (_col(center, RVX) - jnp.transpose(ovx),
+           _col(center, RVY) - jnp.transpose(ovy),
+           _col(center, RVZ) - jnp.transpose(ovz))
 
-    # moment column layout (24 columns, padded to 32 lanes):
-    #  0: volj          1-3: volj*xj
-    #  4: xmj           5-7: xmj*xj
-    #  8: xmj*vxj      9-11: xmj*vxj*xj
-    # 12: xmj*vyj     13-15: xmj*vyj*xj
-    # 16: xmj*vzj     17-19: xmj*vzj*xj
-    # 20-23: volj * {xx, ... } -> not needed; tau uses second moments:
-    # 20: volj*xj*xj  (xx) 21: xy 22: xz 23: yy 24: yz 25: zz
-    NMOM = 32
+    t11 = t12 = t13 = t22 = t23 = t33 = 0.0
     mom = 0.0
     for g in range(9):
         jr = get_run(g)
-        xj = jr[RX:RX + 1, :] - ox
-        yj = jr[RY:RY + 1, :] - oy
-        zj = jr[RZ:RZ + 1, :] - oz
-        rx = xi - xj
-        ry = yi - yj
-        rz = zi - zj
-        dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-        v1 = dist * hinv
-        mask = (jr[RVALID:RVALID + 1, :] > 0.5) & \
-            (jr[RGID:RGID + 1, :] != gid_i) & (v1 < 2.0)
-        w = jnp.where(mask, _w_sinc_tile(v1, sinc_index), 0.0)  # [CAP, 3CAP]
+        rx, ry, rz, d2 = _geo(center, jr)
+        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        w = _w_v2(v2, n_w)
 
+        # tau: direct VPU accumulation (h-scaled, fp32-stable)
         volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
-        volj = jnp.where(jr[RVALID:RVALID + 1, :] > 0.5, volj, 0.0)
-        xmj = jr[RXM:RXM + 1, :]
-        ux = xmj * jr[RVX:RVX + 1, :]
-        uy = xmj * jr[RVY:RVY + 1, :]
-        uz = xmj * jr[RVZ:RVZ + 1, :]
-        one = jnp.ones_like(xj)
-        cols = [volj, volj * xj, volj * yj, volj * zj,
-                xmj, xmj * xj, xmj * yj, xmj * zj,
-                ux, ux * xj, ux * yj, ux * zj,
-                uy, uy * xj, uy * yj, uy * zj,
-                uz, uz * xj, uz * yj, uz * zj,
-                volj * xj * xj, volj * xj * yj, volj * xj * zj,
-                volj * yj * yj, volj * yj * zj, volj * zj * zj]
-        while len(cols) < NMOM:
-            cols.append(jnp.zeros_like(one))
-        M = jnp.concatenate(cols, axis=0)  # [NMOM, 3CAP]
-        # MXU contraction over the j axis
+        wn = jnp.where(mask, volj * w, 0.0) * (K3d * h3inv)
+        sx = rx * hinv
+        sy = ry * hinv
+        sz = rz * hinv
+        t11 = t11 + jnp.sum(sx * sx * wn, axis=1, keepdims=True)
+        t12 = t12 + jnp.sum(sx * sy * wn, axis=1, keepdims=True)
+        t13 = t13 + jnp.sum(sx * sz * wn, axis=1, keepdims=True)
+        t22 = t22 + jnp.sum(sy * sy * wn, axis=1, keepdims=True)
+        t23 = t23 + jnp.sum(sy * sz * wn, axis=1, keepdims=True)
+        t33 = t33 + jnp.sum(sz * sz * wn, axis=1, keepdims=True)
+
+        # dV moments: j-side columns (O(3*CAP) work), MXU contraction.
+        # Invalid slots carry NaN xm (0/0 in the xmass stage) — sanitize
+        # the column basis, not just the weight, or NaN rides the matmul.
+        wm = jnp.where(mask, w, 0.0)
+        okj = jr[RGID:RGID + 1, :] >= 0.0
+        xjc = jr[RX:RX + 1, :] - ox
+        yjc = jr[RY:RY + 1, :] - oy
+        zjc = jr[RZ:RZ + 1, :] - oz
+        xmj = jnp.where(okj, jr[RXM:RXM + 1, :], 0.0)
+        ux = xmj * (jr[RVX:RVX + 1, :] - ovx)
+        uy = xmj * (jr[RVY:RVY + 1, :] - ovy)
+        uz = xmj * (jr[RVZ:RVZ + 1, :] - ovz)
+        cols = [xmj, xmj * xjc, xmj * yjc, xmj * zjc,
+                ux, ux * xjc, ux * yjc, ux * zjc,
+                uy, uy * xjc, uy * yjc, uy * zjc,
+                uz, uz * xjc, uz * yjc, uz * zjc]
+        M = jnp.concatenate(cols, axis=0)  # [16, 3CAP]
         mom = mom + jax.lax.dot_general(
-            w, M, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [CAP, NMOM]
+            wm, M, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [CAP, 16]
+
+    cij = _iad_tail(t11, t12, t13, t22, t23, t33, hi)
+    c11, c12, c13, c22, c23, c33 = cij
 
     def mc(k):
-        return mom[:, k:k + 1]  # [CAP, 1]
+        return mom[:, k:k + 1]
 
-    # ---- tau (h-scaled at the end) and cij ----
     S0 = mc(0)
-    Sx, Sy, Sz = mc(1), mc(2), mc(3)
-    knorm = K3d * h3inv
-    hi2inv = hinv * hinv
+    S = (mc(1), mc(2), mc(3))
 
-    def tau(a_i, b_i, Sa, Sb, Sab):
-        return (a_i * b_i * S0 - a_i * Sb - b_i * Sa + Sab) \
-            * knorm * hi2inv
+    def dv(base, v_i):
+        # F_b = xi_b (U0 - v_i S0) - (U_b - v_i S_b); dV_a = -(C F)_a
+        U0 = mc(base)
+        F = [xib[b] * (U0 - v_i * S0) - (mc(base + 1 + b) - v_i * S[b])
+             for b in range(3)]
+        return [-(c11 * F[0] + c12 * F[1] + c13 * F[2]),
+                -(c12 * F[0] + c22 * F[1] + c23 * F[2]),
+                -(c13 * F[0] + c23 * F[1] + c33 * F[2])]
 
-    t11 = tau(xi, xi, Sx, Sx, mc(20))
-    t12 = tau(xi, yi, Sx, Sy, mc(21))
-    t13 = tau(xi, zi, Sx, Sz, mc(22))
-    t22 = tau(yi, yi, Sy, Sy, mc(23))
-    t23 = tau(yi, zi, Sy, Sz, mc(24))
-    t33 = tau(zi, zi, Sz, Sz, mc(25))
+    dVx = dv(4, vic[0])
+    dVy = dv(8, vic[1])
+    dVz = dv(12, vic[2])
 
-    det = (t11 * t22 * t33 + 2.0 * t12 * t23 * t13
-           - t11 * t23 * t23 - t22 * t13 * t13 - t33 * t12 * t12)
-    fac = 1.0 / (det * hi * hi)
-    c11 = (t22 * t33 - t23 * t23) * fac
-    c12 = (t13 * t23 - t33 * t12) * fac
-    c13 = (t12 * t23 - t22 * t13) * fac
-    c22 = (t11 * t33 - t13 * t13) * fac
-    c23 = (t13 * t12 - t11 * t23) * fac
-    c33 = (t11 * t22 - t12 * t12) * fac
-
-    # ---- velocity gradients from the same moments ----
-    S0m = mc(4)
-    Sm = (mc(5), mc(6), mc(7))
-    xiv = (xi, yi, zi)
-
-    def dv_terms(U0, U, v_i):
-        # E_b = xi_b * (U0 - v_i*S0m) - (U_b - v_i*Sm_b)
-        return [xiv[b] * (U0 - v_i * S0m) - (U[b] - v_i * Sm[b])
-                for b in range(3)]
-
-    Ex = dv_terms(mc(8), (mc(9), mc(10), mc(11)), vxi)
-    Ey = dv_terms(mc(12), (mc(13), mc(14), mc(15)), vyi)
-    Ez = dv_terms(mc(16), (mc(17), mc(18), mc(19)), vzi)
-
-    def contract(E):
-        # dV_a = sum_j v_ji xmj termA_a = -(C F)_a with F_b = E_b
-        return (-(c11 * E[0] + c12 * E[1] + c13 * E[2]),
-                -(c12 * E[0] + c22 * E[1] + c23 * E[2]),
-                -(c13 * E[0] + c23 * E[1] + c33 * E[2]))
-
-    dVx = contract(Ex)
-    dVy = contract(Ey)
-    dVz = contract(Ez)
-
-    kxi = _icol(center, RKX)
-    norm_kx = knorm / kxi
-    divv = norm_kx * (dVx[0] + dVy[1] + dVz[2])
-    curlv = norm_kx * jnp.sqrt((dVz[1] - dVy[2]) ** 2 + (dVx[2] - dVz[0]) ** 2
-                               + (dVy[0] - dVx[1]) ** 2)
-    dV11 = norm_kx * dVx[0]
-    dV12 = norm_kx * (dVx[1] + dVy[0])
-    dV13 = norm_kx * (dVx[2] + dVz[0])
-    dV22 = norm_kx * dVy[1]
-    dV23 = norm_kx * (dVy[2] + dVz[1])
-    dV33 = norm_kx * dVz[2]
-
-    outs = [c11, c12, c13, c22, c23, c33, divv, curlv,
-            dV11, dV12, dV13, dV22, dV23, dV33,
-            jnp.zeros_like(divv), jnp.zeros_like(divv)]
-    return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
+    norm_kx = K3d * h3inv / _col(center, RKX)
+    return _iad_outputs(cij, dVx, dVy, dVz, norm_kx)
 
 
-def _av_body(center, get_run, i2, *, K3d, sinc_index, cfg: SphConfig):
-    RC, RKX, RXM, RDIVV = NBASE, NBASE + 1, NBASE + 2, NBASE + 3
-    RVX, RVY, RVZ = NBASE + 4, NBASE + 5, NBASE + 6
-
-    ci = _icol(center, RC)
-    divv_i = _icol(center, RDIVV)
+def _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
+                   cfg: SphConfig):
+    """Cullen-Dehnen style alpha evolution (av_switches_kern.hpp:45)."""
     alpha_i = jnp.transpose(i2[6:7, :])
     dt = jnp.transpose(i2[7:8, :])
-    hi = _icol(center, RH)
-    h3inv = 1.0 / (hi * hi * hi)
-    c11i = jnp.transpose(i2[0:1, :])
-    c12i = jnp.transpose(i2[1:2, :])
-    c13i = jnp.transpose(i2[2:3, :])
-    c22i = jnp.transpose(i2[3:4, :])
-    c23i = jnp.transpose(i2[4:5, :])
-    c33i = jnp.transpose(i2[5:6, :])
-    vxi = _icol(center, RVX)
-    vyi = _icol(center, RVY)
-    vzi = _icol(center, RVZ)
-
-    vsig_max = _NEG
-    gx = gy = gz = 0.0
-    for g in range(9):
-        jr = get_run(g)
-        rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
-        vx_ij = vxi - jr[RVX:RVX + 1, :]
-        vy_ij = vyi - jr[RVY:RVY + 1, :]
-        vz_ij = vzi - jr[RVZ:RVZ + 1, :]
-        rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
-        safe_dist = jnp.where(mask & (dist > 0), dist, 1.0)
-        vsig = jnp.where(mask & (rv < 0.0),
-                         ci + jr[RC:RC + 1, :] - 3.0 * rv / safe_dist, _NEG)
-        vsig_max = jnp.maximum(vsig_max,
-                               jnp.max(vsig, axis=1, keepdims=True))
-
-        w = _w_sinc_tile(v1, sinc_index) * (K3d * h3inv)
-        termA1 = -(c11i * rx + c12i * ry + c13i * rz) * w
-        termA2 = -(c12i * rx + c22i * ry + c23i * rz) * w
-        termA3 = -(c13i * rx + c23i * ry + c33i * rz) * w
-        volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
-        factor = jnp.where(mask, volj * (divv_i - jr[RDIVV:RDIVV + 1, :]), 0.0)
-        gx = gx + jnp.sum(factor * termA1, axis=1, keepdims=True)
-        gy = gy + jnp.sum(factor * termA2, axis=1, keepdims=True)
-        gz = gz + jnp.sum(factor * termA3, axis=1, keepdims=True)
-
-    vijsignal = jnp.maximum(vsig_max, 1e-30 * ci)
-    graddivv = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-
     a_const = hi * hi * graddivv
     alphaloc = jnp.where(divv_i < 0.0,
                          cfg.alphamax * a_const
@@ -517,28 +563,156 @@ def _av_body(center, get_run, i2, *, K3d, sinc_index, cfg: SphConfig):
     return jnp.transpose(alpha)
 
 
-def _momentum_body(center, get_run, *, K3d, sinc_index, cfg: SphConfig):
-    (RVX, RVY, RVZ, RC, RPRHO, RKX, RXM, RAL, RM,
-     R11, R12, R13, R22, R23, R33) = range(NBASE, NBASE + 15)
+def _av_vsig_term(center, jr, rx, ry, rz, d2, mask, ci):
+    RVX, RVY, RVZ = NBASE + 4, NBASE + 5, NBASE + 6
+    vx_ij = _col(center, RVX) - jr[RVX:RVX + 1, :]
+    vy_ij = _col(center, RVY) - jr[RVY:RVY + 1, :]
+    vz_ij = _col(center, RVZ) - jr[RVZ:RVZ + 1, :]
+    rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
+    inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+    vsig = jnp.where(mask & (rv < 0.0),
+                     ci + jr[NBASE:NBASE + 1, :] - 3.0 * rv * inv_d, _NEG)
+    return jnp.max(vsig, axis=1, keepdims=True)
 
-    hi = _icol(center, RH)
-    hi3inv = 1.0 / (hi * hi * hi)
-    c11i = _icol(center, R11)
-    c12i = _icol(center, R12)
-    c13i = _icol(center, R13)
-    c22i = _icol(center, R22)
-    c23i = _icol(center, R23)
-    c33i = _icol(center, R33)
-    vxi = _icol(center, RVX)
-    vyi = _icol(center, RVY)
-    vzi = _icol(center, RVZ)
-    ci = _icol(center, RC)
-    alpha_i = _icol(center, RAL)
-    mi = _icol(center, RM)
-    xmi = _icol(center, RXM)
-    rhoi = _icol(center, RKX) * mi / xmi
-    prhoi = _icol(center, RPRHO)
+
+def _av_direct_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
+    RC, RKX, RXM, RDIVV = NBASE, NBASE + 1, NBASE + 2, NBASE + 3
+    hi = _col(center, RH)
+    hinv = 1.0 / hi
+    hi_inv2 = hinv * hinv
+    h3inv = hinv * hi_inv2
+    ci = _col(center, RC)
+    divv_i = _col(center, RDIVV)
+    cij_i = [jnp.transpose(i2[k:k + 1, :]) for k in range(6)]
+    c11i, c12i, c13i, c22i, c23i, c33i = cij_i
+
+    vsig_max = _NEG
+    gx = gy = gz = 0.0
+    for g in range(9):
+        jr = get_run(g)
+        rx, ry, rz, d2 = _geo(center, jr)
+        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        vsig_max = jnp.maximum(vsig_max, _av_vsig_term(
+            center, jr, rx, ry, rz, d2, mask, ci))
+
+        w = _w_v2(v2, n_w) * (K3d * h3inv)
+        termA1 = -(c11i * rx + c12i * ry + c13i * rz) * w
+        termA2 = -(c12i * rx + c22i * ry + c23i * rz) * w
+        termA3 = -(c13i * rx + c23i * ry + c33i * rz) * w
+        volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
+        factor = jnp.where(mask,
+                           volj * (divv_i - jr[RDIVV:RDIVV + 1, :]), 0.0)
+        gx = gx + jnp.sum(factor * termA1, axis=1, keepdims=True)
+        gy = gy + jnp.sum(factor * termA2, axis=1, keepdims=True)
+        gz = gz + jnp.sum(factor * termA3, axis=1, keepdims=True)
+
+    vijsignal = jnp.maximum(vsig_max, 1e-30 * ci)
+    graddivv = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    return _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
+                          cfg)
+
+
+def _av_mm_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
+    """AV switches with the graddivv reduction factored into 8
+    cell-centered moments on the MXU; the per-pair signal-velocity max
+    stays on the VPU (max is not a matmul)."""
+    RC, RKX, RXM, RDIVV = NBASE, NBASE + 1, NBASE + 2, NBASE + 3
+    hi = _col(center, RH)
+    hinv = 1.0 / hi
+    hi_inv2 = hinv * hinv
+    h3inv = hinv * hi_inv2
+    ci = _col(center, RC)
+    cij_i = [jnp.transpose(i2[k:k + 1, :]) for k in range(6)]
+    c11i, c12i, c13i, c22i, c23i, c33i = cij_i
+
+    ox, oy, oz, odv = _cell_means(center, (RX, RY, RZ, RDIVV))
+    xib = (_col(center, RX) - jnp.transpose(ox),
+           _col(center, RY) - jnp.transpose(oy),
+           _col(center, RZ) - jnp.transpose(oz))
+    divv_i = _col(center, RDIVV)
+    dvic = divv_i - jnp.transpose(odv)
+
+    vsig_max = _NEG
+    mom = 0.0
+    for g in range(9):
+        jr = get_run(g)
+        rx, ry, rz, d2 = _geo(center, jr)
+        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        vsig_max = jnp.maximum(vsig_max, _av_vsig_term(
+            center, jr, rx, ry, rz, d2, mask, ci))
+
+        w = _w_v2(v2, n_w)
+        wm = jnp.where(mask, w, 0.0)
+        okj = jr[RGID:RGID + 1, :] >= 0.0
+        volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
+        volj = jnp.where(okj, volj, 0.0)
+        xjc = jr[RX:RX + 1, :] - ox
+        yjc = jr[RY:RY + 1, :] - oy
+        zjc = jr[RZ:RZ + 1, :] - oz
+        vd = volj * jnp.where(okj, jr[RDIVV:RDIVV + 1, :] - odv, 0.0)
+        cols = [volj, volj * xjc, volj * yjc, volj * zjc,
+                vd, vd * xjc, vd * yjc, vd * zjc]
+        M = jnp.concatenate(cols, axis=0)  # [8, 3CAP]
+        mom = mom + jax.lax.dot_general(
+            wm, M, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [CAP, 8]
+
+    def mc(k):
+        return mom[:, k:k + 1]
+
+    S0v = mc(0)
+    Sv = (mc(1), mc(2), mc(3))
+    D0 = mc(4)
+    D = (mc(5), mc(6), mc(7))
+    G = [xib[b] * (dvic * S0v - D0) - (dvic * Sv[b] - D[b]) for b in range(3)]
+    scale = K3d * h3inv
+    gx = -(c11i * G[0] + c12i * G[1] + c13i * G[2]) * scale
+    gy = -(c12i * G[0] + c22i * G[1] + c23i * G[2]) * scale
+    gz = -(c13i * G[0] + c23i * G[1] + c33i * G[2]) * scale
+
+    vijsignal = jnp.maximum(vsig_max, 1e-30 * ci)
+    graddivv = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    return _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
+                          cfg)
+
+
+def _momentum_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
+    """Momentum + energy (momentum_energy_kern.hpp:65-222) with the
+    Atwood-ramped crossed/uncrossed VE terms, pair AV, and (optional)
+    the avClean velocity-gradient rv correction (:44-63). Micro-opts vs
+    round 1: rho rides as a precomputed row (no per-pair divides for
+    rhoj/atwood denominators), the ramp drops the per-pair log (row/col
+    log(xm) instead), and one rsqrt replaces sqrt + divide."""
+    (RVX, RVY, RVZ, RC, RPRHO, RRHO, RXM, RAL, RM,
+     R11, R12, R13, R22, R23, R33) = range(NBASE, NBASE + 15)
+    if cfg.av_clean:
+        RD11, RD12, RD13, RD22, RD23, RD33, RETA = range(NBASE + 15,
+                                                         NBASE + 22)
+
+    hi = _col(center, RH)
+    hi_inv = 1.0 / hi
+    hi_inv2 = hi_inv * hi_inv
+    hi3inv = hi_inv * hi_inv2
+    c11i = _col(center, R11)
+    c12i = _col(center, R12)
+    c13i = _col(center, R13)
+    c22i = _col(center, R22)
+    c23i = _col(center, R23)
+    c33i = _col(center, R33)
+    vxi = _col(center, RVX)
+    vyi = _col(center, RVY)
+    vzi = _col(center, RVZ)
+    ci = _col(center, RC)
+    alpha_i = _col(center, RAL)
+    rhoi = _col(center, RRHO)
+    rhoi_inv = 1.0 / rhoi
+    prhoi = _col(center, RPRHO)
+    xmi = _col(center, RXM)
     lxmi = jnp.log(xmi)
+    if cfg.av_clean:
+        dv_i = [_col(center, r) for r in (RD11, RD12, RD13, RD22, RD23,
+                                          RD33)]
+        eta_crit = _col(center, RETA)
 
     mom_x = mom_y = mom_z = 0.0
     energy = 0.0
@@ -546,11 +720,12 @@ def _momentum_body(center, get_run, *, K3d, sinc_index, cfg: SphConfig):
     vsig_max = _NEG
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, dist, _, v1, mask = _geom(center, jr)
-        hj_inv = 1.0 / jr[RH:RH + 1, :]           # [1, 3CAP] row reciprocal
-        v2 = dist * hj_inv
-        Wi = jnp.where(mask, _w_sinc_tile(v1, sinc_index) * hi3inv, 0.0)
-        Wj = jnp.where(mask, _w_sinc_tile(v2, sinc_index)
+        rx, ry, rz, d2 = _geo(center, jr)
+        v2i, mask = _pair_mask(center, jr, d2, hi_inv2)
+        hj_inv = 1.0 / jr[RH:RH + 1, :]        # [1, 3CAP] row reciprocal
+        v2j = d2 * (hj_inv * hj_inv)
+        Wi = jnp.where(mask, _w_v2(v2i, n_w) * hi3inv, 0.0)
+        Wj = jnp.where(mask, _w_v2(v2j, n_w)
                        * (hj_inv * hj_inv * hj_inv), 0.0)
 
         termA1_i = -(c11i * rx + c12i * ry + c13i * rz) * Wi
@@ -567,37 +742,62 @@ def _momentum_body(center, get_run, *, K3d, sinc_index, cfg: SphConfig):
         vy_ij = vyi - jr[RVY:RVY + 1, :]
         vz_ij = vzi - jr[RVZ:RVZ + 1, :]
         rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
-        safe_dist = jnp.where(mask & (dist > 0), dist, 1.0)
-        wij = rv / safe_dist
+        inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+
+        if cfg.av_clean:
+            # avClean rv correction (momentum_energy_kern.hpp:44-63)
+            def quad(d11, d12, d13, d22, d23, d33):
+                q1 = d11 * rx + d12 * ry + d13 * rz
+                q2 = d22 * ry + d23 * rz
+                q3 = d33 * rz
+                return rx * q1 + ry * q2 + rz * q3
+
+            dmy1 = quad(*dv_i)
+            dmy2 = quad(jr[RD11:RD11 + 1, :], jr[RD12:RD12 + 1, :],
+                        jr[RD13:RD13 + 1, :], jr[RD22:RD22 + 1, :],
+                        jr[RD23:RD23 + 1, :], jr[RD33:RD33 + 1, :])
+            dist = d2 * inv_d
+            eta_ab = dist * jnp.minimum(hi_inv, hj_inv)
+            eta_diff = 5.0 * (eta_ab - eta_crit)
+            dmy3 = jnp.where(eta_ab < eta_crit,
+                             jnp.exp(-eta_diff * eta_diff), 1.0)
+            A_ab = jnp.where(dmy2 != 0.0,
+                             dmy1 / jnp.where(dmy2 != 0.0, dmy2, 1.0), 0.0)
+            A_abp1 = 1.0 + A_ab
+            phi_ab = 0.5 * dmy3 * jnp.clip(
+                4.0 * A_ab / (A_abp1 * A_abp1), 0.0, 1.0)
+            rv = rv - phi_ab * (dmy1 + dmy2)
+
+        wij = rv * inv_d
         cj = jr[RC:RC + 1, :]
-        vij_signal = (alpha_i + jr[RAL:RAL + 1, :]) / 4.0 * (ci + cj) \
-            - 2.0 * wij
+        csum = ci + cj
+        vij_signal = (alpha_i + jr[RAL:RAL + 1, :]) * 0.25 * csum - 2.0 * wij
         visc = jnp.where(mask & (wij < 0.0), -vij_signal * wij, 0.0)
 
-        vsig_ts = jnp.where(mask, 0.5 * (ci + cj) - 2.0 * wij, _NEG)
+        vsig_ts = jnp.where(mask, 0.5 * csum - 2.0 * wij, _NEG)
         vsig_max = jnp.maximum(vsig_max,
                                jnp.max(vsig_ts, axis=1, keepdims=True))
 
         mj = jr[RM:RM + 1, :]
         xmj = jr[RXM:RXM + 1, :]
-        rhoj = jr[RKX:RKX + 1, :] * mj / xmj
-        atwood = jnp.abs(rhoi - rhoj) / (rhoi + rhoj)
-        sigma = cfg.ramp * (atwood - cfg.atmin)
-        # xmi^(2-s) xmj^s = xmi*xmj * (xmj/xmi)^(s-1): one log+exp pair
-        # instead of two of each (the ramp only fires near interfaces)
-        # t = (xmj/xmi)^(sigma-1): a = prod*t = xmi^(2-s) xmj^s,
-        #                          b = prod/t = xmj^(2-s) xmi^s
-        t = jnp.exp((sigma - 1.0) * jnp.log(xmj / xmi))
+        rhoj = jr[RRHO:RRHO + 1, :]
+        drho = jnp.abs(rhoi - rhoj)
+        srho = rhoi + rhoj
+        # compare-by-multiplication: atwood < atmin  <=>  drho < atmin*s
+        is_lo = drho < cfg.atmin * srho
+        is_hi = drho > cfg.atmax * srho
+        sigma = cfg.ramp * (drho / srho - cfg.atmin)
+        # xmi^(2-s) xmj^s = xmi*xmj*(xmj/xmi)^(s-1); log(xm) is row/col
+        lxmj = jnp.log(xmj)
+        t = jnp.exp((sigma - 1.0) * (lxmj - lxmi))
         prod = xmi * xmj
-        a_ramp = prod * t
-        b_ramp = prod / t
-        a_mom = jnp.where(atwood < cfg.atmin, xmi * xmi,
-                          jnp.where(atwood > cfg.atmax, prod, a_ramp))
-        b_mom = jnp.where(atwood < cfg.atmin, xmj * xmj,
-                          jnp.where(atwood > cfg.atmax, prod, b_ramp))
+        a_mom = jnp.where(is_lo, xmi * xmi,
+                          jnp.where(is_hi, prod, prod * t))
+        b_mom = jnp.where(is_lo, xmj * xmj,
+                          jnp.where(is_hi, prod, prod / t))
 
-        a_visc = (mj * (1.0 / rhoi)) * visc       # col reciprocal
-        b_visc = (mj / rhoj) * visc               # row-level divide
+        a_visc = (mj * rhoi_inv) * visc        # column reciprocal
+        b_visc = (mj / rhoj) * visc            # row-level divide
         a_visc_x = 0.5 * (a_visc * termA1_i + b_visc * termA1_j)
         a_visc_y = 0.5 * (a_visc * termA2_i + b_visc * termA2_j)
         a_visc_z = 0.5 * (a_visc * termA3_i + b_visc * termA3_j)
@@ -620,8 +820,7 @@ def _momentum_body(center, get_run, *, K3d, sinc_index, cfg: SphConfig):
     a_visc_energy = jnp.maximum(a_visc_energy, 0.0)
     maxvsignal = jnp.maximum(vsig_max, 0.0)
     du = K3d * (prhoi * energy + 0.5 * a_visc_energy)
-    outs = [-K3d * mom_x, -K3d * mom_y, -K3d * mom_z, du, maxvsignal,
-            jnp.zeros_like(du), jnp.zeros_like(du), jnp.zeros_like(du)]
+    outs = [-K3d * mom_x, -K3d * mom_y, -K3d * mom_z, du, maxvsignal]
     return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
 
 
@@ -641,40 +840,44 @@ class PallasVE:
 
     def __init__(self, grid: CMGrid, cfg: SphConfig, interpret: bool = False):
         assert grid.cap % 128 == 0, "CAP must be a multiple of 128 lanes"
+        n_w = int(cfg.sinc_index)
+        assert float(n_w) == float(cfg.sinc_index) and n_w >= 2, \
+            "pallas path needs an integer sinc index"
         self.grid = grid
         self.cfg = cfg
         self.K3d = kernel_3d_k(cfg.sinc_index)
-        kw = dict(K3d=self.K3d, sinc_index=cfg.sinc_index)
-        ip = interpret
-        self._nc = make_cell_pair_call(grid, 8, 1, _nc_body, interpret=ip)
-        self._xmass = make_cell_pair_call(
-            grid, 8, 1, functools.partial(_xmass_body, **kw), interpret=ip)
-        self._gradh = make_cell_pair_call(
-            grid, 8, 2, functools.partial(_gradh_body, **kw), interpret=ip)
-        iad_body = _iad_divv_body_mm if cfg.mxu_moments else _iad_divv_body
-        self._iad = make_cell_pair_call(
-            grid, 16, 16, functools.partial(iad_body, **kw),
-            interpret=ip)
-        self._av = make_cell_pair_call(
-            grid, 16, 1,
-            functools.partial(_av_body, cfg=cfg, **kw), fi2=8, interpret=ip)
-        self._mom = make_cell_pair_call(
-            grid, 24, 8, functools.partial(_momentum_body, cfg=cfg, **kw),
-            interpret=ip)
+        kw = dict(K3d=self.K3d, n_w=n_w)
+        mk = functools.partial(make_column_pair_call, grid,
+                               interpret=interpret)
+        self._xh = mk(8, 3, functools.partial(_xh_body, cfg=cfg, **kw))
+        self._gradh = mk(8, 2, functools.partial(_gradh_body, **kw))
+        iad_body = _iad_hybrid_body if cfg.mxu_moments else _iad_direct_body
+        self._iad = mk(16, 16, functools.partial(iad_body, **kw))
+        av_body = _av_mm_body if cfg.mxu_moments else _av_direct_body
+        self._av = mk(16, 1, functools.partial(av_body, cfg=cfg, **kw),
+                      fi2=8)
+        self._mom = mk(32 if cfg.av_clean else 24, 5,
+                       functools.partial(_momentum_body, cfg=cfg, **kw))
 
     def base_rows(self, layout: CMLayout, x, y, z, h):
-        """The 6 base rows shared by all stages (cm frame inputs)."""
+        """The 5 base rows shared by all stages (cm frame inputs).
+        Invalid slots get FILL_POS positions and gid -1 — distance
+        masking replaces an explicit validity row."""
         xcm, ycm, zcm = positions_cm(layout, x, y, z)
+        fillv = jnp.where(layout.valid, 0.0, FILL_POS)
+        xcm = xcm + fillv
+        ycm = ycm + fillv
+        zcm = zcm + fillv
         hcm = to_cm(layout, h, fill=1.0)
-        valid = layout.valid.astype(jnp.float32)
-        gid = layout.src.astype(jnp.float32)
-        return [xcm, ycm, zcm, hcm, valid, gid]
+        gid = jnp.where(layout.valid, layout.src.astype(jnp.float32), -1.0)
+        return [xcm, ycm, zcm, hcm, gid]
 
-    def nc(self, base):
-        return self._nc(_pad_rows(base))[0]
-
-    def xmass(self, base, m_cm):
-        return self._xmass(_pad_rows(base + [m_cm]))[0]
+    def xmass_h(self, base, m_cm):
+        """Fused nc/h-iteration/xmass. Returns (xm, h, nc); base[3] (h)
+        is NOT updated in place — refresh ghosts of the returned h and
+        write it back into the base rows."""
+        out = self._xh(_pad_rows(base + [m_cm]))
+        return out[0], out[1], out[2]
 
     def gradh(self, base, m_cm, xm_cm):
         out = self._gradh(_pad_rows(base + [m_cm, xm_cm]))
@@ -696,9 +899,15 @@ class PallasVE:
         I2 = _pad_rows(list(cij) + [alpha_cm, dt_row])
         return self._av(J, I2)[0]
 
-    def momentum(self, base, vx_cm, vy_cm, vz_cm, c_cm, prho_cm, kx_cm,
-                 xm_cm, alpha_cm, m_cm, cij):
-        J = _pad_rows(base + [vx_cm, vy_cm, vz_cm, c_cm, prho_cm, kx_cm,
-                              xm_cm, alpha_cm, m_cm] + list(cij), 24)
+    def momentum(self, base, vx_cm, vy_cm, vz_cm, c_cm, prho_cm, rho_cm,
+                 xm_cm, alpha_cm, m_cm, cij, gradv=None, eta_crit_cm=None):
+        rows = base + [vx_cm, vy_cm, vz_cm, c_cm, prho_cm, rho_cm,
+                       xm_cm, alpha_cm, m_cm] + list(cij)
+        if self.cfg.av_clean:
+            assert gradv is not None and eta_crit_cm is not None
+            rows = rows + list(gradv) + [eta_crit_cm]
+            J = _pad_rows(rows, 32)
+        else:
+            J = _pad_rows(rows, 24)
         out = self._mom(J)
         return out[0], out[1], out[2], out[3], out[4]

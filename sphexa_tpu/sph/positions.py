@@ -14,8 +14,12 @@ from sphexa_tpu.sph.eos import ideal_gas_cv
 
 
 def position_update(dt, dt_m1, x, y, z, ax, ay, az, dx, dy, dz, box: Box,
-                    h=None, vx=None, vy=None, vz=None):
-    """Returns (x', y', z', vx', vy', vz', dx', dy', dz')."""
+                    h=None, vx=None, vy=None, vz=None, fold: bool = True):
+    """Returns (x', y', z', vx', vy', vz', dx', dy', dz').
+
+    fold=False skips the periodic wrap — the resident cell-major path
+    integrates unfolded between layout rebuilds (ghost images carry the
+    periodic shifts) and folds once at rebin time."""
     inv_dtm1 = 1.0 / dt_m1
 
     def advance(X, A, dX):
@@ -50,7 +54,8 @@ def position_update(dt, dt_m1, x, y, z, ax, ay, az, dx, dy, dz, box: Box,
         dyn = jnp.where(frozen, dy, dyn)
         dzn = jnp.where(frozen, dz, dzn)
 
-    xn, yn, zn = put_in_box(box, xn, yn, zn)
+    if fold:
+        xn, yn, zn = put_in_box(box, xn, yn, zn)
     return xn, yn, zn, vxn, vyn, vzn, dxn, dyn, dzn
 
 

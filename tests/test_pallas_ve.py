@@ -46,3 +46,46 @@ def test_pallas_step_matches_xla():
     vscale = np.abs(a["vx"]).max()
     assert np.abs(b["vx"] - a["vx"][j]).max() / vscale < 1e-3
     assert np.abs(b["h"] - a["h"][j]).max() / a["h"].max() < 1e-5
+
+
+@pytest.mark.slow
+def test_resident_engine_matches_compat():
+    """The cm-frame-resident engine (no per-step layout rebuild, deferred
+    periodic fold, in-graph rebin) must reproduce the per-step-rebuild
+    compat path, including across a forced lax.cond rebin."""
+    import jax.numpy as jnp
+
+    from sphexa_tpu.propagator.ve_pallas import ResidentVE
+
+    cfg = SphConfig(chunk=512, cell_cap=256, ngpad=256)
+    state, box, cfg = init_sedov(12, cfg, dt0=2e-4)
+    h0 = float(state.p.h[0])
+    grid = choose_cm_grid(box, h0 * 1.3, 12 ** 3, cap=256)
+
+    step_c = make_ve_step_pallas(box, grid, cfg, interpret=True)
+    eng = ResidentVE(box, grid, cfg, interpret=True)
+    rst = eng.bind(state)
+    assert int(rst.overflow) == 0
+
+    sc = state
+    for i in range(4):
+        if i == 2:  # exhaust the drift margin -> forces the rebin branch
+            rst = rst.replace(drift=jnp.float32(1e9))
+        sc, dc = step_c(sc)
+        rst, dr = eng.step(rst)
+        assert int(dr.overflow) == 0
+        if i == 2:
+            assert bool(dr.rebinned)
+        np.testing.assert_allclose(float(dr.dt), float(dc.dt), rtol=1e-5)
+        np.testing.assert_allclose(float(dr.eint), float(dc.eint),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(dr.ecin), float(dc.ecin),
+                                   rtol=1e-3, atol=1e-12)
+
+    out = eng.unbind(rst, state.p.n)
+    assert int(np.sum(np.asarray(out.p.alive))) == state.p.n
+    for f in ("x", "y", "z", "vx", "temp", "h"):
+        a = np.asarray(getattr(sc.p, f))
+        b = np.asarray(getattr(out.p, f))
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(b - a).max() / scale < 2e-3, f
