@@ -93,23 +93,22 @@ def make_column_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
         oref[:, 0:CAP] = zero                     # z-ghost lanes of the
         oref[:, (n + 1) * CAP:] = zero            # output column
 
-        def process(s, _):
-            def at(k):  # lane offset of cell s+k, alignment-hinted per site
-                return pl.multiple_of((s + k) * CAP, CAP)
+        # statically unrolled z-walk: all window offsets are compile-time
+        # constants, so Mosaic treats each slice as a zero-cost subview
+        # (dynamic lane offsets trigger per-access relayout copies that
+        # measured ~50x slower on real hardware)
+        for s in range(n):
+            off = (s + 1) * CAP
+            center = jcols[4][:, off:off + CAP]
 
-            center = jcols[4][:, pl.ds(at(1), CAP)]
-
-            def get_run(g):
-                return jcols[g][:, pl.ds(at(0), 3 * CAP)]
+            def get_run(g, off=off):
+                return jcols[g][:, off - CAP:off + 2 * CAP]
 
             if fi2:
-                out = body(center, get_run, i2ref[:, pl.ds(at(1), CAP)])
+                out = body(center, get_run, i2ref[:, off:off + CAP])
             else:
                 out = body(center, get_run)
-            oref[:, pl.ds(at(1), CAP)] = out
-            return 0
-
-        jax.lax.fori_loop(0, n, process, 0)
+            oref[:, off:off + CAP] = out
 
     def call(J, I2=None):
         args = [J] * 9 + ([I2] if fi2 else [])
@@ -180,16 +179,20 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
         if xyz_rows is not None:
             ix, iy, iz = xyz_rows
             zshift, zghost = _zlane_consts()
+            # row-masked adds (Mosaic has no scatter-add on refs)
+            row = jax.lax.broadcasted_iota(jnp.int32, (nrows, COLW), 0)
+            add = jnp.zeros((nrows, COLW), jnp.float32)
             if px_per:
                 sx = jnp.where(px == 0, -lx,
                                jnp.where(px == npd - 1, lx, 0.0))
-                out = out.at[ix:ix + 1, :].add(jnp.float32(sx))
+                add = add + jnp.where(row == ix, jnp.float32(sx), 0.0)
             if py_per:
                 sy = jnp.where(py == 0, -ly,
                                jnp.where(py == npd - 1, ly, 0.0))
-                out = out.at[iy:iy + 1, :].add(jnp.float32(sy))
+                add = add + jnp.where(row == iy, jnp.float32(sy), 0.0)
             if pz_per:
-                out = out.at[iz:iz + 1, :].add(zshift)
+                add = add + jnp.where(row == iz, zshift, 0.0)
+            out = out + add
             # open/fixed boundaries: those ghosts hold no images
             if not (px_per and py_per):
                 bad = jnp.zeros((), bool)
