@@ -109,6 +109,29 @@ def _run_pipeline(pve: PallasVE, rf: _Refreshers, base, m, vx, vy, vz,
                 ax=ax, ay=ay, az=az, du=du, maxvsignal=mvs)
 
 
+def _add_gravity(out, x, y, z, m, alive, box: Box, cfg: SphConfig):
+    """Couple self-gravity into the force step (reference:
+    ve_hydro.hpp:195-204). Solver choice mirrors propagator/ve.py; the
+    arrays may be particle-frame or cell-major slot rows — every solver
+    takes (positions, m, alive)."""
+    if cfg.gravG == 0.0:
+        return out, 0.0
+    from sphexa_tpu.gravity.direct import egrav as _eg
+    if cfg.gravity_solver == "fmm":
+        from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
+        g = fmm_gravity(x, y, z, m, alive, box, cfg.gravG,
+                        FmmConfig(level=cfg.fmm_level), eps=cfg.eps)
+    elif cfg.gravity_solver == "ewald":
+        from sphexa_tpu.gravity.ewald import ewald_gravity
+        g = ewald_gravity(x, y, z, m, alive, box, cfg.gravG, eps=cfg.eps)
+    else:
+        from sphexa_tpu.gravity.direct import direct_gravity
+        g = direct_gravity(x, y, z, m, alive, cfg.gravG, cfg.eps)
+    out = dict(out, ax=out["ax"] + g.ax, ay=out["ay"] + g.ay,
+               az=out["az"] + g.az)
+    return out, _eg(m, g.pot, alive)
+
+
 # --------------------------------------------------------------------------
 # particle-frame compatibility step (layout rebuilt per call)
 # --------------------------------------------------------------------------
@@ -133,6 +156,8 @@ def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
         out = _run_pipeline(pve, rf, base, cm(ps.m), cm(ps.vx), cm(ps.vy),
                             cm(ps.vz), cm(ps.temp), cm(ps.alpha), state.dt,
                             validint)
+        out, egrav = _add_gravity(out, base[0], base[1], base[2], cm(ps.m),
+                                  validint, box, cfg)
 
         back = lambda f, fill=0.0: from_cm(layout, f, n, fill)
         ps = ps.replace(h=back(out["h"], 1.0),
@@ -143,7 +168,8 @@ def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
             back(out["du"]), back(out["maxvsignal"]), back(out["c"], 1.0),
             back(out["divv"]), back(out["nc_sph"], 1.0), box, cfg,
             max_nc=max_nc.astype(jnp.int32),
-            max_cell_count=layout.overflow.astype(jnp.int32))
+            max_cell_count=layout.overflow.astype(jnp.int32),
+            egrav=egrav)
         return new_state, diag
 
     return step
@@ -294,13 +320,19 @@ class ResidentVE:
         base = [rst.x, rst.y, rst.z, rst.h, rst.gid]
         out = _run_pipeline(self.pve, self.rf, base, rst.m, rst.vx, rst.vy,
                             rst.vz, rst.temp, rst.alpha, rst.dt, validint)
+        out, egrav = _add_gravity(out, rst.x, rst.y, rst.z, rst.m, validint,
+                                  box, cfg)
 
         # ---- global timestep (ts_global.hpp:96-112) ----
         dt_courant = ts.courant_timestep(out["maxvsignal"], out["h"],
                                          out["c"], validint, cfg.kcour)
-        dt_rho = ts.rho_timestep(out["divv"], validint, cfg.krho)
-        dt = ts.combine_timesteps(rst.dt, jnp.stack([dt_courant, dt_rho]),
-                                  cfg)
+        candidates = [dt_courant,
+                      ts.rho_timestep(out["divv"], validint, cfg.krho)]
+        if cfg.gravG != 0.0:
+            candidates.append(ts.acceleration_timestep(
+                out["ax"], out["ay"], out["az"], validint, cfg.eta_acc,
+                cfg.eps))
+        dt = ts.combine_timesteps(rst.dt, jnp.stack(candidates), cfg)
         dt_m1 = rst.dt
 
         # ---- integration, unfolded (fold happens at rebin) ----
@@ -335,7 +367,8 @@ class ResidentVE:
         nvalid = jnp.maximum(jnp.sum(validint), 1)
         h_max = jnp.max(jnp.where(validint, rst.h, 0.0))
         diag = ResidentDiag(
-            dt=dt, ttot=rst.ttot, etot=ecin + eint, ecin=ecin, eint=eint,
+            dt=dt, ttot=rst.ttot, etot=ecin + eint + egrav, ecin=ecin,
+            eint=eint,
             h_max=h_max,
             nc_mean=(jnp.sum(jnp.where(validint, out["nc_sph"], 0.0))
                      / nvalid).astype(jnp.float32),

@@ -49,6 +49,40 @@ def test_pallas_step_matches_xla():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("variant", ["gravity", "avclean"])
+def test_pallas_gravity_and_avclean_match_xla(variant):
+    """The Pallas path must carry the same physics extensions as the
+    XLA path: self-gravity coupling (ve_hydro.hpp:195-204) and the
+    avClean momentum correction (momentum_energy_kern.hpp:44-63)."""
+    kw = dict(chunk=512, cell_cap=256, ngpad=256)
+    if variant == "gravity":
+        kw.update(gravG=1.0, gravity_solver="direct", eps=0.02)
+    else:
+        kw.update(av_clean=True)
+    cfg = SphConfig(**kw)
+    state, box, cfg = init_sedov(10, cfg, dt0=2e-4)
+    h0 = float(state.p.h[0])
+
+    step_x = make_ve_step(box, CellGrid(choose_level(box, h0 * 1.3)), cfg)
+    step_p = make_ve_step_pallas(
+        box, choose_cm_grid(box, h0 * 1.3, 10 ** 3, cap=256), cfg,
+        interpret=True)
+
+    sx, sp = state, state
+    for _ in range(2):
+        sx, dx = step_x(sx)
+        sp, dp = step_p(sp)
+    assert int(dp.max_cell_count) == 0
+    np.testing.assert_allclose(float(dp.dt), float(dx.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(dp.eint), float(dx.eint), rtol=1e-6)
+    np.testing.assert_allclose(float(dp.ecin), float(dx.ecin), rtol=2e-3,
+                               atol=1e-12)
+    if variant == "gravity":
+        np.testing.assert_allclose(float(dp.egrav), float(dx.egrav),
+                                   rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_resident_engine_matches_compat():
     """The cm-frame-resident engine (no per-step layout rebuild, deferred
     periodic fold, in-graph rebin) must reproduce the per-step-rebuild
