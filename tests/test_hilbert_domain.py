@@ -1,0 +1,121 @@
+"""Hilbert load-balanced domain: unit tests for the split/owner logic
+and end-to-end sharded-vs-single equivalence with load-balance and
+zero-loss gates (reference analogs: domain/test/unit/domain/
+domaindecomp.cpp split invariants, integration_mpi/domain_nranks.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.domain.hilbert import (AXIS, HilbertConfig, balance_splits,
+                                       hilbert_keys, owner_of)
+from sphexa_tpu.init.sedov import init_sedov
+from sphexa_tpu.neighbors import CellGrid, choose_level
+from sphexa_tpu.propagator.ve import make_ve_step
+from sphexa_tpu.propagator.ve_hilbert import (HilbertDiag, distribute_hilbert,
+                                              make_ve_step_hilbert)
+from sphexa_tpu.sfc.box import Box, Boundary
+from sphexa_tpu.state import SimState, _FIELDS
+
+
+def test_balance_splits_quantiles():
+    """Split boundaries must divide a clustered particle set into near-
+    equal rank loads (reference: singleRangeSfcSplit +-1% balance; here
+    the error bound is one histogram bin)."""
+    rng = np.random.RandomState(0)
+    n, D = 40000, 8
+    # strongly clustered: 80% of particles in one octant corner
+    xa = np.concatenate([rng.rand(n // 5), 0.25 * rng.rand(4 * n // 5)])
+    ya = np.concatenate([rng.rand(n // 5), 0.25 * rng.rand(4 * n // 5)])
+    za = np.concatenate([rng.rand(n // 5), 0.25 * rng.rand(4 * n // 5)])
+    box = Box.cube(0.0, 1.0, Boundary.periodic)
+    hc = HilbertConfig(n_ranks=D, cap=n, halo_cap=16, mig_cap=16)
+
+    devices = np.array(jax.devices()[:D])
+    mesh = Mesh(devices, (AXIS,))
+    keys_all = hilbert_keys(box, jnp.asarray(xa, jnp.float32),
+                            jnp.asarray(ya, jnp.float32),
+                            jnp.asarray(za, jnp.float32))
+
+    def f(keys, alive):
+        return balance_splits(keys, alive, hc)
+
+    keys_sh = jax.device_put(
+        keys_all.reshape(D, -1), NamedSharding(mesh, P(AXIS, None)))
+    alive = jnp.ones_like(keys_sh, bool)
+    splits = jax.jit(jax.shard_map(
+        lambda k, a: f(k[0], a[0])[None],
+        mesh=mesh, in_specs=(P(AXIS, None), P(AXIS, None)),
+        out_specs=P(AXIS, None), check_vma=False))(keys_sh, alive)
+    splits = np.asarray(splits)[0]
+
+    owner = np.asarray(owner_of(keys_all, jnp.asarray(splits)))
+    counts = np.bincount(owner, minlength=D)
+    ideal = n / D
+    assert counts.max() / ideal < 1.10, counts  # <10% over ideal
+    assert counts.min() / ideal > 0.90, counts
+    # ownership respects key ranges
+    for d in range(D):
+        k = np.asarray(keys_all)[owner == d]
+        assert (k >= splits[d]).all() and (k < splits[d + 1]).all()
+
+
+def run_pair(side, n_devices, steps, dt0):
+    # side=16 resolves to a 2-cell grid (~512 particles/cell): cell_cap
+    # must cover that or BOTH paths truncate candidates
+    cfg = SphConfig(chunk=512, cell_cap=768, ngpad=256)
+    state, box, cfg = init_sedov(side, cfg, dt0=dt0)
+    n = side ** 3
+    grid = CellGrid(choose_level(box, float(state.p.h[0]) * 1.4))
+
+    step1 = make_ve_step(box, grid, cfg)
+    s1 = state
+    for _ in range(steps):
+        s1, d1 = step1(s1)
+
+    devices = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devices, (AXIS,))
+    hc = HilbertConfig(n_ranks=n_devices, cap=int(n / n_devices * 2.5) + 64,
+                       halo_cap=int(n / n_devices * 2.0) + 64, mig_cap=256,
+                       coarse=8, dilate=3)
+    host = {f: np.asarray(getattr(state.p, f)) for f in _FIELDS[:-1]}
+    ps = distribute_hilbert(host, box, hc, mesh)
+    sN = SimState(p=ps, ttot=state.ttot, dt=state.dt, dt_m1=state.dt_m1,
+                  iteration=state.iteration)
+    stepN = make_ve_step_hilbert(box, grid, cfg, hc, mesh)
+    for _ in range(steps):
+        sN, dN = stepN(sN)
+    return s1, d1, sN, dN
+
+
+@pytest.mark.multichip
+@pytest.mark.parametrize("n_devices,side", [(2, 12), (8, 16)])
+def test_hilbert_sharded_matches_single(n_devices, side):
+    steps = 4
+    s1, d1, sN, dN = run_pair(side=side, n_devices=n_devices, steps=steps,
+                              dt0=2e-4)
+    assert float(dN.halo_frac) <= 1.0, "coarse cells narrower than r_halo"
+    assert int(dN.lost) == 0
+    assert int(dN.n_owned) == side ** 3
+    assert float(dN.imbalance) < 1.15
+    np.testing.assert_allclose(float(dN.dt), float(d1.dt), rtol=1e-4)
+    np.testing.assert_allclose(float(dN.ecin), float(d1.ecin), rtol=2e-3,
+                               atol=1e-7)
+    np.testing.assert_allclose(float(dN.eint), float(d1.eint), rtol=1e-5)
+
+    # per-particle cross-check (same pattern as the slab test)
+    from scipy.spatial import cKDTree
+    a = {f: np.asarray(getattr(s1.p, f)) for f in ("x", "y", "z", "vx")}
+    alive = np.asarray(sN.p.alive)
+    b = {f: np.asarray(getattr(sN.p, f))[alive]
+         for f in ("x", "y", "z", "vx")}
+    assert len(b["x"]) == side ** 3
+    tree = cKDTree(np.c_[a["x"], a["y"], a["z"]])
+    d, j = tree.query(np.c_[b["x"], b["y"], b["z"]])
+    assert d.max() < 1e-5
+    assert len(np.unique(j)) == len(j)
+    vscale = max(np.abs(a["vx"]).max(), 1e-12)
+    assert np.abs(b["vx"] - a["vx"][j]).max() / vscale < 2e-3
