@@ -43,7 +43,8 @@ def main():
         from sphexa_tpu.ops.cellmajor import choose_cm_grid
         from sphexa_tpu.propagator.ve_pallas import ResidentVE
 
-        grid = choose_cm_grid(box, float(state.p.h[0]) * 1.2, n, cap=128)
+        cap = int(os.environ.get("SPHEXA_BENCH_CAP", 64))
+        grid = choose_cm_grid(box, float(state.p.h[0]) * 1.2, n, cap=cap)
         eng = ResidentVE(box, grid, cfg)
         rst = eng.bind(state)
         assert int(rst.overflow) == 0, "cell CAP overflow at bind"

@@ -1,18 +1,15 @@
-"""SPH-EXA-TPU: a TPU-native smoothed-particle-hydrodynamics framework.
+"""sphexa_tpu: TPU-native SPH framework (SPH-EXA re-architecture)."""
 
-A from-scratch re-design of the capabilities of SPH-EXA (C++/MPI/CUDA) for
-TPUs using JAX/XLA/Pallas:
+import os as _os
 
-- fixed-shape, SFC-sorted particle arrays instead of dynamic octrees
-- uniform cell-list neighbor search producing padded fixed-k neighbor lists,
-  built once per step and reused by every SPH pair stage
-- fp32 compute with compensated (Kahan) summation for conservation-grade
-  reductions (the reference uses fp64 coordinates)
-- multi-chip scaling via jax.sharding meshes and XLA collectives
-  (psum / ppermute halo bands) instead of MPI point-to-point
-"""
+# Persistent XLA compile cache: the Pallas pair kernels take minutes to
+# compile over the remote-compile tunnel; cache them across processes.
+if _os.environ.get("SPHEXA_NO_COMPILE_CACHE") != "1":
+    try:
+        import jax as _jax
 
-__version__ = "0.1.0"
-
-from sphexa_tpu.config import SphConfig
-from sphexa_tpu.sfc.box import Box, Boundary
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.path.expanduser("~/.cache/sphexa-jax"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

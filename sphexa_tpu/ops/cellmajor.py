@@ -71,19 +71,27 @@ class CMLayout(NamedTuple):
 
 
 def choose_cm_grid(box: Box, h_max: float, n_global: int,
-                   target_occupancy: float = 100.0, cap: int = 128,
+                   target_occupancy: float = 0.0, cap: int = 128,
                    slack: float = 1.05) -> CMGrid:
     """Pick the interior cell count: as many cells as the 2*h_max search
     radius allows (correctness bound), but no more than needed to keep the
-    mean occupancy near target (efficiency bound)."""
+    mean occupancy near target (efficiency bound). target_occupancy=0
+    defaults to ~78% of cap (headroom for compression). n is kept even so
+    npd = n + 2 is even (cap-64 tiles pack two cells per 128 lanes)."""
     import math
 
+    if target_occupancy <= 0:
+        target_occupancy = 0.78 * cap
     L = min(box.lx, box.ly, box.lz)
     n_corr = max(1, int(math.floor(L / (2.0 * h_max * slack))))
     vol_per_cell = target_occupancy * (box.lx * box.ly * box.lz) / max(n_global, 1)
     cell_occ = vol_per_cell ** (1.0 / 3.0)
     n_occ = max(1, int(math.ceil(L / cell_occ)))
-    return CMGrid(n=min(n_corr, max(n_occ, 1)), cap=cap)
+    n = min(n_corr, max(n_occ, 1))
+    if n > 1 and n % 2:
+        n -= 1 if n_corr <= n else -1
+        n = min(n, n_corr)
+    return CMGrid(n=max(n, 1), cap=cap)
 
 
 def interior_mask(grid: CMGrid) -> jnp.ndarray:

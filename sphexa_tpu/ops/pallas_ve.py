@@ -2,18 +2,22 @@
 
 Physics identical to sphexa_tpu/sph/hydro_ve.py (reference:
 sph/include/sph/hydro_ve/*_kern.hpp); execution model completely
-different — and, since round 2, column-structured:
+different — and rebuilt in round 2:
 
-  - One Pallas program per interior (x, y) *column* of cells; a
-    fori_loop walks the n interior z-cells. The 9 neighbor z-columns
-    stream as single contiguous [F, npd*CAP] blocks (z-columns are
-    contiguous in the slot array), replacing round-1's 27 tiny 4KB
-    block DMAs per cell with 9 large DMAs per column — the DMA-latency
-    analog of the reference's warp-persistent kernels (xmass_gpu.cu).
-  - The per-cell 27-neighborhood is consumed as nine [CAP, 3*CAP]
-    z-run windows sliced out of the resident columns at 128-aligned
-    dynamic offsets: dense masked arithmetic, no gathers, no tree walk,
-    no PBC folds (ghost cells carry pre-shifted periodic images).
+  - One Pallas program per *z-supercell* (Z consecutive cells of one
+    column, make_cell_pair_call): the 27 neighbor streams arrive as
+    [F, Z*CAP] blocks and each cell consumes its 27-neighborhood as
+    nine statically-sliced [CAP, 3*CAP] z-run windows — dense masked
+    arithmetic, no gathers, no tree walk, no PBC folds (ghost cells
+    carry pre-shifted periodic images). This is the TPU analog of the
+    reference's warp-persistent kernels (xmass_gpu.cu).
+  - Measured speed-of-light note (TPU v5e): the VPU sustains ~1.4
+    TFLOP/s fp32 (bf16 is no faster) and these kernels run at ~1.8-2.3
+    TF effective — i.e. at the vector unit's ceiling, not at an
+    overhead floor. Gains must come from fewer pair-lanes (cap-64
+    cells pack two cells per 128-lane tile: ~1.8x fewer padded lanes
+    than cap-128 at equal physics) and from moving reductions to the
+    MXU, not from scheduling.
   - Geometry is sqrt-free where possible: the sinc^n kernel is a
     polynomial in v^2 = d^2/h^2, so stages that never need the actual
     distance (xmass, gradh, IAD) skip the sqrt entirely; stages that
@@ -60,12 +64,109 @@ _NEG = -1e30
 # column-grid pallas_call builder
 # --------------------------------------------------------------------------
 
+def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
+                        fi2: int = 0, interpret: bool = False,
+                        zgroup: int = 0):
+    """Build a pallas_call running `body(center, get_run[, i2]) -> [fo, CAP]`
+    over all interior cells.
+
+    One program covers a *z-supercell* of Z consecutive cells of one
+    column: the 27 neighbor streams arrive as [fj, Z*CAP] blocks (Z x
+    fewer, Z x larger DMAs than per-cell blocks — the DMA-latency floor
+    measured ~90 ms/kernel at 1M particles with Z=1), the nine z-run
+    concatenations are shared by the Z cells, and the body is unrolled
+    Z times (compile cost scales with Z, not with the grid size).
+    Z must divide npd = n + 2; zgroup=0 picks the largest of 8/6/4/3/2/1
+    that does. Supercells at the column ends compute garbage into the
+    z-ghost slots — harmless, every consumer ghost-refreshes first."""
+    CAP = grid.cap
+    npd = grid.np_
+    n = grid.n
+    lane_mult = max(1, 128 // CAP)   # Z*CAP must be a multiple of 128
+    if zgroup == 0:
+        zgroup = next(z for z in (8, 6, 4, 3, 2, 1)
+                      if npd % z == 0 and (z * CAP) % 128 == 0)
+    Z = zgroup
+    assert npd % Z == 0 and (Z * CAP) % 128 == 0, (Z, CAP)
+    nzb = npd // Z            # z-blocks per column
+    BW = Z * CAP              # lane width of one block
+
+    def parts(c):
+        t = jax.lax.rem(c, nzb)
+        cy = jax.lax.rem(jax.lax.div(c, nzb), n)
+        cx = jax.lax.div(c, n * nzb)
+        return cx, cy, t
+
+    def jmap(c, dx, dy, k):
+        cx, cy, t = parts(c)
+        tk = jnp.clip(t + k, 0, nzb - 1)   # clamped: end windows unused
+        return (0, ((cx + 1 + dx) * npd + (cy + 1 + dy)) * nzb + tk)
+
+    in_specs = [
+        pl.BlockSpec((fj, BW),
+                     functools.partial(jmap, dx=dx, dy=dy, k=k),
+                     memory_space=pltpu.VMEM)
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for k in (-1, 0, 1)
+    ]
+
+    def own_map(c):
+        cx, cy, t = parts(c)
+        return (0, ((cx + 1) * npd + (cy + 1)) * nzb + t)
+
+    if fi2:
+        in_specs.append(pl.BlockSpec((fi2, BW), own_map,
+                                     memory_space=pltpu.VMEM))
+    out_specs = pl.BlockSpec((fo, BW), own_map, memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        jrefs = refs[:27]
+        i2ref = refs[27] if fi2 else None
+        oref = refs[-1]
+        # nine 3-block z-runs, shared by the Z cells of this supercell
+        runs = [jnp.concatenate([jrefs[3 * g][...], jrefs[3 * g + 1][...],
+                                 jrefs[3 * g + 2][...]], axis=1)
+                for g in range(9)]
+        own = runs[4]  # own column: center blocks live at lanes [BW, 2BW)
+
+        outs = []
+        for j in range(Z):
+            lo = (Z + j - 1) * CAP
+            center = own[:, (Z + j) * CAP:(Z + j + 1) * CAP]
+
+            def get_run(g, lo=lo):
+                return runs[g][:, lo:lo + 3 * CAP]
+
+            if fi2:
+                outs.append(body(center, get_run,
+                                 i2ref[:, j * CAP:(j + 1) * CAP]))
+            else:
+                outs.append(body(center, get_run))
+        oref[...] = jnp.concatenate(outs, axis=1)
+
+    def call(J, I2=None):
+        args = [J] * 27 + ([I2] if fi2 else [])
+        return pl.pallas_call(
+            kernel,
+            grid=(n * n * nzb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=jax.ShapeDtypeStruct((fo, grid.n_slots), jnp.float32),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
 def make_column_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
                           fi2: int = 0, interpret: bool = False):
     """Build a pallas_call running `body(center, get_run[, i2]) -> [fo, CAP]`
     for every interior cell, one program per interior (x, y) column.
     get_run(g) returns the g-th z-run window [fj, 3*CAP] (g in 0..8);
-    center is the cell's own [fj, CAP] block."""
+    center is the cell's own [fj, CAP] block.
+
+    The z-walk is statically unrolled (dynamic lane offsets measured
+    ~50x slower through Mosaic relayouts), which multiplies compile
+    time by n — use for small grids / after compile caching."""
     CAP = grid.cap
     npd = grid.np_
     n = grid.n
@@ -839,10 +940,18 @@ def _pad_rows(rows, mult: int = 8):
 
 
 class PallasVE:
-    """Compiled pallas pair-stage collection for one (grid, cfg)."""
+    """Compiled pallas pair-stage collection for one (grid, cfg).
 
-    def __init__(self, grid: CMGrid, cfg: SphConfig, interpret: bool = False):
-        assert grid.cap % 128 == 0, "CAP must be a multiple of 128 lanes"
+    kernel_mode "cell" (default) iterates the Pallas grid per cell —
+    flat compile time; "column" unrolls a per-(x,y)-column z-walk over
+    9 large contiguous DMAs — fewer/bigger transfers but compile time
+    scaling with n (pick it for small grids)."""
+
+    def __init__(self, grid: CMGrid, cfg: SphConfig, interpret: bool = False,
+                 kernel_mode: str = "cell"):
+        # cap 64 packs two cells per 128-lane tile (supercell blocks stay
+        # 128-aligned); windows slice at 64-lane static offsets
+        assert grid.cap % 64 == 0, "CAP must be a multiple of 64 lanes"
         n_w = int(cfg.sinc_index)
         assert float(n_w) == float(cfg.sinc_index) and n_w >= 2, \
             "pallas path needs an integer sinc index"
@@ -850,8 +959,9 @@ class PallasVE:
         self.cfg = cfg
         self.K3d = kernel_3d_k(cfg.sinc_index)
         kw = dict(K3d=self.K3d, n_w=n_w)
-        mk = functools.partial(make_column_pair_call, grid,
-                               interpret=interpret)
+        maker = (make_column_pair_call if kernel_mode == "column"
+                 else make_cell_pair_call)
+        mk = functools.partial(maker, grid, interpret=interpret)
         self._xh = mk(8, 3, functools.partial(_xh_body, cfg=cfg, **kw))
         self._gradh = mk(8, 2, functools.partial(_gradh_body, **kw))
         iad_body = _iad_hybrid_body if cfg.mxu_moments else _iad_direct_body
