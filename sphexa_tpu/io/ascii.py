@@ -9,7 +9,7 @@ class AsciiWriter:
     def __init__(self, path: str):
         self.path = path
 
-    def write_step(self, state, cfg, box, fields=None):
+    def write_step(self, state, cfg, box, fields=None, turb_state=None):
         ps = state.p
         alive = np.asarray(ps.alive)
         cols = {n: np.asarray(getattr(ps, n))[alive]

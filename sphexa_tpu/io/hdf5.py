@@ -41,9 +41,11 @@ class HDF5Writer:
         self._file = h5py.File(path, "a")
 
     def write_step(self, state: SimState, cfg: SphConfig, box: Box,
-                   fields: dict | None = None):
+                   fields: dict | None = None, turb_state: dict | None = None):
         """Write one output step. `fields` may add derived columns
-        (rho, p, ...) beyond the conserved set."""
+        (rho, p, ...) beyond the conserved set. turb_state persists the
+        turbulence OU phases + RNG state (reference checkpoints them,
+        physics/turbulence_data.hpp:56)."""
         ps = state.p
         alive = np.asarray(ps.alive)
         n = int(alive.sum())
@@ -58,6 +60,12 @@ class HDF5Writer:
             g.create_dataset(name, data=np.asarray(getattr(ps, name))[alive])
         for name, arr in (fields or {}).items():
             g.create_dataset(name, data=np.asarray(arr)[alive])
+        if turb_state is not None:
+            import json
+            g.create_dataset("turbulence_phases",
+                             data=np.asarray(turb_state["phases"]))
+            g.attrs["turbulence_rng_state"] = json.dumps(
+                turb_state["rng_state"])
         self._file.flush()
         return step_idx
 
@@ -90,11 +98,26 @@ class HDF5Reader:
 
 
 def save_checkpoint(path: str, state: SimState, cfg: SphConfig, box: Box,
-                    extra_fields: dict | None = None):
+                    extra_fields: dict | None = None,
+                    turb_state: dict | None = None):
     w = HDF5Writer(path)
-    idx = w.write_step(state, cfg, box, extra_fields)
+    idx = w.write_step(state, cfg, box, extra_fields, turb_state=turb_state)
     w.close()
     return idx
+
+
+def load_turbulence_state(path: str, step: int = -1):
+    """Restore the turbulence OU driver state from a dump, or None."""
+    import h5py
+    import json
+
+    with h5py.File(path, "r") as f:
+        steps = sorted(k for k in f.keys() if k.startswith("Step#"))
+        g = f[steps[step]]
+        if "turbulence_phases" not in g:
+            return None
+        return dict(phases=np.asarray(g["turbulence_phases"]),
+                    rng_state=json.loads(g.attrs["turbulence_rng_state"]))
 
 
 def load_checkpoint(path: str, cfg: SphConfig, step: int = -1,

@@ -31,7 +31,7 @@ def parse_args(argv=None):
                    help="stop when simulation time reached")
     p.add_argument("--prop", default="ve",
                    choices=["ve", "std", "ve-pallas", "nbody",
-                            "turbulence-ve"],
+                            "turbulence-ve", "std-cooling"],
                    help="propagator choice (reference: --prop)")
     p.add_argument("-w", "--output-every", type=int, default=0,
                    help="write output every N iterations (0 = never)")
@@ -54,27 +54,63 @@ def build_sim(args):
     from sphexa_tpu.config import SphConfig
 
     cfg = SphConfig()
+    extras = {}
     if ":" in args.init or args.init.endswith(".h5"):
         from sphexa_tpu.io.hdf5 import load_checkpoint
         path, _, step_s = args.init.partition(":")
         step = int(step_s) if step_s else -1
         state, box, cfg = load_checkpoint(path, cfg, step=step)
+        from sphexa_tpu.io.hdf5 import load_turbulence_state
+        try:
+            ts = load_turbulence_state(path, step)
+        except Exception:
+            ts = None
+        if ts is not None:
+            extras["turb"] = ts
+    elif args.init == "evrard-cooling":
+        from sphexa_tpu.init.evrard_cooling import init_evrard_cooling
+        state, box, cfg, ex = init_evrard_cooling(args.n, cfg, dt0=args.dt0)
+        extras.update(ex)
+        args.prop = "std-cooling"
     else:
         from sphexa_tpu.init.factory import make_initializer
         init = make_initializer(args.init)
         state, box, cfg = init(args.n, cfg, dt0=args.dt0)
-    return state, box, cfg
+    return state, box, cfg, extras
 
 
-def make_stepper(args, box, cfg, h_max, n):
+def make_stepper(args, box, cfg, h_max, n, extras=None):
+    extras = extras or {}
+    if args.prop == "std-cooling":
+        from sphexa_tpu.neighbors import CellGrid, choose_level
+        from sphexa_tpu.physics.cooling import CoolingParams
+        from sphexa_tpu.propagator.std_cooling import make_std_cooling_step
+        grid = CellGrid(choose_level(box, h_max * 1.25))
+        cparams = extras.get("cooling_params", CoolingParams())
+        if "chem" in extras:
+            raw = make_std_cooling_step(box, grid, cfg, params=cparams,
+                                        with_chemistry=True)
+
+            def step_with_chem(state, _extras=extras, _raw=raw):
+                new_state, diag, chem = _raw(state, _extras["chem"])
+                _extras["chem"] = chem
+                return new_state, diag
+
+            return step_with_chem, grid
+        return make_std_cooling_step(box, grid, cfg, params=cparams), grid
     if args.prop == "nbody":
         from sphexa_tpu.propagator.nbody import make_nbody_step
         return make_nbody_step(box, cfg), None
     if args.prop == "turbulence-ve":
         from sphexa_tpu.neighbors import CellGrid, choose_level
+        from sphexa_tpu.physics.turbulence import TurbulenceData
         from sphexa_tpu.propagator.turb_ve import TurbVeProp
         grid = CellGrid(choose_level(box, h_max * 1.25))
-        return TurbVeProp(box, grid, cfg, verbose=not args.quiet), grid
+        turb = TurbulenceData.create(verbose=not args.quiet)
+        if "turb" in extras:  # restart: restore OU phases + RNG
+            turb.restore(extras["turb"])
+        prop = TurbVeProp(box, grid, cfg, turb=turb, verbose=not args.quiet)
+        return prop, grid
     if args.prop == "ve-pallas":
         from sphexa_tpu.ops.cellmajor import choose_cm_grid
         from sphexa_tpu.propagator.ve_pallas import make_ve_step_pallas
@@ -93,12 +129,12 @@ def make_stepper(args, box, cfg, h_max, n):
 
 def main(argv=None):
     args = parse_args(argv)
-    state, box, cfg = build_sim(args)
+    state, box, cfg, extras = build_sim(args)
 
     alive = np.asarray(state.p.alive)
     n_active = int(alive.sum())
     h_max = float(np.max(np.asarray(state.p.h)[alive]))
-    step_fn, grid = make_stepper(args, box, cfg, h_max, n_active)
+    step_fn, grid = make_stepper(args, box, cfg, h_max, n_active, extras)
 
     writer = None
     if args.output_every:
@@ -141,7 +177,8 @@ def main(argv=None):
         new_h_max = float(diag.h_max)
         if new_h_max > h_max * 1.25:
             h_max = new_h_max
-            step_fn, grid = make_stepper(args, box, cfg, h_max, n_active)
+            step_fn, grid = make_stepper(args, box, cfg, h_max, n_active,
+                                         extras)
             if not args.quiet:
                 print(f"# re-gridded for h_max={h_max:.4g}: {grid}")
 
@@ -162,12 +199,30 @@ def main(argv=None):
                   f"nc~{float(diag.nc_mean):.0f} "
                   f"wall={dt_wall*1e3:.0f}ms", flush=True)
         if int(diag.max_nc) > cfg.ngpad or int(diag.max_cell_count) > cfg.cell_cap:
-            print(f"# WARNING: neighbor overflow (max_nc={int(diag.max_nc)}, "
-                  f"max_cell={int(diag.max_cell_count)}) — raise caps",
-                  file=sys.stderr)
+            # fail-stop, not a warning: truncated candidate sets are
+            # silently wrong physics (reference throws,
+            # xmass_gpu.cu:120-128). Try one re-grid with larger caps,
+            # then abort.
+            if not getattr(main, "_regrew", False):
+                main._regrew = True
+                cfg = cfg.replace(
+                    ngpad=max(cfg.ngpad, 2 * int(diag.max_nc)),
+                    cell_cap=max(cfg.cell_cap, 2 * int(diag.max_cell_count)))
+                step_fn, grid = make_stepper(args, box, cfg, h_max,
+                                             n_active, extras)
+                print(f"# re-gridded with larger caps: ngpad={cfg.ngpad} "
+                      f"cell_cap={cfg.cell_cap}", file=sys.stderr)
+            else:
+                raise RuntimeError(
+                    f"capacity overflow persists after re-grid "
+                    f"(max_nc={int(diag.max_nc)}, "
+                    f"max_cell={int(diag.max_cell_count)})")
 
         if writer and (it + 1) % args.output_every == 0:
-            writer.write_step(state, cfg, box)
+            turb_state = None
+            if args.prop == "turbulence-ve" and hasattr(step_fn, "turb"):
+                turb_state = step_fn.turb.checkpoint_state()
+            writer.write_step(state, cfg, box, turb_state=turb_state)
         if viz:
             viz.execute(state, box, int(state.iteration) - 1)
 
