@@ -34,20 +34,31 @@ from sphexa_tpu.sfc.box import Box, normalize_coords
 class CMGrid:
     """Static cell-major grid description (hashable).
 
-    n is the interior cell count per dim (any integer — row-major ids
-    need no power-of-two). cap must be a multiple of 128 (Pallas TPU
-    lane-tiling constraint on [F, cap] blocks).
+    n is the interior cell count in x and y; nz (default n) may differ —
+    the multi-chip path shards the box into z-plane ranges, so each
+    device's local grid is n x n x nz_local. Row-major ids need no
+    power-of-two. cap must be a multiple of 64 (lane tiling; cap-64
+    packs two cells per 128-lane tile).
     """
-    n: int               # interior cells per dim
+    n: int               # interior cells in x and y
     cap: int = 128       # particle slots per cell
+    nzi: int = 0         # interior cells in z (0 = same as n)
 
     @property
-    def np_(self) -> int:  # padded cells per dim (one ghost layer per side)
+    def nz(self) -> int:
+        return self.nzi if self.nzi else self.n
+
+    @property
+    def np_(self) -> int:  # padded cells per x/y dim
         return self.n + 2
 
     @property
+    def npz(self) -> int:  # padded cells in z
+        return self.nz + 2
+
+    @property
     def n_cells(self) -> int:
-        return self.np_ ** 3
+        return self.np_ ** 2 * self.npz
 
     @property
     def n_slots(self) -> int:
@@ -55,8 +66,7 @@ class CMGrid:
 
     def padded_id(self, cx, cy, cz):
         """Row-major padded cell id from interior coords (adds ghost offset)."""
-        npd = self.np_
-        return ((cx + 1) * npd + (cy + 1)) * npd + (cz + 1)
+        return (((cx + 1) * self.np_) + (cy + 1)) * self.npz + (cz + 1)
 
 
 class CMLayout(NamedTuple):
@@ -97,32 +107,33 @@ def choose_cm_grid(box: Box, h_max: float, n_global: int,
 def interior_mask(grid: CMGrid) -> jnp.ndarray:
     """Static bool [n_slots]: slot belongs to an interior (non-ghost) cell."""
     cx, cy, cz = _cell_coords_all(grid)
-    n = grid.n
+    n, nz = grid.n, grid.nz
     cell_int = ((cx >= 1) & (cx <= n) & (cy >= 1) & (cy <= n)
-                & (cz >= 1) & (cz <= n))
+                & (cz >= 1) & (cz <= nz))
     return jnp.asarray(np.repeat(cell_int, grid.cap))
 
 
 def _cell_coords_all(grid: CMGrid):
     """Integer coords (padded frame) of every padded cell, as numpy consts."""
-    npd = grid.np_
+    npd, npz = grid.np_, grid.npz
     ids = np.arange(grid.n_cells)
-    cz = ids % npd
-    cy = (ids // npd) % npd
-    cx = ids // (npd * npd)
+    cz = ids % npz
+    cy = (ids // npz) % npd
+    cx = ids // (npz * npd)
     return cx, cy, cz
 
 
 def build_layout(grid: CMGrid, box: Box, x, y, z, alive=None) -> CMLayout:
     N = x.shape[0]
     n = grid.n
+    nzc = grid.nz
     cap = grid.cap
     npd = grid.np_
 
     nx, ny, nz = normalize_coords(box, x, y, z)
     ix = jnp.minimum((nx * n).astype(jnp.int32), n - 1)
     iy = jnp.minimum((ny * n).astype(jnp.int32), n - 1)
-    iz = jnp.minimum((nz * n).astype(jnp.int32), n - 1)
+    iz = jnp.minimum((nz * nzc).astype(jnp.int32), nzc - 1)
     cid = grid.padded_id(ix, iy, iz)
     if alive is not None:
         cid = jnp.where(alive, cid, grid.n_cells)  # park dead rows past the end
@@ -150,25 +161,25 @@ def build_layout(grid: CMGrid, box: Box, x, y, z, alive=None) -> CMLayout:
     # ---- ghost cells: pull from wrapped interior cells with coord shifts ----
     cx, cy, cz = _cell_coords_all(grid)  # padded coords, numpy
     is_interior_cell = ((cx >= 1) & (cx <= n) & (cy >= 1) & (cy <= n)
-                        & (cz >= 1) & (cz <= n))
+                        & (cz >= 1) & (cz <= nzc))
 
     px, py, pz = box.periodic
 
-    def wrap(c, periodic):
+    def wrap(c, periodic, nd, last):
         # padded coord -> source padded coord + box-length shift count
         if periodic:
-            shift = np.where(c == 0, 1, np.where(c == npd - 1, -1, 0))
+            shift = np.where(c == 0, 1, np.where(c == last - 1, -1, 0))
         else:
             shift = np.zeros_like(c)  # non-periodic ghosts stay empty
-        return c + shift * n, shift
+        return c + shift * nd, shift
 
-    sxc, shx = wrap(cx, px)
-    syc, shy = wrap(cy, py)
-    szc, shz = wrap(cz, pz)
-    src_cell = (sxc * npd + syc) * npd + szc
+    sxc, shx = wrap(cx, px, n, npd)
+    syc, shy = wrap(cy, py, n, npd)
+    szc, shz = wrap(cz, pz, nzc, grid.npz)
+    src_cell = (sxc * npd + syc) * grid.npz + szc
     # ghost cell is fillable only if all out-of-range dims are periodic
     fillable = (((cx >= 1) & (cx <= n)) | px) & (((cy >= 1) & (cy <= n)) | py) \
-        & (((cz >= 1) & (cz <= n)) | pz)
+        & (((cz >= 1) & (cz <= nzc)) | pz)
 
     lane = np.arange(cap)
     cell_of_slot = np.repeat(np.arange(grid.n_cells), cap)

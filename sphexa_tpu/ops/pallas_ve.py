@@ -81,14 +81,14 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
     z-ghost slots — harmless, every consumer ghost-refreshes first."""
     CAP = grid.cap
     npd = grid.np_
+    npz = grid.npz
     n = grid.n
-    lane_mult = max(1, 128 // CAP)   # Z*CAP must be a multiple of 128
     if zgroup == 0:
         zgroup = next(z for z in (8, 6, 4, 3, 2, 1)
-                      if npd % z == 0 and (z * CAP) % 128 == 0)
+                      if npz % z == 0 and (z * CAP) % 128 == 0)
     Z = zgroup
-    assert npd % Z == 0 and (Z * CAP) % 128 == 0, (Z, CAP)
-    nzb = npd // Z            # z-blocks per column
+    assert npz % Z == 0 and (Z * CAP) % 128 == 0, (Z, CAP)
+    nzb = npz // Z            # z-blocks per column
     BW = Z * CAP              # lane width of one block
 
     def parts(c):
@@ -170,6 +170,7 @@ def make_column_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
     CAP = grid.cap
     npd = grid.np_
     n = grid.n
+    assert grid.nz == grid.n, "column mode supports cubic grids only"
     COLW = npd * CAP
 
     def jmap(c, dx, dy):
@@ -232,15 +233,19 @@ def make_column_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
 # --------------------------------------------------------------------------
 
 def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
-                       xyz_rows=None, interpret: bool = False):
+                       xyz_rows=None, interpret: bool = False,
+                       refresh_z: bool = True):
     """Refresh all ghost columns and z-ghost lanes of a [nrows, n_slots]
     row stack. xyz_rows=(ix,iy,iz) marks coordinate rows that receive
     the +-L periodic shifts (or the FILL_POS invalidation on open
-    boundaries)."""
+    boundaries). refresh_z=False leaves the z-ghost lanes untouched —
+    the multi-chip path fills them from the neighbor device's edge
+    planes via ppermute instead."""
     CAP = grid.cap
     npd = grid.np_
     n = grid.n
-    COLW = npd * CAP
+    nz = grid.nz
+    COLW = grid.npz * CAP
     px_per, py_per, pz_per = box.periodic
     lx, ly, lz = float(box.lx), float(box.ly), float(box.lz)
 
@@ -248,7 +253,7 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
         # built in-kernel (pallas kernels cannot capture array constants)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, COLW), 1)
         lo = lane < CAP
-        hi = lane >= (n + 1) * CAP
+        hi = lane >= (nz + 1) * CAP
         zshift = jnp.where(lo, -lz, jnp.where(hi, lz, 0.0)).astype(
             jnp.float32)
         return zshift, lo | hi
@@ -272,10 +277,13 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
         px = c // npd
         py = c % npd
         v = src_ref[:, :]
-        out = jnp.concatenate(
-            [v[:, n * CAP:(n + 1) * CAP],       # low z ghost <- cell n
-             v[:, CAP:(n + 1) * CAP],           # interior cells unchanged
-             v[:, CAP:2 * CAP]], axis=1)        # high z ghost <- cell 1
+        if refresh_z:
+            out = jnp.concatenate(
+                [v[:, nz * CAP:(nz + 1) * CAP],  # low z ghost <- cell nz
+                 v[:, CAP:(nz + 1) * CAP],       # interior cells unchanged
+                 v[:, CAP:2 * CAP]], axis=1)     # high z ghost <- cell 1
+        else:
+            out = v
 
         if xyz_rows is not None:
             ix, iy, iz = xyz_rows
@@ -291,7 +299,7 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
                 sy = jnp.where(py == 0, -ly,
                                jnp.where(py == npd - 1, ly, 0.0))
                 add = add + jnp.where(row == iy, jnp.float32(sy), 0.0)
-            if pz_per:
+            if pz_per and refresh_z:
                 add = add + jnp.where(row == iz, zshift, 0.0)
             out = out + add
             # open/fixed boundaries: those ghosts hold no images
@@ -302,7 +310,7 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
                 if not py_per:
                     bad = bad | (py == 0) | (py == npd - 1)
                 out = jnp.where(bad, _fill_const(), out)
-            if not pz_per:
+            if not pz_per and refresh_z:
                 out = jnp.where(zghost, _fill_const(), out)
         oref[:, :] = out
 

@@ -60,22 +60,25 @@ class _Refreshers:
         return self._cache[key]
 
 
-def _run_pipeline(pve: PallasVE, rf: _Refreshers, base, m, vx, vy, vz,
+def _run_pipeline(pve: PallasVE, refresh, base, m, vx, vy, vz,
                   temp, alpha, dt, validint):
     """The five pair stages with ghost refreshes between them. base[3]
-    (h) is replaced by the xmass-stage adapted h. Returns a dict of cm
-    frame results."""
+    (h) is replaced by the xmass-stage adapted h. `refresh` maps a
+    [k, n_slots] row stack to the same stack with all ghost slots
+    re-derived (single chip: the pallas ghost kernel; multi chip: that
+    plus the ppermute z-plane exchange). Returns a dict of cm frame
+    results."""
     cfg = pve.cfg
 
     xm, h_new, nc = pve.xmass_h(base, m)
     h_new = jnp.where(validint, h_new, base[3])
-    st = rf(2)(jnp.stack([xm, h_new]))
+    st = refresh(jnp.stack([xm, h_new]))
     xm, h_new = st[0], st[1]
     base = [base[0], base[1], base[2], h_new, base[4]]
     nc_sph = nc + 1.0
 
     kx, gradh = pve.gradh(base, m, xm)
-    st = rf(2)(jnp.stack([kx, gradh]))
+    st = refresh(jnp.stack([kx, gradh]))
     kx, gradh = st[0], st[1]
 
     # EOS is elementwise on ghost-correct rows, so its outputs are
@@ -84,19 +87,17 @@ def _run_pipeline(pve: PallasVE, rf: _Refreshers, base, m, vx, vy, vz,
 
     cij, divv, curlv, gradv = pve.iad_divv(base, kx, xm, vx, vy, vz)
     if cfg.av_clean:
-        zero = jnp.zeros_like(divv)
-        st = rf(16)(jnp.stack(list(cij) + [divv, curlv] + list(gradv)
-                              + [zero, zero]))
+        st = refresh(jnp.stack(list(cij) + [divv, curlv] + list(gradv)))
         gradv = tuple(st[8 + i] for i in range(6))
     else:
-        st = rf(8)(jnp.stack(list(cij) + [divv, curlv]))
+        st = refresh(jnp.stack(list(cij) + [divv, curlv]))
     cij = tuple(st[i] for i in range(6))
     divv, curlv = st[6], st[7]
 
     alpha_out = pve.av_switches(base, c, kx, xm, divv, vx, vy, vz, cij,
                                 alpha, dt)
     alpha_new = jnp.where(validint, alpha_out, alpha)
-    alpha_new = rf(1)(alpha_new[None])[0]
+    alpha_new = refresh(alpha_new[None])[0]
 
     mom_kw = {}
     if cfg.av_clean:
@@ -153,9 +154,10 @@ def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
         cm = lambda f, fill=0.0: to_cm(layout, f, fill)
         validint = layout.valid & intmask
 
-        out = _run_pipeline(pve, rf, base, cm(ps.m), cm(ps.vx), cm(ps.vy),
-                            cm(ps.vz), cm(ps.temp), cm(ps.alpha), state.dt,
-                            validint)
+        refresh = lambda st: rf(st.shape[0])(st)
+        out = _run_pipeline(pve, refresh, base, cm(ps.m), cm(ps.vx),
+                            cm(ps.vy), cm(ps.vz), cm(ps.temp), cm(ps.alpha),
+                            state.dt, validint)
         out, egrav = _add_gravity(out, base[0], base[1], base[2], cm(ps.m),
                                   validint, box, cfg)
 
@@ -318,7 +320,8 @@ class ResidentVE:
         validint = rst.valid & self.intmask
 
         base = [rst.x, rst.y, rst.z, rst.h, rst.gid]
-        out = _run_pipeline(self.pve, self.rf, base, rst.m, rst.vx, rst.vy,
+        refresh = lambda st: self.rf(st.shape[0])(st)
+        out = _run_pipeline(self.pve, refresh, base, rst.m, rst.vx, rst.vy,
                             rst.vz, rst.temp, rst.alpha, rst.dt, validint)
         out, egrav = _add_gravity(out, rst.x, rst.y, rst.z, rst.m, validint,
                                   box, cfg)
