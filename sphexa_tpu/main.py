@@ -30,7 +30,7 @@ def parse_args(argv=None):
     p.add_argument("--sim-time", type=float, default=None,
                    help="stop when simulation time reached")
     p.add_argument("--prop", default="ve",
-                   choices=["ve", "std", "ve-pallas", "nbody",
+                   choices=["ve", "std", "ve-pallas", "ve-bdt", "nbody",
                             "turbulence-ve", "std-cooling"],
                    help="propagator choice (reference: --prop)")
     p.add_argument("-w", "--output-every", type=int, default=0,
@@ -118,6 +118,44 @@ def make_stepper(args, box, cfg, h_max, n, extras=None):
         import jax
         interpret = jax.devices()[0].platform != "tpu"
         return make_ve_step_pallas(box, grid, cfg, interpret=interpret), grid
+    if args.prop == "ve-bdt":
+        import jax
+        from sphexa_tpu.ops.cellmajor import choose_cm_grid
+        from sphexa_tpu.propagator.ve_bdt import BdtVE
+        grid = choose_cm_grid(box, h_max * 1.25, n)
+        interpret = jax.devices()[0].platform != "tpu"
+        bdt = BdtVE(box, grid, cfg, interpret=interpret)
+
+        class _BdtAdapter:
+            """One __call__ = one full rung cycle (2^(nr-1) substeps)."""
+
+            def __init__(self):
+                self.bst = None
+
+            def __call__(self, state):
+                if self.bst is None:
+                    self.bst = bdt.bind_bdt(state)
+                self.bst, diags = bdt.run_cycle(self.bst)
+                d = diags[-1]
+                out = bdt.unbind(self.bst.rv, state.p.n)
+                import numpy as np
+                fr = float(np.mean([float(x.active_frac) for x in diags]))
+                print(f"# bdt: active fraction {fr:.2f}, rungs "
+                      f"{np.asarray(d.rung_hist).tolist()}")
+
+                class _D:  # minimal diag surface for the main loop
+                    dt, ttot, etot = d.dt, d.ttot, d.etot
+                    ecin, eint = d.ecin, d.eint
+                    egrav = 0.0
+                    h_max = jax.numpy.max(jax.numpy.where(
+                        out.p.alive, out.p.h, 0.0))
+                    nc_mean = 0.0
+                    max_nc = 0
+                    max_cell_count = d.overflow
+                    maxvsignal = 0.0
+                return out, _D
+
+        return _BdtAdapter(), grid
     from sphexa_tpu.neighbors import CellGrid, choose_level
     grid = CellGrid(choose_level(box, h_max * 1.25))
     if args.prop == "std":

@@ -66,7 +66,7 @@ _NEG = -1e30
 
 def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
                         fi2: int = 0, interpret: bool = False,
-                        zgroup: int = 0):
+                        zgroup: int = 0, gated: bool = False):
     """Build a pallas_call running `body(center, get_run[, i2]) -> [fo, CAP]`
     over all interior cells.
 
@@ -116,35 +116,65 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
     if fi2:
         in_specs.append(pl.BlockSpec((fi2, BW), own_map,
                                      memory_space=pltpu.VMEM))
+    if gated:
+        # per-slot activity flags + previous outputs: inactive supercells
+        # skip the pair compute entirely and keep the frozen values (the
+        # TPU analog of the reference's active-rung-only traversal,
+        # ve_hydro_bdt.hpp:224-289)
+        in_specs.append(pl.BlockSpec((8, BW), own_map,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((fo, BW), own_map,
+                                     memory_space=pltpu.VMEM))
     out_specs = pl.BlockSpec((fo, BW), own_map, memory_space=pltpu.VMEM)
 
     def kernel(*refs):
         jrefs = refs[:27]
-        i2ref = refs[27] if fi2 else None
+        k = 27
+        i2ref = refs[k] if fi2 else None
+        k += 1 if fi2 else 0
+        act_ref = refs[k] if gated else None
+        prev_ref = refs[k + 1] if gated else None
         oref = refs[-1]
-        # nine 3-block z-runs, shared by the Z cells of this supercell
-        runs = [jnp.concatenate([jrefs[3 * g][...], jrefs[3 * g + 1][...],
-                                 jrefs[3 * g + 2][...]], axis=1)
-                for g in range(9)]
-        own = runs[4]  # own column: center blocks live at lanes [BW, 2BW)
 
-        outs = []
-        for j in range(Z):
-            lo = (Z + j - 1) * CAP
-            center = own[:, (Z + j) * CAP:(Z + j + 1) * CAP]
+        def compute():
+            # nine 3-block z-runs, shared by the Z cells of the supercell
+            runs = [jnp.concatenate(
+                [jrefs[3 * g][...], jrefs[3 * g + 1][...],
+                 jrefs[3 * g + 2][...]], axis=1) for g in range(9)]
+            own = runs[4]   # own column: center blocks at lanes [BW, 2BW)
+            outs = []
+            for j in range(Z):
+                lo = (Z + j - 1) * CAP
+                center = own[:, (Z + j) * CAP:(Z + j + 1) * CAP]
 
-            def get_run(g, lo=lo):
-                return runs[g][:, lo:lo + 3 * CAP]
+                def get_run(g, lo=lo):
+                    return runs[g][:, lo:lo + 3 * CAP]
 
-            if fi2:
-                outs.append(body(center, get_run,
-                                 i2ref[:, j * CAP:(j + 1) * CAP]))
-            else:
-                outs.append(body(center, get_run))
-        oref[...] = jnp.concatenate(outs, axis=1)
+                if fi2:
+                    outs.append(body(center, get_run,
+                                     i2ref[:, j * CAP:(j + 1) * CAP]))
+                else:
+                    outs.append(body(center, get_run))
+            oref[...] = jnp.concatenate(outs, axis=1)
 
-    def call(J, I2=None):
+        if gated:
+            flag = jnp.max(act_ref[0, :]) > 0.5
+
+            @pl.when(flag)
+            def _():
+                compute()
+
+            @pl.when(jnp.logical_not(flag))
+            def _():
+                oref[...] = prev_ref[...]
+        else:
+            compute()
+
+    def call(J, I2=None, act=None, prev=None):
         args = [J] * 27 + ([I2] if fi2 else [])
+        if gated:
+            assert act is not None and prev is not None
+            args += [act, prev]
         return pl.pallas_call(
             kernel,
             grid=(n * n * nzb,),
@@ -956,7 +986,7 @@ class PallasVE:
     scaling with n (pick it for small grids)."""
 
     def __init__(self, grid: CMGrid, cfg: SphConfig, interpret: bool = False,
-                 kernel_mode: str = "cell"):
+                 kernel_mode: str = "cell", gated: bool = False):
         # cap 64 packs two cells per 128-lane tile (supercell blocks stay
         # 128-aligned); windows slice at 64-lane static offsets
         assert grid.cap % 64 == 0, "CAP must be a multiple of 64 lanes"
@@ -965,11 +995,16 @@ class PallasVE:
             "pallas path needs an integer sinc index"
         self.grid = grid
         self.cfg = cfg
+        self.gated = gated
         self.K3d = kernel_3d_k(cfg.sinc_index)
         kw = dict(K3d=self.K3d, n_w=n_w)
         maker = (make_column_pair_call if kernel_mode == "column"
                  else make_cell_pair_call)
         mk = functools.partial(maker, grid, interpret=interpret)
+        if gated:
+            assert kernel_mode == "cell"
+            mk = functools.partial(maker, grid, interpret=interpret,
+                                   gated=True)
         self._xh = mk(8, 3, functools.partial(_xh_body, cfg=cfg, **kw))
         self._gradh = mk(8, 2, functools.partial(_gradh_body, **kw))
         iad_body = _iad_hybrid_body if cfg.mxu_moments else _iad_direct_body
@@ -993,35 +1028,46 @@ class PallasVE:
         gid = jnp.where(layout.valid, layout.src.astype(jnp.float32), -1.0)
         return [xcm, ycm, zcm, hcm, gid]
 
-    def xmass_h(self, base, m_cm):
+    def _gate_kw(self, gate, fo):
+        if not self.gated:
+            assert gate is None
+            return {}
+        act, prevs = gate
+        return dict(act=_pad_rows([act]),
+                    prev=jnp.stack(list(prevs)[:fo])
+                    if len(prevs) == fo else _pad_rows(list(prevs), fo))
+
+    def xmass_h(self, base, m_cm, gate=None):
         """Fused nc/h-iteration/xmass. Returns (xm, h, nc); base[3] (h)
         is NOT updated in place — refresh ghosts of the returned h and
         write it back into the base rows."""
-        out = self._xh(_pad_rows(base + [m_cm]))
+        out = self._xh(_pad_rows(base + [m_cm]), **self._gate_kw(gate, 3))
         return out[0], out[1], out[2]
 
-    def gradh(self, base, m_cm, xm_cm):
-        out = self._gradh(_pad_rows(base + [m_cm, xm_cm]))
+    def gradh(self, base, m_cm, xm_cm, gate=None):
+        out = self._gradh(_pad_rows(base + [m_cm, xm_cm]),
+                          **self._gate_kw(gate, 2))
         return out[0], out[1]
 
-    def iad_divv(self, base, kx_cm, xm_cm, vx_cm, vy_cm, vz_cm):
+    def iad_divv(self, base, kx_cm, xm_cm, vx_cm, vy_cm, vz_cm, gate=None):
         J = _pad_rows(base + [kx_cm, xm_cm, vx_cm, vy_cm, vz_cm], 16)
-        out = self._iad(J)
+        out = self._iad(J, **self._gate_kw(gate, 16))
         cij = tuple(out[i] for i in range(6))
         divv, curlv = out[6], out[7]
         gradv = tuple(out[8 + i] for i in range(6))
         return cij, divv, curlv, gradv
 
     def av_switches(self, base, c_cm, kx_cm, xm_cm, divv_cm, vx_cm, vy_cm,
-                    vz_cm, cij, alpha_cm, dt):
+                    vz_cm, cij, alpha_cm, dt, gate=None):
         J = _pad_rows(base + [c_cm, kx_cm, xm_cm, divv_cm, vx_cm, vy_cm,
                               vz_cm], 16)
         dt_row = jnp.full_like(alpha_cm, dt)
         I2 = _pad_rows(list(cij) + [alpha_cm, dt_row])
-        return self._av(J, I2)[0]
+        return self._av(J, I2, **self._gate_kw(gate, 1))[0]
 
     def momentum(self, base, vx_cm, vy_cm, vz_cm, c_cm, prho_cm, rho_cm,
-                 xm_cm, alpha_cm, m_cm, cij, gradv=None, eta_crit_cm=None):
+                 xm_cm, alpha_cm, m_cm, cij, gradv=None, eta_crit_cm=None,
+                 gate=None):
         rows = base + [vx_cm, vy_cm, vz_cm, c_cm, prho_cm, rho_cm,
                        xm_cm, alpha_cm, m_cm] + list(cij)
         if self.cfg.av_clean:
@@ -1030,5 +1076,5 @@ class PallasVE:
             J = _pad_rows(rows, 32)
         else:
             J = _pad_rows(rows, 24)
-        out = self._mom(J)
+        out = self._mom(J, **self._gate_kw(gate, 5))
         return out[0], out[1], out[2], out[3], out[4]

@@ -1,0 +1,312 @@
+"""Block / individual time-steps on the resident Pallas engine — the
+HydroVeBdtProp analog (reference: main/src/propagator/ve_hydro_bdt.hpp,
+sph/include/sph/ts_rungs.hpp:117-157, timestep.h:17-34).
+
+TPU-native redesign of the reference's scheme:
+
+  - Rungs are assigned per *cell* (min over resident particles), the
+    direct analog of the reference's per-warp-group rungs
+    (ts_groups.cu): the pair kernels gate whole supercells, so rung
+    granularity = compute-skip granularity.
+  - A cycle = 2^(numRungs-1) substeps of dt_min. At substep s the
+    particles with s % 2^rung == 0 are at their kick points: the five
+    pair stages recompute ONLY supercells containing such particles
+    (pl.when skip in the gated kernels); everyone else's forces and
+    dependent fields (xm, kx, cij, divv, alpha, c, prho, rho) stay
+    frozen at their last kick values — exactly the reference's
+    stale-halo semantics for inactive rungs.
+  - Integration keeps per-slot *kick state* (positions/velocities/temp
+    and the Press-2 history at the last kick). Each substep re-derives
+    x, v, temp for ALL slots from the kick state at elapsed time
+    ticks*dt_min (second-order drift — the reference's drift-back
+    kernel, positions_gpu.cu:47-90, with the recover step replaced by
+    storing the kick state, which is cheap on TPU); slots reaching
+    ticks == 2^rung commit the advance as their new kick state.
+
+Rung assignment (cycle start, all-active full step):
+    dt_i = Kcour * h_i / vsig_i,  dt_min = min_i dt_i (growth-clamped),
+    rung_i = clip(floor(log2(dt_i / dt_min)), 0, numRungs-1),
+    then min-reduced over each cell.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.ops.cellmajor import CMGrid, interior_mask
+from sphexa_tpu.ops.pallas_ve import PallasVE
+from sphexa_tpu.propagator.ve_pallas import (ResidentVE, RVState,
+                                             _run_pipeline)
+from sphexa_tpu.sfc.box import Box
+from sphexa_tpu.sph.eos import eos_ve, ideal_gas_cv
+from sphexa_tpu.sph.kernels import ts_k_courant, update_h
+from sphexa_tpu.sph.positions import position_update, temp_update
+from sphexa_tpu.state import SimState
+from sphexa_tpu.util.kahan import kahan_sum
+
+
+@struct.dataclass
+class BDTState:
+    rv: RVState            # resident rows; x/v/temp are the DRIFTED values
+    # per-slot kick state (values committed at the slot's last kick)
+    xk: jnp.ndarray
+    yk: jnp.ndarray
+    zk: jnp.ndarray
+    tempk: jnp.ndarray
+    dxk: jnp.ndarray       # Press-2 displacement history at the kick
+    dyk: jnp.ndarray
+    dzk: jnp.ndarray
+    axk: jnp.ndarray       # acceleration committed at the kick
+    ayk: jnp.ndarray
+    azk: jnp.ndarray
+    duk: jnp.ndarray
+    du_m1k: jnp.ndarray
+    dt_m1k: jnp.ndarray    # per-slot previous kick interval
+    rung: jnp.ndarray      # per-slot rung (cell-harmonized), f32
+    ticks: jnp.ndarray     # substeps since last kick, f32
+    # frozen dependent fields (last kick values, used as j-inputs)
+    xm: jnp.ndarray
+    kx: jnp.ndarray
+    gradh: jnp.ndarray
+    c11: jnp.ndarray
+    c12: jnp.ndarray
+    c13: jnp.ndarray
+    c22: jnp.ndarray
+    c23: jnp.ndarray
+    c33: jnp.ndarray
+    divv: jnp.ndarray
+    dt_min: jnp.ndarray    # cycle base timestep
+    substep: jnp.ndarray   # position within the cycle, i32
+
+
+class BDTDiag(NamedTuple):
+    dt: jnp.ndarray
+    ttot: jnp.ndarray
+    etot: jnp.ndarray
+    ecin: jnp.ndarray
+    eint: jnp.ndarray
+    active_frac: jnp.ndarray     # fraction of particles recomputed
+    active_cell_frac: jnp.ndarray
+    rung_hist: jnp.ndarray       # [numRungs] particle counts
+    overflow: jnp.ndarray
+
+
+class BdtVE(ResidentVE):
+    """Resident engine with per-cell block time-steps. One cycle =
+    `2**(num_rungs-1)` calls of .substep(); use .run_cycle() to advance
+    a whole hierarchy."""
+
+    def __init__(self, box: Box, grid: CMGrid, cfg: SphConfig,
+                 num_rungs: int = 4, interpret: bool = False):
+        super().__init__(box, grid, cfg, interpret=interpret)
+        self.num_rungs = num_rungs
+        self.pve_gated = PallasVE(grid, cfg, interpret=interpret, gated=True)
+        # no donation: BDTState leaves alias at bind (xk = rv.x),
+        # and donating aliased buffers invalidates the survivors
+        self.substep = jax.jit(self._substep)
+
+    # ---- state management -------------------------------------------------
+    def bind_bdt(self, state: SimState) -> BDTState:
+        rv = self.bind(state)
+        zero = jnp.zeros_like(rv.x)
+        one = jnp.ones_like(rv.x)
+        return BDTState(
+            rv=rv, xk=rv.x, yk=rv.y, zk=rv.z, tempk=rv.temp,
+            dxk=rv.x_m1, dyk=rv.y_m1, dzk=rv.z_m1,
+            axk=zero, ayk=zero, azk=zero, duk=zero, du_m1k=rv.du_m1,
+            dt_m1k=jnp.full_like(rv.x, state.dt_m1),
+            rung=zero, ticks=zero,
+            xm=one, kx=one, gradh=one, c11=zero, c12=zero, c13=zero,
+            c22=zero, c23=zero, c33=zero, divv=zero,
+            dt_min=state.dt, substep=jnp.int32(0))
+
+    def _cell_min(self, row, validint, big=1e30):
+        """Min-reduce a slot row over each cell (rung harmonization —
+        the per-group reduction of the reference's ts_groups.cu)."""
+        v = jnp.where(validint, row, big)
+        per_cell = v.reshape(-1, self.grid.cap).min(axis=1)
+        return jnp.repeat(per_cell, self.grid.cap, total_repeat_length=
+                          self.grid.n_slots)
+
+    # ---- one substep -------------------------------------------------------
+    def _substep(self, bst: BDTState):
+        cfg = self.cfg
+        rv = bst.rv
+        validint = rv.valid & self.intmask
+        s = bst.substep
+
+        # kick points: slots whose tick counter wrapped to zero
+        at_kick = bst.ticks < 0.5
+        cycle_start = s == 0
+        active = validint & (at_kick | cycle_start)
+        act_row = active.astype(jnp.float32)
+
+        # ---- gated force pipeline: frozen fields ride as prev outputs ----
+        assert not cfg.av_clean, "avClean + BDT not supported yet"
+        base = [rv.x, rv.y, rv.z, rv.h, rv.gid]
+        refresh = lambda st: self.rf(st.shape[0])(st)
+        out = _run_pipeline_gated(
+            self.pve_gated, refresh, base, rv.m, rv.vx, rv.vy, rv.vz,
+            rv.temp, rv.alpha, bst.dt_min, validint, act_row,
+            prev=dict(xm=bst.xm, h=rv.h, kx=bst.kx, gradh=bst.gradh,
+                      cij=(bst.c11, bst.c12, bst.c13, bst.c22, bst.c23,
+                           bst.c33), divv=bst.divv, alpha=rv.alpha,
+                      ax=bst.axk, ay=bst.ayk, az=bst.azk, du=bst.duk),
+            cfg=cfg)
+
+        # per-slot freeze/commit (exact semantics; the kernel gate is the
+        # compute-skip at supercell granularity)
+        pick = lambda new, old: jnp.where(active, new, old)
+        axk = pick(out["ax"], bst.axk)
+        ayk = pick(out["ay"], bst.ayk)
+        azk = pick(out["az"], bst.azk)
+        duk = pick(out["du"], bst.duk)
+        xm = pick(out["xm"], bst.xm)
+        kx = pick(out["kx"], bst.kx)
+        gradh = pick(out["gradh"], bst.gradh)
+        cij = tuple(pick(o, p) for o, p in zip(
+            (out["c11"], out["c12"], out["c13"], out["c22"], out["c23"],
+             out["c33"]),
+            (bst.c11, bst.c12, bst.c13, bst.c22, bst.c23, bst.c33)))
+        divv = pick(out["divv"], bst.divv)
+        alpha = pick(out["alpha"], rv.alpha)
+        h = pick(out["h"], rv.h)
+
+        # ---- rung (re)assignment at cycle start ----
+        # rung ratios are relative to the UNclamped min particle dt
+        # (reference: rungTimestep computes rungRanges from minDtGlobal
+        # BEFORE applying maxDt, ts_rungs.hpp:134-146); the growth clamp
+        # and the global rho candidate only shrink the stepping base
+        dt_i = ts_k_courant(out["maxvsignal"], h, out["c"], cfg.kcour)
+        dt_i_min = jnp.min(jnp.where(validint, dt_i, 1e30))
+        from sphexa_tpu.sph import timestep as _ts
+        dt_rho = _ts.rho_timestep(out["divv"], validint, cfg.krho)
+        dt_min_new = jnp.minimum(jnp.minimum(dt_i_min, dt_rho),
+                                 cfg.max_dt_increase * bst.dt_min)
+        rung_new = jnp.clip(jnp.floor(jnp.log2(
+            jnp.maximum(dt_i / jnp.maximum(dt_i_min, 1e-30), 1.0))),
+            0.0, float(self.num_rungs - 1))
+        rung_new = self._cell_min(rung_new, validint)
+        rung = jnp.where(cycle_start, rung_new, bst.rung)
+        dt_min = jnp.where(cycle_start, dt_min_new, bst.dt_min)
+        ticks = jnp.where(cycle_start, 0.0, bst.ticks)
+
+        # ---- drift/kick: re-derive everyone from the kick state ----
+        tau = (ticks + 1.0) * dt_min
+        xn, yn, zn, vxn, vyn, vzn, dxn, dyn, dzn = position_update(
+            tau, bst.dt_m1k, bst.xk, bst.yk, bst.zk, axk, ayk, azk,
+            bst.dxk, bst.dyk, bst.dzk, self.box,
+            h=h, vx=rv.vx, vy=rv.vy, vz=rv.vz, fold=False)
+        temp_n = temp_update(bst.tempk, tau, bst.dt_m1k, duk, bst.du_m1k,
+                             cfg.mui, cfg.gamma)
+
+        kick_done = (ticks + 1.0) >= (2.0 ** rung) - 0.5
+        pickk = lambda new, old: jnp.where(kick_done, new, old)
+        new_bst = bst.replace(
+            xk=pickk(xn, bst.xk), yk=pickk(yn, bst.yk), zk=pickk(zn, bst.zk),
+            dxk=pickk(dxn, bst.dxk), dyk=pickk(dyn, bst.dyk),
+            dzk=pickk(dzn, bst.dzk), tempk=pickk(temp_n, bst.tempk),
+            du_m1k=pickk(duk, bst.du_m1k),
+            dt_m1k=pickk(tau, bst.dt_m1k),
+            axk=axk, ayk=ayk, azk=azk, duk=duk,
+            ticks=jnp.where(kick_done, 0.0, ticks + 1.0),
+            rung=rung, dt_min=dt_min,
+            substep=jnp.where(s + 1 >= (1 << (self.num_rungs - 1)),
+                              0, s + 1),
+            xm=xm, kx=kx, gradh=gradh, c11=cij[0], c12=cij[1], c13=cij[2],
+            c22=cij[3], c23=cij[4], c33=cij[5], divv=divv)
+
+        # h controller at kicks only
+        h_new = jnp.where(kick_done & validint,
+                          update_h(cfg.ng0, out["nc_sph"], h), h)
+
+        # drift accounting + ghost refresh of the mutated rows
+        disp2 = ((xn - rv.x) ** 2 + (yn - rv.y) ** 2 + (zn - rv.z) ** 2)
+        step_disp = jnp.sqrt(jnp.max(jnp.where(validint, disp2, 0.0)))
+        st = self.rf(12, xyz_rows=(0, 1, 2))(jnp.stack(
+            [xn, yn, zn, h_new, vxn, vyn, vzn, temp_n, duk, dxn, dyn, dzn]))
+        rv = rv.replace(
+            x=st[0], y=st[1], z=st[2], h=st[3], vx=st[4], vy=st[5],
+            vz=st[6], temp=st[7], du_m1=st[8], x_m1=st[9], y_m1=st[10],
+            z_m1=st[11], alpha=alpha, drift=rv.drift + step_disp,
+            ttot=rv.ttot + dt_min, dt=dt_min, dt_m1=bst.dt_min,
+            iteration=rv.iteration + 1)
+        new_bst = new_bst.replace(rv=rv)
+
+        # ---- diagnostics ----
+        cv = ideal_gas_cv(cfg.mui, cfg.gamma)
+        ecin = 0.5 * kahan_sum(jnp.where(
+            validint, rv.m * (rv.vx ** 2 + rv.vy ** 2 + rv.vz ** 2), 0.0))
+        eint = kahan_sum(jnp.where(validint, rv.m * cv * rv.temp, 0.0))
+        nvalid = jnp.maximum(jnp.sum(validint), 1).astype(jnp.float32)
+        # per-cell activity: a cell recomputes if any slot is active
+        cell_act = (act_row.reshape(-1, self.grid.cap).max(axis=1))
+        cell_occ = validint.reshape(-1, self.grid.cap).any(axis=1)
+        rung_hist = jnp.stack([
+            jnp.sum(jnp.where(validint & (jnp.round(rung) == r), 1, 0))
+            for r in range(self.num_rungs)])
+        diag = BDTDiag(
+            dt=dt_min, ttot=rv.ttot, etot=ecin + eint, ecin=ecin, eint=eint,
+            active_frac=jnp.sum(act_row) / nvalid,
+            active_cell_frac=(jnp.sum(cell_act)
+                              / jnp.maximum(jnp.sum(cell_occ), 1)),
+            rung_hist=rung_hist, overflow=rv.overflow)
+        return new_bst, diag
+
+    def run_cycle(self, bst: BDTState):
+        """Advance one full rung hierarchy (2^(numRungs-1) substeps)."""
+        diags = []
+        for _ in range(1 << (self.num_rungs - 1)):
+            bst, d = self.substep(bst)
+            diags.append(d)
+        return bst, diags
+
+
+def _run_pipeline_gated(pve: PallasVE, refresh, base, m, vx, vy, vz, temp,
+                        alpha, dt, validint, act_row, prev, cfg):
+    """The five pair stages with supercell gating: inactive supercells
+    copy their frozen previous outputs instead of recomputing."""
+    gate = lambda *prevs: (act_row, prevs)
+    zero = jnp.zeros_like(m)
+
+    xm, h_new, nc = pve.xmass_h(base, m,
+                                gate=gate(prev["xm"], prev["h"], zero))
+    h_new = jnp.where(validint, h_new, base[3])
+    st = refresh(jnp.stack([xm, h_new]))
+    xm, h_new = st[0], st[1]
+    base = [base[0], base[1], base[2], h_new, base[4]]
+    nc_sph = nc + 1.0
+
+    kx, gradh = pve.gradh(base, m, xm, gate=gate(prev["kx"], prev["gradh"]))
+    st = refresh(jnp.stack([kx, gradh]))
+    kx, gradh = st[0], st[1]
+
+    rho, p, c, prho = eos_ve(temp, m, kx, xm, gradh, cfg.mui, cfg.gamma)
+
+    pc = prev["cij"]
+    cij, divv, curlv, gradv = pve.iad_divv(
+        base, kx, xm, vx, vy, vz,
+        gate=gate(*pc, prev["divv"], zero, zero, zero, zero, zero, zero,
+                  zero, zero))
+    st = refresh(jnp.stack(list(cij) + [divv]))
+    cij = tuple(st[i] for i in range(6))
+    divv = st[6]
+
+    alpha_out = pve.av_switches(base, c, kx, xm, divv, vx, vy, vz, cij,
+                                alpha, dt, gate=gate(prev["alpha"]))
+    alpha_new = jnp.where(validint, alpha_out, alpha)
+    alpha_new = refresh(alpha_new[None])[0]
+
+    ax, ay, az, du, mvs = pve.momentum(
+        base, vx, vy, vz, c, prho, rho, xm, alpha_new, m, cij,
+        gate=gate(prev["ax"], prev["ay"], prev["az"], prev["du"], zero))
+    return dict(h=h_new, nc_sph=nc_sph, xm=xm, kx=kx, gradh=gradh, c=c,
+                prho=prho, rho=rho, divv=divv, alpha=alpha_new,
+                c11=cij[0], c12=cij[1], c13=cij[2], c22=cij[3],
+                c23=cij[4], c33=cij[5],
+                ax=ax, ay=ay, az=az, du=du, maxvsignal=mvs)
