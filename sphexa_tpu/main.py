@@ -52,13 +52,15 @@ def parse_args(argv=None):
 
 def build_sim(args):
     from sphexa_tpu.config import SphConfig
+    from sphexa_tpu.init.settings import (apply_settings, load_settings_file,
+                                          parse_init_spec)
 
     cfg = SphConfig()
     extras = {}
-    if ":" in args.init or args.init.endswith(".h5"):
+    kind, name, extra = parse_init_spec(args.init)
+    if kind == "checkpoint":
         from sphexa_tpu.io.hdf5 import load_checkpoint
-        path, _, step_s = args.init.partition(":")
-        step = int(step_s) if step_s else -1
+        path, step = name, (extra if extra is not None else -1)
         state, box, cfg = load_checkpoint(path, cfg, step=step)
         from sphexa_tpu.io.hdf5 import load_turbulence_state
         try:
@@ -67,7 +69,13 @@ def build_sim(args):
             ts = None
         if ts is not None:
             extras["turb"] = ts
-    elif args.init == "evrard-cooling":
+        return state, box, cfg, extras
+    if extra:  # 'case:settings.h5' override layering (settings.hpp:42)
+        settings = load_settings_file(extra)
+        cfg = apply_settings(cfg, settings)
+        extras["settings"] = settings
+        args.init = name
+    if args.init == "evrard-cooling":
         from sphexa_tpu.init.evrard_cooling import init_evrard_cooling
         state, box, cfg, ex = init_evrard_cooling(args.n, cfg, dt0=args.dt0)
         extras.update(ex)
@@ -76,6 +84,8 @@ def build_sim(args):
         from sphexa_tpu.init.factory import make_initializer
         init = make_initializer(args.init)
         state, box, cfg = init(args.n, cfg, dt0=args.dt0)
+    if "settings" in extras:  # file overrides win over case constants
+        cfg = apply_settings(cfg, extras["settings"])
     return state, box, cfg, extras
 
 
@@ -184,6 +194,8 @@ def main(argv=None):
             if os.path.exists(args.outfile):
                 os.remove(args.outfile)
             writer = HDF5Writer(args.outfile)
+            if "settings" in extras:  # provenance (settings.hpp:45)
+                writer.write_file_attrs(extras["settings"])
 
     from sphexa_tpu.observables import conserved_quantities, format_constants_line
     const_f = open(args.constants, "a") if args.constants else None
@@ -219,6 +231,35 @@ def main(argv=None):
                                          extras)
             if not args.quiet:
                 print(f"# re-gridded for h_max={h_max:.4g}: {grid}")
+
+        # dynamic global box for open boundaries: when particles approach
+        # an open face, expand the box and rebuild (the static-shape
+        # analog of the reference's per-sync makeGlobalBox,
+        # box_mpi.hpp:84 — adaptation at the recompile boundary)
+        from sphexa_tpu.sfc.box import Boundary
+        if getattr(diag, "bounds", None) is not None and (
+                box.bx == Boundary.open or box.by == Boundary.open
+                or box.bz == Boundary.open):
+            b = np.asarray(diag.bounds, np.float64)
+            margin = 2.0 * h_max
+            grow = (
+                (box.bx == Boundary.open
+                 and (b[0] < box.xmin + margin or b[1] > box.xmax - margin))
+                or (box.by == Boundary.open
+                    and (b[2] < box.ymin + margin or b[3] > box.ymax - margin))
+                or (box.bz == Boundary.open
+                    and (b[4] < box.zmin + margin or b[5] > box.zmax - margin)))
+            if grow:
+                pad = 0.15 * max(box.lx, box.ly, box.lz)
+                box = box.with_bounds(
+                    min(box.xmin, b[0] - pad), max(box.xmax, b[1] + pad),
+                    min(box.ymin, b[2] - pad), max(box.ymax, b[3] + pad),
+                    min(box.zmin, b[4] - pad), max(box.zmax, b[5] + pad))
+                step_fn, grid = make_stepper(args, box, cfg, h_max,
+                                             n_active, extras)
+                if not args.quiet:
+                    print(f"# box expanded to [{box.xmin:.3g},{box.xmax:.3g}]"
+                          f"^3-ish; re-gridded")
 
         q = conserved_quantities(state.p, cfg, egrav=float(diag.egrav))
         if const_f:

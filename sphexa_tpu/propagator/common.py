@@ -29,6 +29,11 @@ class StepDiagnostics(NamedTuple):
     max_nc: jnp.ndarray
     max_cell_count: jnp.ndarray
     maxvsignal: jnp.ndarray
+    bounds: jnp.ndarray = None   # [xmin,xmax,ymin,ymax,zmin,zmax] of alive
+                                 # particles (drives host box expansion on
+                                 # open boundaries — the static-shape analog
+                                 # of the reference's per-sync makeGlobalBox,
+                                 # box_mpi.hpp:84)
 
 
 def compute_energies(ps: Particles, cfg: SphConfig):
@@ -68,7 +73,16 @@ def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
 
     ecin, eint = compute_energies(ps, cfg)
     egrav = jnp.float32(egrav)
+    big = jnp.float32(1e30)
+    bounds = jnp.stack([
+        jnp.min(jnp.where(ps.alive, ps.x, big)),
+        jnp.max(jnp.where(ps.alive, ps.x, -big)),
+        jnp.min(jnp.where(ps.alive, ps.y, big)),
+        jnp.max(jnp.where(ps.alive, ps.y, -big)),
+        jnp.min(jnp.where(ps.alive, ps.z, big)),
+        jnp.max(jnp.where(ps.alive, ps.z, -big))])
     diag = StepDiagnostics(
+        bounds=bounds,
         dt=dt, ttot=state.ttot + dt, etot=ecin + eint + egrav, ecin=ecin,
         eint=eint, egrav=egrav, h_max=jnp.max(jnp.where(ps.alive, ps.h, 0.0)),
         nc_mean=(jnp.sum(jnp.where(ps.alive, nc_sph, 0))

@@ -57,3 +57,27 @@ def test_std_propagator_sedov():
     assert np.isfinite(float(diag.etot))
     assert abs(float(diag.etot) - e0) / e0 < 5e-3
     assert float(diag.ecin) > 0
+
+
+@pytest.mark.slow
+def test_glass_relaxation_reduces_density_noise():
+    """The glass tool (reference analog: the relaxed template block that
+    assembleCuboid tiles, grid.hpp:238) must measurably suppress the
+    density scatter of the jittered lattice it starts from."""
+    import numpy as np
+
+    from sphexa_tpu.init.glass import density_noise, relax_glass_block
+    from sphexa_tpu.init.lattice import jittered_lattice
+
+    side = 8
+    xj, yj, zj = jittered_lattice(side, jitter=0.35, seed=42)
+    noise_jit = density_noise(xj, yj, zj)
+    xg, yg, zg = relax_glass_block(side, steps=40, seed=42, cache=False)
+    noise_glass = density_noise(xg, yg, zg)
+    assert len(xg) == side ** 3
+    assert np.isfinite([xg, yg, zg]).all()
+    assert ((xg >= 0) & (xg < 1)).all()
+    # relaxation must clearly suppress the scatter and reach the
+    # intrinsic glass level (~4% kNN-density noise)
+    assert noise_glass < 0.62 * noise_jit, (noise_glass, noise_jit)
+    assert noise_glass < 0.05, noise_glass
