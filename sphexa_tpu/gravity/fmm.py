@@ -6,20 +6,23 @@ cartesian_qpole.hpp:176). Tree traversal is divergent and gather-heavy —
 exactly what TPUs hate. This module re-derives the same physics as a
 *dense, level-synchronous FMM*:
 
-  P2M   segment-sums of raw moments (m, m x, m x x) over leaf cells
+  P2M   segment-sums of raw moments (m, m x, m x x, m x x x) over
+        leaf cells, in box-centered coordinates (fp32 headroom)
   M2M   2x2x2 reshape-sums up the level hierarchy (raw moments add)
   M2L   the 189-offset interaction lists become *strided 3D
         convolutions*: for each child parity, a 7^3 kernel (masked to
-        the parity's V-list offsets) maps source multipoles (10ch) to
-        local Taylor coefficients (10ch) — running on the MXU
+        the parity's V-list offsets) maps source multipoles (20ch,
+        through octupole) to local Taylor coefficients (10ch) —
+        running on the MXU
   L2L   parity-dependent expansion shifts broadcast down the hierarchy
   L2P   per-particle evaluation of the order-2 local expansion
   P2P   direct sum over the 27 leaf-cell neighborhood
 
-Multipoles are cartesian through quadrupole (like the reference's
-CartesianQuadrupole default); locals are Taylor through the Hessian.
-Current scope: open boundaries (Ewald periodic images are the next
-round's work, reference: nbody/ewald.hpp).
+Multipoles are cartesian through OCTUPOLE (one order beyond the
+reference's CartesianQuadrupole default, toward its order-P spherical
+kernels, kernel.hpp:489); locals are Taylor through the Hessian, with
+the quadrupole-D4 and octupole-D5 Hessian terms retained. Periodic
+boxes: see gravity/ewald.py (root-multipole Ewald correction).
 """
 
 from __future__ import annotations
@@ -35,15 +38,27 @@ import numpy as np
 from sphexa_tpu.config import INDEX_DTYPE
 from sphexa_tpu.sfc.box import Box
 
-# moment channel order: [M0, Mx, My, Mz, Sxx, Sxy, Sxz, Syy, Syz, Szz]
-# local channel order:  [L0, Lx, Ly, Lz, Hxx, Hxy, Hxz, Hyy, Hyz, Hzz]
+# moment channels: [M0, Mx, My, Mz, Sxx, Sxy, Sxz, Syy, Syz, Szz,
+#                    Txxx, Txxy, Txxz, Txyy, Txyz, Txzz, Tyyy, Tyyz,
+#                    Tyyz, Tzzz] (20, raw/central cartesian)
+# local channels:   [L0, Lx, Ly, Lz, Hxx, Hxy, Hxz, Hyy, Hyz, Hzz]
 _SYM = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+_SYM3 = [(0, 0, 0), (0, 0, 1), (0, 0, 2), (0, 1, 1), (0, 1, 2),
+         (0, 2, 2), (1, 1, 1), (1, 1, 2), (1, 2, 2), (2, 2, 2)]
+# multinomial multiplicity of each symmetric 3rd-moment slot
+_MULT3 = [1, 3, 3, 3, 6, 3, 1, 3, 3, 1]
+NCH_M = 20   # source moment channels (through octupole)
+NCH_L = 20   # local channels (through 3rd-order Taylor: L0, L1, H, C)
 
 
 @dataclasses.dataclass(frozen=True)
 class FmmConfig:
     level: int = 4        # leaf cells per dim = 2^level
     leaf_cap: int = 128   # max particles per leaf for the P2P pass
+    wide_near: bool = True   # 5^3 leaf near field + |d|>=3 leaf M2L:
+                             # shrinks the worst-pair expansion ratio
+                             # from 0.87 to 0.58 (the fixed-list analog
+                             # of a tighter MAC theta)
 
 
 # --------------------------------------------------------------------------
@@ -51,9 +66,12 @@ class FmmConfig:
 # --------------------------------------------------------------------------
 
 def _derivative_tensors(R):
-    """D0..D3 derivative tensors of 1/|R| (fp64 numpy)."""
+    """D0..D5 derivative tensors of 1/|R| (fp64 numpy). Standard closed
+    forms: D_k = (-1)^k (2k-1)!! R^{(k)}/r^{2k+1} + delta-contraction
+    terms."""
     r2 = np.dot(R, R)
     r = np.sqrt(r2)
+    d = np.eye(3)
     D0 = 1.0 / r
     D1 = -R / r ** 3
     D2 = (3.0 * np.outer(R, R) - r2 * np.eye(3)) / r ** 5
@@ -62,50 +80,111 @@ def _derivative_tensors(R):
         for b in range(3):
             for c in range(3):
                 D3[a, b, c] = (-15.0 * R[a] * R[b] * R[c] / r ** 7
-                               + 3.0 * ((a == b) * R[c] + (a == c) * R[b]
-                                        + (b == c) * R[a]) / r ** 5)
-    return D0, D1, D2, D3
+                               + 3.0 * (d[a, b] * R[c] + d[a, c] * R[b]
+                                        + d[b, c] * R[a]) / r ** 5)
+    D4 = np.zeros((3, 3, 3, 3))
+    for a in range(3):
+        for b in range(3):
+            for c in range(3):
+                for e in range(3):
+                    pair_rr = (d[a, b] * R[c] * R[e] + d[a, c] * R[b] * R[e]
+                               + d[a, e] * R[b] * R[c] + d[b, c] * R[a] * R[e]
+                               + d[b, e] * R[a] * R[c] + d[c, e] * R[a] * R[b])
+                    pair_dd = (d[a, b] * d[c, e] + d[a, c] * d[b, e]
+                               + d[a, e] * d[b, c])
+                    D4[a, b, c, e] = (105.0 * R[a] * R[b] * R[c] * R[e] / r ** 9
+                                      - 15.0 * pair_rr / r ** 7
+                                      + 3.0 * pair_dd / r ** 5)
+    import itertools
+    D5 = np.zeros((3, 3, 3, 3, 3))
+    for idx in itertools.product(range(3), repeat=5):
+        v = -945.0 * np.prod([R[i] for i in idx]) / r ** 11
+        # one delta, three R factors: choose the delta pair (10 ways)
+        for (p, q) in itertools.combinations(range(5), 2):
+            rest = [idx[k] for k in range(5) if k not in (p, q)]
+            v += 105.0 * d[idx[p], idx[q]] * np.prod(
+                [R[i] for i in rest]) / r ** 9
+        # two deltas, one R factor: 15 pairings
+        for (p, q) in itertools.combinations(range(5), 2):
+            others = [k for k in range(5) if k not in (p, q)]
+            for (u, w) in itertools.combinations(others, 2):
+                rest = [k for k in others if k not in (u, w)]
+                v += -15.0 * d[idx[p], idx[q]] * d[idx[u], idx[w]] \
+                    * R[idx[rest[0]]] / r ** 7
+        D5[idx] = v
+    return D0, D1, D2, D3, D4, D5
 
 
 def _m2l_matrix(R):
-    """10x10 matrix: centered source moments -> local Taylor coefficients
-    of Phi = -G sum m / |x - y| (G applied later) at separation R."""
-    D0, D1, D2, D3 = _derivative_tensors(R)
-    K = np.zeros((10, 10))
+    """[10, 20] matrix: centered source moments (through octupole) ->
+    local Taylor coefficients of Phi = -G sum m / |x - y| (G applied
+    later) at separation R. Taylor/multipole weights: 1/2 on second
+    moments, 1/6 on third, with multinomial multiplicities for the
+    symmetric storage."""
+    D0, D1, D2, D3, D4, D5 = _derivative_tensors(R)
+    K = np.zeros((NCH_L, NCH_M))
 
-    # L0 = -(M0 D0 + M1 . D1 + 1/2 M2 : D2)
+    def w2(a, b):
+        return 0.5 if a == b else 1.0   # 1/2 * multiplicity(2)
+
+    # L0 = -(M0 D0 + M1.D1 + 1/2 M2:D2 + 1/6 M3:.D3)
     K[0, 0] = -D0
     for a in range(3):
         K[0, 1 + a] = -D1[a]
     for ch, (a, b) in enumerate(_SYM):
-        K[0, 4 + ch] = -(0.5 if a == b else 1.0) * D2[a, b]
+        K[0, 4 + ch] = -w2(a, b) * D2[a, b]
+    for ch, (a, b, c) in enumerate(_SYM3):
+        K[0, 10 + ch] = -(_MULT3[ch] / 6.0) * D3[a, b, c]
 
-    # L1_a = -(M0 D1_a + M1_b D2_ab + 1/2 M2_bc D3_abc)
+    # L1_a = -(M0 D1_a + M1_b D2_ab + 1/2 M2_bc D3_abc + 1/6 M3 D4)
     for a in range(3):
         K[1 + a, 0] = -D1[a]
         for b in range(3):
             K[1 + a, 1 + b] = -D2[a, b]
         for ch, (b, c) in enumerate(_SYM):
-            K[1 + a, 4 + ch] = -(0.5 if b == c else 1.0) * D3[a, b, c]
+            K[1 + a, 4 + ch] = -w2(b, c) * D3[a, b, c]
+        for ch, (b, c, e) in enumerate(_SYM3):
+            K[1 + a, 10 + ch] = -(_MULT3[ch] / 6.0) * D4[a, b, c, e]
 
-    # H_ab = -(M0 D2_ab + M1_c D3_abc)   (M2 x D4 truncated)
+    # H_ab = -(M0 D2_ab + M1_c D3_abc + 1/2 M2_ce D4_abce + 1/6 M3 D5)
     for ch, (a, b) in enumerate(_SYM):
         K[4 + ch, 0] = -D2[a, b]
         for c in range(3):
             K[4 + ch, 1 + c] = -D3[a, b, c]
+        for ch2, (c, e) in enumerate(_SYM):
+            K[4 + ch, 4 + ch2] = -w2(c, e) * D4[a, b, c, e]
+        for ch3, (c, e, f) in enumerate(_SYM3):
+            K[4 + ch, 10 + ch3] = -(_MULT3[ch3] / 6.0) * D5[a, b, c, e, f]
+
+    # C_abc = -(M0 D3_abc + M1_e D4_abce + 1/2 M2_ef D5_abcef)
+    # (third-order local coefficients; M3 x D6 is beyond the scheme's
+    # O((a/d)^4) truncation)
+    for ch, (a, b, c) in enumerate(_SYM3):
+        K[10 + ch, 0] = -D3[a, b, c]
+        for e in range(3):
+            K[10 + ch, 1 + e] = -D4[a, b, c, e]
+        for ch2, (e, f) in enumerate(_SYM):
+            K[10 + ch, 4 + ch2] = -w2(e, f) * D5[a, b, c, e, f]
+
+    # 1/|R + r - y'| expands in (r - y')^k: source displacements enter
+    # with (-1)^j, so ODD source moments flip sign (validated against a
+    # two-cluster fp64 oracle: 4e-5 vs 4e-2 relative potential error)
+    K[:, 1:4] *= -1.0
+    K[:, 10:] *= -1.0
     return K
 
 
-def _parity_offsets_exact(p):
+def _parity_offsets_exact(p, min_sep: int = 2):
     """V-list offsets for child parity p = (px,py,pz): cells d with
-    max|d| >= 2 whose parents are adjacent — the standard FMM well-
-    separateness criterion. Parent offset for a coordinate of parity pp
-    is floor((pp + d)/2)."""
+    max|d| >= min_sep whose parents are adjacent — the standard FMM
+    well-separateness criterion (min_sep=2), or the widened leaf
+    variant (min_sep=3, near field handled by a 5^3 P2P). Parent offset
+    for a coordinate of parity pp is floor((pp + d)/2)."""
     offs = []
     for dx in range(-3, 4):
         for dy in range(-3, 4):
             for dz in range(-3, 4):
-                if max(abs(dx), abs(dy), abs(dz)) < 2:
+                if max(abs(dx), abs(dy), abs(dz)) < min_sep:
                     continue
                 ok = True
                 for d, pp in ((dx, p[0]), (dy, p[1]), (dz, p[2])):
@@ -118,15 +197,17 @@ def _parity_offsets_exact(p):
     return offs
 
 
-def _m2l_conv_kernels(cell_size: float):
-    """For each parity: a [10, 10, 7, 7, 7] conv kernel (fp32) whose
-    (i, o, dz, dy, dx) taps are the M2L matrices at the V-list offsets."""
+def _m2l_conv_kernels(cell_size: float, min_sep: int = 2):
+    """For each parity: a [NCH_L, NCH_M, 7, 7, 7] conv kernel (fp32)
+    whose (o, i, taps) entries are the M2L matrices at the V-list
+    offsets."""
     kernels = {}
     for px in (0, 1):
         for py in (0, 1):
             for pz in (0, 1):
-                K = np.zeros((10, 10, 7, 7, 7), np.float32)
-                for (dx, dy, dz) in _parity_offsets_exact((px, py, pz)):
+                K = np.zeros((NCH_L, NCH_M, 7, 7, 7), np.float32)
+                for (dx, dy, dz) in _parity_offsets_exact((px, py, pz),
+                                                          min_sep):
                     # R = target_center - source_center = -d * cell_size
                     R = -np.array([dx, dy, dz], np.float64) * cell_size
                     M = _m2l_matrix(R)
@@ -169,45 +250,64 @@ def fmm_gravity(x, y, z, m, alive, box: Box, G: float,
 
     cid = _leaf_binning(fc, box, x, y, z, alive)
 
-    # ---- P2M: raw moments per leaf (segment sums) ----
+    # box-centered coordinates: raw high-order moments grow like
+    # (coordinate scale)^3, so halving the scale buys fp32 headroom in
+    # the raw -> central cancellation
+    bcx = 0.5 * (box.xmin + box.xmax)
+    bcy = 0.5 * (box.ymin + box.ymax)
+    bcz = 0.5 * (box.zmin + box.zmax)
+    co = (x - bcx, y - bcy, z - bcz)
+
+    # ---- P2M: raw moments per leaf (segment sums), 20 channels ----
     def seg(v):
         return jax.ops.segment_sum(v, cid, num_segments=n_leaf + 1)[:n_leaf]
 
-    mom = jnp.stack([
-        seg(mm), seg(mm * x), seg(mm * y), seg(mm * z),
-        seg(mm * x * x), seg(mm * x * y), seg(mm * x * z),
-        seg(mm * y * y), seg(mm * y * z), seg(mm * z * z)], axis=0)
-    mom = mom.reshape(10, n, n, n)
+    rows = [seg(mm)]
+    rows += [seg(mm * co[a]) for a in range(3)]
+    rows += [seg(mm * co[a] * co[b]) for (a, b) in _SYM]
+    rows += [seg(mm * co[a] * co[b] * co[c]) for (a, b, c) in _SYM3]
+    mom = jnp.stack(rows, axis=0).reshape(NCH_M, n, n, n)
 
-    # raw -> centered moments about each cell's center (vectorized)
+    _I2 = {p: 4 + i for i, p in enumerate(_SYM)}
+
+    def _i2(a, b):
+        return _I2[tuple(sorted((a, b)))]
+
+    # raw -> centered moments about each cell's (box-centered) center
     def centers(level):
         s = 1 << level
-        g = [box.xmin + (np.arange(s) + 0.5) * box.lx / s,
-             box.ymin + (np.arange(s) + 0.5) * box.ly / s,
-             box.zmin + (np.arange(s) + 0.5) * box.lz / s]
+        g = [(np.arange(s) + 0.5) * box.lx / s - box.lx / 2,
+             (np.arange(s) + 0.5) * box.ly / s - box.ly / 2,
+             (np.arange(s) + 0.5) * box.lz / s - box.lz / 2]
         cx, cy, cz = np.meshgrid(g[0], g[1], g[2], indexing="ij")
         return (jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
                 jnp.asarray(cz, jnp.float32))
 
     def center_moments(raw, level):
-        cx, cy, cz = centers(level)
+        cc = centers(level)
         M0 = raw[0]
-        Mx = raw[1] - M0 * cx
-        My = raw[2] - M0 * cy
-        Mz = raw[3] - M0 * cz
-        Sxx = raw[4] - 2 * cx * raw[1] + M0 * cx * cx
-        Sxy = raw[5] - cx * raw[2] - cy * raw[1] + M0 * cx * cy
-        Sxz = raw[6] - cx * raw[3] - cz * raw[1] + M0 * cx * cz
-        Syy = raw[7] - 2 * cy * raw[2] + M0 * cy * cy
-        Syz = raw[8] - cy * raw[3] - cz * raw[2] + M0 * cy * cz
-        Szz = raw[9] - 2 * cz * raw[3] + M0 * cz * cz
-        return jnp.stack([M0, Mx, My, Mz, Sxx, Sxy, Sxz, Syy, Syz, Szz])
+        out = [M0]
+        for a in range(3):
+            out.append(raw[1 + a] - M0 * cc[a])
+        for (a, b) in _SYM:
+            out.append(raw[_i2(a, b)] - cc[a] * raw[1 + b]
+                       - cc[b] * raw[1 + a] + M0 * cc[a] * cc[b])
+        for ch, (a, b, c) in enumerate(_SYM3):
+            out.append(raw[10 + ch]
+                       - cc[c] * raw[_i2(a, b)] - cc[b] * raw[_i2(a, c)]
+                       - cc[a] * raw[_i2(b, c)]
+                       + cc[b] * cc[c] * raw[1 + a]
+                       + cc[a] * cc[c] * raw[1 + b]
+                       + cc[a] * cc[b] * raw[1 + c]
+                       - cc[a] * cc[b] * cc[c] * M0)
+        return jnp.stack(out)
 
     # ---- M2M: raw moments add under 2x2x2 aggregation ----
     raw_levels = {fc.level: mom}
     for lvl in range(fc.level - 1, 1, -1):
         s = 1 << (lvl + 1)
-        prev = raw_levels[lvl + 1].reshape(10, s // 2, 2, s // 2, 2, s // 2, 2)
+        prev = raw_levels[lvl + 1].reshape(NCH_M, s // 2, 2, s // 2, 2,
+                                           s // 2, 2)
         raw_levels[lvl] = prev.sum(axis=(2, 4, 6))
 
     # ---- M2L as parity-strided convolutions + L2L downsweep ----
@@ -216,10 +316,11 @@ def fmm_gravity(x, y, z, m, alive, box: Box, G: float,
         s = 1 << lvl
         cs = box.lx / s
         cm = center_moments(raw_levels[lvl], lvl)
-        kernels = _m2l_conv_kernels(cs)
+        leaf_wide = fc.wide_near and lvl == fc.level
+        kernels = _m2l_conv_kernels(cs, min_sep=3 if leaf_wide else 2)
 
-        contrib = jnp.zeros((10, s, s, s), jnp.float32)
-        src = cm[None]  # NCHW-style: [1, 10, s, s, s]
+        contrib = jnp.zeros((NCH_L, s, s, s), jnp.float32)
+        src = cm[None]  # NCHW-style: [1, 20, s, s, s]
         for (px, py, pz), K in kernels.items():
             out = jax.lax.conv_general_dilated(
                 src, jnp.asarray(K),
@@ -244,44 +345,93 @@ def fmm_gravity(x, y, z, m, alive, box: Box, G: float,
                              jnp.float32)[None, :, None]
             bz = jnp.asarray(np.where(np.arange(sp) % 2 == 0, bvals[0], bvals[1]),
                              jnp.float32)[None, None, :]
-            L0, Lx, Ly, Lz = up[0], up[1], up[2], up[3]
-            Hxx, Hxy, Hxz, Hyy, Hyz, Hzz = up[4], up[5], up[6], up[7], up[8], up[9]
-            L0n = (L0 + Lx * bx + Ly * by + Lz * bz
-                   + 0.5 * (Hxx * bx * bx + Hyy * by * by + Hzz * bz * bz)
-                   + Hxy * bx * by + Hxz * bx * bz + Hyz * by * bz)
-            Lxn = Lx + Hxx * bx + Hxy * by + Hxz * bz
-            Lyn = Ly + Hxy * bx + Hyy * by + Hyz * bz
-            Lzn = Lz + Hxz * bx + Hyz * by + Hzz * bz
-            local = jnp.stack([L0n, Lxn, Lyn, Lzn, Hxx, Hxy, Hxz, Hyy,
-                               Hyz, Hzz])
+            b3 = (bx, by, bz)
+
+            def csym(a_, b_, c_):
+                key = tuple(sorted((a_, b_, c_)))
+                return up[10 + _SYM3.index(key)]
+
+            def hsym(a_, b_):
+                return up[4 + _SYM.index(tuple(sorted((a_, b_))))]
+
+            # L0 <- L0 + L.b + 1/2 b.H.b + 1/6 C:bbb
+            L0n = up[0]
+            for a_ in range(3):
+                L0n = L0n + up[1 + a_] * b3[a_]
+            for a_ in range(3):
+                for b_ in range(3):
+                    L0n = L0n + 0.5 * hsym(a_, b_) * b3[a_] * b3[b_]
+                    for c_ in range(3):
+                        L0n = L0n + (1.0 / 6.0) * csym(a_, b_, c_) \
+                            * b3[a_] * b3[b_] * b3[c_]
+            # L1_a <- L1_a + H_ab b_b + 1/2 C_abc b_b b_c
+            L1n = []
+            for a_ in range(3):
+                v = up[1 + a_]
+                for b_ in range(3):
+                    v = v + hsym(a_, b_) * b3[b_]
+                    for c_ in range(3):
+                        v = v + 0.5 * csym(a_, b_, c_) * b3[b_] * b3[c_]
+                L1n.append(v)
+            # H_ab <- H_ab + C_abc b_c ; C unchanged
+            Hn = []
+            for (a_, b_) in _SYM:
+                v = hsym(a_, b_)
+                for c_ in range(3):
+                    v = v + csym(a_, b_, c_) * b3[c_]
+                Hn.append(v)
+            local = jnp.stack([L0n] + L1n + Hn + [up[10 + k]
+                                                  for k in range(10)])
 
     # ---- L2P: evaluate the leaf local expansion at particle positions ----
-    lflat = local.reshape(10, n_leaf)
+    lflat = local.reshape(NCH_L, n_leaf)
     cxl, cyl, czl = centers(fc.level)
     ccx = cxl.reshape(n_leaf)[jnp.minimum(cid, n_leaf - 1)]
     ccy = cyl.reshape(n_leaf)[jnp.minimum(cid, n_leaf - 1)]
     ccz = czl.reshape(n_leaf)[jnp.minimum(cid, n_leaf - 1)]
     Lp = lflat[:, jnp.minimum(cid, n_leaf - 1)]  # [10, N]
-    rx = x - ccx
-    ry = y - ccy
-    rz = z - ccz
+    rx = co[0] - ccx
+    ry = co[1] - ccy
+    rz = co[2] - ccz
+    rr = (rx, ry, rz)
+
+    def lC(a_, b_, c_):
+        return Lp[10 + _SYM3.index(tuple(sorted((a_, b_, c_))))]
+
+    def lH(a_, b_):
+        return Lp[4 + _SYM.index(tuple(sorted((a_, b_))))]
+
     pot_far = (Lp[0] + Lp[1] * rx + Lp[2] * ry + Lp[3] * rz
                + 0.5 * (Lp[4] * rx * rx + Lp[7] * ry * ry + Lp[9] * rz * rz)
                + Lp[5] * rx * ry + Lp[6] * rx * rz + Lp[8] * ry * rz)
-    ax_far = -(Lp[1] + Lp[4] * rx + Lp[5] * ry + Lp[6] * rz)
-    ay_far = -(Lp[2] + Lp[5] * rx + Lp[7] * ry + Lp[8] * rz)
-    az_far = -(Lp[3] + Lp[6] * rx + Lp[8] * ry + Lp[9] * rz)
+    for ch, (a_, b_, c_) in enumerate(_SYM3):
+        pot_far = pot_far + (_MULT3[ch] / 6.0) * Lp[10 + ch] \
+            * rr[a_] * rr[b_] * rr[c_]
 
-    # ---- P2P: direct sum over the 27 leaf-cell neighborhood ----
-    ax_nf, ay_nf, az_nf, pot_nf = _p2p(x, y, z, mm, cid, n, fc.leaf_cap, eps)
+    acc_far = []
+    for a_ in range(3):
+        g = Lp[1 + a_]
+        for b_ in range(3):
+            g = g + lH(a_, b_) * rr[b_]
+            for c_ in range(3):
+                g = g + 0.5 * lC(a_, b_, c_) * rr[b_] * rr[c_]
+        acc_far.append(-g)
+    ax_far, ay_far, az_far = acc_far
+
+    # ---- P2P: direct sum over the leaf-cell near field ----
+    reach = 2 if fc.wide_near else 1
+    ax_nf, ay_nf, az_nf, pot_nf = _p2p(x, y, z, mm, cid, n, fc.leaf_cap,
+                                       eps, reach=reach)
 
     return FmmGravity(G * (ax_far + ax_nf), G * (ay_far + ay_nf),
                       G * (az_far + az_nf), G * (pot_far + pot_nf))
 
 
-def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096):
-    """Near-field direct sum: for each particle, all particles in the 27
-    surrounding leaf cells (open boundaries: out-of-range cells empty)."""
+def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096,
+         reach: int = 1):
+    """Near-field direct sum: for each particle, all particles in the
+    (2*reach+1)^3 surrounding leaf cells (open boundaries: out-of-range
+    cells empty)."""
     N = x.shape[0]
     n_leaf = n ** 3
     order = jnp.argsort(cid).astype(INDEX_DTYPE)
@@ -295,11 +445,10 @@ def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096):
     C = min(chunk, N)
     n_chunks = -(-N // C)
     Npad = n_chunks * C
-    M = 27 * cap
+    rr = range(-reach, reach + 1)
+    offs = [(dx, dy, dz) for dx in rr for dy in rr for dz in rr]
+    M = len(offs) * cap
     eps2 = eps * eps
-
-    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            for dz in (-1, 0, 1)]
 
     def body(c):
         i_idx = jnp.minimum(c * C + jnp.arange(C, dtype=INDEX_DTYPE), N - 1)

@@ -218,6 +218,7 @@ def main(argv=None):
         profiler_ctx = True
 
     t_start = time.perf_counter()
+    regrew = False
     for it in range(args.steps):
         t0 = time.perf_counter()
         state, diag = step_fn(state)
@@ -282,8 +283,8 @@ def main(argv=None):
             # silently wrong physics (reference throws,
             # xmass_gpu.cu:120-128). Try one re-grid with larger caps,
             # then abort.
-            if not getattr(main, "_regrew", False):
-                main._regrew = True
+            if not regrew:
+                regrew = True
                 cfg = cfg.replace(
                     ngpad=max(cfg.ngpad, 2 * int(diag.max_nc)),
                     cell_cap=max(cfg.cell_cap, 2 * int(diag.max_cell_count)))
