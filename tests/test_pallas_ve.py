@@ -123,3 +123,34 @@ def test_resident_engine_matches_compat():
         b = np.asarray(getattr(out.p, f))
         scale = max(np.abs(a).max(), 1e-12)
         assert np.abs(b - a).max() / scale < 2e-3, f
+
+
+@pytest.mark.slow
+def test_pallas_evrard_clustered_density():
+    """Evrard-like h contrast (an order of magnitude core-to-edge) on
+    the Pallas path: the grid is bound by the global h_max, so dense
+    cells need a deep CAP — verify zero slot overflow and agreement
+    with the XLA path under self-gravity (VERDICT item: clustered
+    densities must not silently truncate)."""
+    from sphexa_tpu.init.evrard import init_evrard
+
+    cfg = SphConfig(chunk=512, cell_cap=1024, ngpad=256,
+                    gravity_solver="direct")
+    state, box, cfg = init_evrard(14, cfg, dt0=1e-3)
+    alive = np.asarray(state.p.alive)
+    h_arr = np.asarray(state.p.h)[alive]
+    assert h_arr.max() / h_arr.min() > 2.5  # ~20x density contrast
+
+    step_x = make_ve_step(box, CellGrid(choose_level(box, h_arr.max() * 1.3)),
+                          cfg)
+    grid = choose_cm_grid(box, h_arr.max() * 1.3, int(alive.sum()), cap=512)
+    step_p = make_ve_step_pallas(box, grid, cfg, interpret=True)
+
+    sx, sp = state, state
+    for _ in range(2):
+        sx, dx = step_x(sx)
+        sp, dp = step_p(sp)
+    assert int(dp.max_cell_count) == 0, "slot overflow on clustered density"
+    np.testing.assert_allclose(float(dp.dt), float(dx.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(dp.eint), float(dx.eint), rtol=1e-5)
+    np.testing.assert_allclose(float(dp.egrav), float(dx.egrav), rtol=1e-4)
