@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sphexa_tpu.config import INDEX_DTYPE, SphConfig
 from sphexa_tpu.domain.slab import AXIS, SlabConfig, migrate
+from sphexa_tpu.propagator.ve_sharded import _sharded_gravity
 from sphexa_tpu.ops.cellmajor import (CMGrid, _cell_coords_all, build_layout,
                                       from_cm, interior_mask, to_cm)
 from sphexa_tpu.ops.pallas_ve import FILL_POS, PallasVE, make_ghost_refresh
@@ -156,20 +157,29 @@ def make_ve_step_pallas_sharded(box: Box, grid: CMGrid, cfg: SphConfig,
         out = _run_pipeline(pve, refresh, base, m, vx, vy, vz, temp, alpha,
                             dt_prev, validint)
 
+        # ---- integrate + gather back to the particle frame ----
+        n = ps.n
+        back = lambda f, fill=0.0: from_cm(layout, f, n, fill)
+        ax_p, ay_p, az_p = back(out["ax"]), back(out["ay"]), back(out["az"])
+        egrav = jnp.float32(0.0)
+        if cfg.gravG != 0.0:
+            gax, gay, gaz, egrav = _sharded_gravity(ps, box, cfg, AXIS)
+            ax_p, ay_p, az_p = ax_p + gax, ay_p + gay, az_p + gaz
+
         # ---- global dt (pmin = MPI_Allreduce MIN) ----
         dt_courant = ts.courant_timestep(out["maxvsignal"], out["h"],
                                          out["c"], validint, cfg.kcour)
         dt_rho = ts.rho_timestep(out["divv"], validint, cfg.krho)
         dt_local = jnp.minimum(dt_courant, dt_rho)
+        if cfg.gravG != 0.0:
+            dt_local = jnp.minimum(dt_local, ts.acceleration_timestep(
+                ax_p, ay_p, az_p, ps.alive, cfg.eta_acc, cfg.eps))
         dt = jax.lax.pmin(jnp.minimum(cfg.max_dt_increase * dt_prev,
                                       dt_local), AXIS)
 
-        # ---- integrate + gather back to the particle frame ----
-        n = ps.n
-        back = lambda f, fill=0.0: from_cm(layout, f, n, fill)
         x, y, z, vxn, vyn, vzn, dx, dy, dz = position_update(
-            dt, dt_prev, ps.x, ps.y, ps.z, back(out["ax"]), back(out["ay"]),
-            back(out["az"]), ps.x_m1, ps.y_m1, ps.z_m1, box,
+            dt, dt_prev, ps.x, ps.y, ps.z, ax_p, ay_p,
+            az_p, ps.x_m1, ps.y_m1, ps.z_m1, box,
             h=back(out["h"], 1.0), vx=ps.vx, vy=ps.vy, vz=ps.vz)
         du = back(out["du"])
         temp_n = temp_update(ps.temp, dt, dt_prev, du, ps.du_m1,
@@ -189,7 +199,7 @@ def make_ve_step_pallas_sharded(box: Box, grid: CMGrid, cfg: SphConfig,
         eint = jax.lax.psum(jnp.sum(jnp.where(
             ps.alive, ps.m * cv * ps.temp, 0.0)), AXIS)
         diag = PallasShardedDiag(
-            dt=dt, ttot=jnp.float32(0), etot=ecin + eint, ecin=ecin,
+            dt=dt, ttot=jnp.float32(0), etot=ecin + eint + egrav, ecin=ecin,
             eint=eint, lost=jax.lax.psum(lost, AXIS),
             n_owned=jax.lax.psum(jnp.sum(ps.alive.astype(jnp.int32)), AXIS),
             max_nc=jax.lax.pmax(jnp.max(jnp.where(

@@ -104,6 +104,15 @@ def _local_step(ps: Particles, dt_prev, dt_m1_prev, box: Box, grid: CellGrid,
     me = hydro_ve.compute_momentum_energy(box, x, y, z, exts.vx, exts.vy,
                                           exts.vz, h, exts.m, prho, c, cij,
                                           kx, xm, alpha, idx, nc, cfg)
+    egrav = jnp.float32(0.0)
+    if cfg.gravG != 0.0:
+        # cross-rank self-gravity (global_multipole.hpp:45 analog)
+        gax, gay, gaz, egrav = _sharded_gravity(ps, box, cfg, AXIS)
+        pad = jnp.zeros((2 * sc.halo_cap,), gax.dtype)
+        me = me._replace(
+            ax=me.ax + jnp.concatenate([gax, pad])[cl.perm],
+            ay=me.ay + jnp.concatenate([gay, pad])[cl.perm],
+            az=me.az + jnp.concatenate([gaz, pad])[cl.perm])
 
     # ---- global timestep: local mins + pmin (MPI_Allreduce MIN) ----
     valid = owned & exts.alive
@@ -149,7 +158,8 @@ def _local_step(ps: Particles, dt_prev, dt_m1_prev, box: Box, grid: CellGrid,
     n_owned = jax.lax.psum(n_own, AXIS)
     max_nc = jax.lax.pmax(nl.max_nc, AXIS)
 
-    diag = ShardedDiag(dt=dt, ttot=jnp.float32(0), etot=ecin + eint,
+    diag = ShardedDiag(dt=dt, ttot=jnp.float32(0),
+                       etot=ecin + eint + egrav,
                        ecin=ecin, eint=eint, lost=lost_tot,
                        n_owned=n_owned, max_nc=max_nc, h_max=h_max,
                        halo_frac=r_halo / (box.lz / sc.n_slabs))
@@ -209,3 +219,40 @@ def distribute(ps_host: dict, box: Box, sc: SlabConfig, mesh: Mesh):
               for f in _FIELDS[:-1]}
     alive = jax.device_put(np.concatenate(alive_shards), sharding)
     return Particles(alive=alive, **fields)
+
+
+def _sharded_gravity(ps, box, cfg, axis: str):
+    """Self-gravity across the mesh: one all_gather of (x, y, z, m)
+    replicates the sources (16 MB/M particles — cheap on ICI), every
+    rank evaluates the solver on the full set and keeps its own rows.
+    This is the v1 analog of the reference's global-multipole exchange
+    (ryoanji/interface/global_multipole.hpp:45): same physics, trading
+    redundant upsweep/traversal FLOPs (grid-sized, small for the conv
+    FMM) for a single collective."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    me = _jax.lax.axis_index(axis)
+    cap = ps.x.shape[0]
+    gx = _jax.lax.all_gather(ps.x, axis).reshape(-1)
+    gy = _jax.lax.all_gather(ps.y, axis).reshape(-1)
+    gz = _jax.lax.all_gather(ps.z, axis).reshape(-1)
+    gm = _jax.lax.all_gather(_jnp.where(ps.alive, ps.m, 0.0),
+                             axis).reshape(-1)
+    galive = _jax.lax.all_gather(ps.alive, axis).reshape(-1)
+
+    if cfg.gravity_solver == "fmm":
+        from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
+        g = fmm_gravity(gx, gy, gz, gm, galive, box, cfg.gravG,
+                        FmmConfig(level=cfg.fmm_level), eps=cfg.eps)
+    elif cfg.gravity_solver == "ewald":
+        from sphexa_tpu.gravity.ewald import ewald_gravity
+        g = ewald_gravity(gx, gy, gz, gm, galive, box, cfg.gravG,
+                          eps=cfg.eps)
+    else:
+        from sphexa_tpu.gravity.direct import direct_gravity
+        g = direct_gravity(gx, gy, gz, gm, galive, cfg.gravG, cfg.eps)
+
+    sl = lambda v: _jax.lax.dynamic_slice(v, (me * cap,), (cap,))
+    egrav_loc = 0.5 * _jnp.sum(_jnp.where(ps.alive, ps.m * sl(g.pot), 0.0))
+    return sl(g.ax), sl(g.ay), sl(g.az), _jax.lax.psum(egrav_loc, axis)
