@@ -6,8 +6,11 @@ Prints per-stage ms at side^3 particles, plus layout/bind costs.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +38,11 @@ def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     n = side ** 3
-    cfg = SphConfig()
-    state, box, cfg = init_sedov(side, cfg, dt0=1e-4)
+    state, box, cfg = init_sedov(side, SphConfig(), dt0=1e-4)
+    if len(sys.argv) > 3 and sys.argv[3] == "direct":
+        cfg = cfg.replace(mxu_moments=False)
+    if len(sys.argv) > 3 and sys.argv[3] == "momdirect":
+        cfg = cfg.replace(mxu_momentum=False)
     grid = choose_cm_grid(box, float(state.p.h[0]) * 1.2, n, cap=cap)
     print(f"n={n} grid={grid} occ={n / grid.n ** 3:.1f} "
           f"slots={grid.n_slots / 1e6:.2f}M")
@@ -85,11 +91,24 @@ def main():
         lambda b, *a: pve.momentum(b, *a)),
         base, vx, vy, vz, c, prho, rho, xm, alpha, m, cij)
 
+    # eng.step donates its argument: time by chaining states
     eng = ResidentVE(box, grid, cfg)
     rst = eng.bind(state)
-    timeit("full_step", eng.step, rst)
-    rebin = jax.jit(eng._rebin)
-    timeit("rebin", rebin, rst)
+    rst, _ = eng.step(rst)
+    jax.block_until_ready(rst)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        rst, _ = eng.step(rst)
+    jax.block_until_ready(rst)
+    print(f"{'full_step':14s} {(time.perf_counter() - t0) / reps * 1e3:8.2f} ms")
+    rebin = jax.jit(eng._rebin, donate_argnums=0)
+    rst2 = rebin(rst)
+    jax.block_until_ready(rst2)
+    t0 = time.perf_counter()
+    rst2 = rebin(rst2)
+    jax.block_until_ready(rst2)
+    print(f"{'rebin':14s} {(time.perf_counter() - t0) * 1e3:8.2f} ms")
 
 
 if __name__ == "__main__":

@@ -76,6 +76,19 @@ class SphConfig:
     # VPU bodies (reference semantics, used for cross-checks).
     mxu_moments: bool = True
 
+    # Pallas path: factor ALL momentum-stage pair reductions (termA
+    # projections, momentum, energy, viscous energy) into one stacked
+    # [5*CAP, 3*CAP] x [3*CAP, 49] cell-centered moment contraction per
+    # z-run on the MXU. Not compatible with av_clean (the rv correction
+    # is a per-pair rational term) — av_clean falls back to the direct
+    # body. Measured on the v5e at Sedov 100^3 / cap 64: 143 ms vs the
+    # direct body's 138 ms under 128-aligned parity windows (the moment
+    # column build + stacked dot costs slightly more than the saved VPU
+    # reductions), so the default stays the direct body; the hybrid is
+    # kept for future MXU-heavier geometries (it wins when windows are
+    # misaligned: 148 vs 160 ms on 192-lane windows).
+    mxu_momentum: bool = False
+
     # neighbor-engine shape parameters (static!)
     cell_cap: int = 64        # max particles per search cell
     chunk: int = 4096         # i-particle chunk size for pair stages

@@ -143,12 +143,31 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
                  jrefs[3 * g + 2][...]], axis=1) for g in range(9)]
             own = runs[4]   # own column: center blocks at lanes [BW, 2BW)
             outs = []
+            # Window geometry: when CAP is a half-vreg (64 lanes), the
+            # natural 3-cell window [t-1, t+2) is 192 lanes at 64-lane
+            # offsets — Mosaic pays half-masked vregs + relayout shifts
+            # on every access (measured ~2.5x lane-throughput loss vs
+            # aligned tiles). Instead use parity-dependent 4-cell
+            # windows: even cells read [t-2, t+2), odd cells [t-1, t+3)
+            # — every window is 2*128 lanes at 128-aligned offsets.
+            # Coverage holds because the cell edge is >= the 2h search
+            # radius (down/up reach >= one cell on each side); windows
+            # stay inside the padded column when nz is even.
+            par4 = (CAP % 128 != 0 and (2 * CAP) % 128 == 0
+                    and Z % 2 == 0 and grid.nz % 2 == 0)
             for j in range(Z):
-                lo = (Z + j - 1) * CAP
+                if par4:
+                    # global parity of cell j == parity of j (Z even)
+                    lo = (Z + j - 2) * CAP if j % 2 == 0 else \
+                        (Z + j - 1) * CAP
+                    width = 4 * CAP
+                else:
+                    lo = (Z + j - 1) * CAP
+                    width = 3 * CAP
                 center = own[:, (Z + j) * CAP:(Z + j + 1) * CAP]
 
-                def get_run(g, lo=lo):
-                    return runs[g][:, lo:lo + 3 * CAP]
+                def get_run(g, lo=lo, width=width):
+                    return runs[g][:, lo:lo + width]
 
                 if fi2:
                     outs.append(body(center, get_run,
@@ -421,18 +440,28 @@ def _xh_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
     xi, yi, zi = (_col(center, r) for r in (RX, RY, RZ))
     gidr = lambda jr: jr[RGID:RGID + 1, :]
 
+    # pair distances depend only on positions: compute the nine
+    # [CAP, 3CAP] d2 tiles once and reuse them across every
+    # h-controller count pass and the final xmass pass (the candidates
+    # are VMEM-resident; re-deriving d2 per pass was pure VPU waste)
+    d2s = []
+    gms = []
+    for g in range(9):
+        jr = get_run(g)
+        rx = xi - jr[RX:RX + 1, :]
+        ry = yi - jr[RY:RY + 1, :]
+        rz = zi - jr[RZ:RZ + 1, :]
+        d2s.append(rx * rx + ry * ry + rz * rz)
+        gms.append(gidr(jr) != gid_i)
+
     def count(hi_inv2):
-        nc = 0.0
+        # accumulate the mask tiles elementwise, reduce across lanes once
+        # (a cross-lane reduce costs several elementwise passes on the VPU)
+        ncm = 0.0
         for g in range(9):
-            jr = get_run(g)
-            rx = xi - jr[RX:RX + 1, :]
-            ry = yi - jr[RY:RY + 1, :]
-            rz = zi - jr[RZ:RZ + 1, :]
-            d2 = rx * rx + ry * ry + rz * rz
-            mask = (gidr(jr) != gid_i) & (d2 * hi_inv2 < 4.0)
-            nc = nc + jnp.sum(mask.astype(jnp.float32), axis=1,
-                              keepdims=True)
-        return nc
+            mask = gms[g] & (d2s[g] * hi_inv2 < 4.0)
+            ncm = ncm + mask.astype(jnp.float32)
+        return jnp.sum(ncm, axis=1, keepdims=True)
 
     hinv = 1.0 / hi
     nc = count(hinv * hinv)
@@ -449,19 +478,17 @@ def _xh_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
 
     # final pass: count + xmass accumulation with the converged h
     hi_inv2 = hinv * hinv
-    nc = 0.0
-    acc = 0.0
+    ncm = 0.0
+    accm = 0.0
     for g in range(9):
         jr = get_run(g)
-        rx = xi - jr[RX:RX + 1, :]
-        ry = yi - jr[RY:RY + 1, :]
-        rz = zi - jr[RZ:RZ + 1, :]
-        d2 = rx * rx + ry * ry + rz * rz
-        v2 = d2 * hi_inv2
-        mask = (gidr(jr) != gid_i) & (v2 < 4.0)
+        v2 = d2s[g] * hi_inv2
+        mask = gms[g] & (v2 < 4.0)
         w = _w_v2(v2, n_w)
-        acc = acc + _msum(w * jr[RM:RM + 1, :], mask)
-        nc = nc + jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True)
+        accm = accm + jnp.where(mask, w * jr[RM:RM + 1, :], 0.0)
+        ncm = ncm + mask.astype(jnp.float32)
+    nc = jnp.sum(ncm, axis=1, keepdims=True)
+    acc = jnp.sum(accm, axis=1, keepdims=True)
 
     mi = _col(center, RM)
     xm = mi * (hi * hi * hi) / (K3d * (mi + acc))
@@ -476,7 +503,7 @@ def _gradh_body(center, get_run, *, K3d, n_w):
     hi = _col(center, RH)
     hinv = 1.0 / hi
     hi_inv2 = hinv * hinv
-    kx_a = whomega_a = wrho0_a = 0.0
+    kx_m = whomega_m = wrho0_m = 0.0
     for g in range(9):
         jr = get_run(g)
         _, _, _, d2 = _geo(center, jr)
@@ -489,9 +516,14 @@ def _gradh_body(center, get_run, *, K3d, n_w):
                         n_w * wnm1 * (v2 * _poly_even(v2, _DSINC_OVER_V_COEF)),
                         0.0)
         dterh = -(3.0 * w + vdw)
-        kx_a = kx_a + _msum(w * jr[RXM:RXM + 1, :], mask)
-        whomega_a = whomega_a + _msum(dterh * jr[RXM:RXM + 1, :], mask)
-        wrho0_a = wrho0_a + _msum(dterh * jr[RM:RM + 1, :], mask)
+        # accumulate [CAP, 3CAP] tiles; one cross-lane reduce at the end
+        kx_m = kx_m + jnp.where(mask, w * jr[RXM:RXM + 1, :], 0.0)
+        whomega_m = whomega_m + jnp.where(mask, dterh * jr[RXM:RXM + 1, :],
+                                          0.0)
+        wrho0_m = wrho0_m + jnp.where(mask, dterh * jr[RM:RM + 1, :], 0.0)
+    kx_a = jnp.sum(kx_m, axis=1, keepdims=True)
+    whomega_a = jnp.sum(whomega_m, axis=1, keepdims=True)
+    wrho0_a = jnp.sum(wrho0_m, axis=1, keepdims=True)
 
     mi = _col(center, RM)
     xmi = _col(center, RXM)
@@ -619,7 +651,7 @@ def _iad_hybrid_body(center, get_run, *, K3d, n_w):
            _col(center, RVY) - jnp.transpose(ovy),
            _col(center, RVZ) - jnp.transpose(ovz))
 
-    t11 = t12 = t13 = t22 = t23 = t33 = 0.0
+    t11m = t12m = t13m = t22m = t23m = t33m = 0.0
     mom = 0.0
     for g in range(9):
         jr = get_run(g)
@@ -627,18 +659,19 @@ def _iad_hybrid_body(center, get_run, *, K3d, n_w):
         v2, mask = _pair_mask(center, jr, d2, hi_inv2)
         w = _w_v2(v2, n_w)
 
-        # tau: direct VPU accumulation (h-scaled, fp32-stable)
+        # tau: direct VPU accumulation (h-scaled, fp32-stable); tile
+        # accumulators, one cross-lane reduce per component at the end
         volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
         wn = jnp.where(mask, volj * w, 0.0) * (K3d * h3inv)
         sx = rx * hinv
         sy = ry * hinv
         sz = rz * hinv
-        t11 = t11 + jnp.sum(sx * sx * wn, axis=1, keepdims=True)
-        t12 = t12 + jnp.sum(sx * sy * wn, axis=1, keepdims=True)
-        t13 = t13 + jnp.sum(sx * sz * wn, axis=1, keepdims=True)
-        t22 = t22 + jnp.sum(sy * sy * wn, axis=1, keepdims=True)
-        t23 = t23 + jnp.sum(sy * sz * wn, axis=1, keepdims=True)
-        t33 = t33 + jnp.sum(sz * sz * wn, axis=1, keepdims=True)
+        t11m = t11m + sx * sx * wn
+        t12m = t12m + sx * sy * wn
+        t13m = t13m + sx * sz * wn
+        t22m = t22m + sy * sy * wn
+        t23m = t23m + sy * sz * wn
+        t33m = t33m + sz * sz * wn
 
         # dV moments: j-side columns (O(3*CAP) work), MXU contraction.
         # Invalid slots carry NaN xm (0/0 in the xmass stage) — sanitize
@@ -661,6 +694,9 @@ def _iad_hybrid_body(center, get_run, *, K3d, n_w):
             wm, M, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [CAP, 16]
 
+    t11, t12, t13, t22, t23, t33 = (
+        jnp.sum(t, axis=1, keepdims=True)
+        for t in (t11m, t12m, t13m, t22m, t23m, t33m))
     cij = _iad_tail(t11, t12, t13, t22, t23, t33, hi)
     c11, c12, c13, c22, c23, c33 = cij
 
@@ -706,15 +742,17 @@ def _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
 
 
 def _av_vsig_term(center, jr, rx, ry, rz, d2, mask, ci):
+    """Per-pair signal-velocity tile [CAP, 3CAP]; the caller folds the
+    tiles with elementwise max and does ONE cross-lane reduce at the
+    end (cross-lane reduces cost several elementwise passes)."""
     RVX, RVY, RVZ = NBASE + 4, NBASE + 5, NBASE + 6
     vx_ij = _col(center, RVX) - jr[RVX:RVX + 1, :]
     vy_ij = _col(center, RVY) - jr[RVY:RVY + 1, :]
     vz_ij = _col(center, RVZ) - jr[RVZ:RVZ + 1, :]
     rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
     inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
-    vsig = jnp.where(mask & (rv < 0.0),
+    return jnp.where(mask & (rv < 0.0),
                      ci + jr[NBASE:NBASE + 1, :] - 3.0 * rv * inv_d, _NEG)
-    return jnp.max(vsig, axis=1, keepdims=True)
 
 
 def _av_direct_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
@@ -748,6 +786,7 @@ def _av_direct_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
         gy = gy + jnp.sum(factor * termA2, axis=1, keepdims=True)
         gz = gz + jnp.sum(factor * termA3, axis=1, keepdims=True)
 
+    vsig_max = jnp.max(vsig_max, axis=1, keepdims=True)
     vijsignal = jnp.maximum(vsig_max, 1e-30 * ci)
     graddivv = jnp.sqrt(gx * gx + gy * gy + gz * gz)
     return _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
@@ -812,6 +851,7 @@ def _av_mm_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
     gy = -(c12i * G[0] + c22i * G[1] + c23i * G[2]) * scale
     gz = -(c13i * G[0] + c23i * G[1] + c33i * G[2]) * scale
 
+    vsig_max = jnp.max(vsig_max, axis=1, keepdims=True)
     vijsignal = jnp.maximum(vsig_max, 1e-30 * ci)
     graddivv = jnp.sqrt(gx * gx + gy * gy + gz * gz)
     return _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
@@ -917,8 +957,7 @@ def _momentum_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
         visc = jnp.where(mask & (wij < 0.0), -vij_signal * wij, 0.0)
 
         vsig_ts = jnp.where(mask, 0.5 * csum - 2.0 * wij, _NEG)
-        vsig_max = jnp.maximum(vsig_max,
-                               jnp.max(vsig_ts, axis=1, keepdims=True))
+        vsig_max = jnp.maximum(vsig_max, vsig_ts)
 
         mj = jr[RM:RM + 1, :]
         xmj = jr[RXM:RXM + 1, :]
@@ -960,7 +999,196 @@ def _momentum_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
                               mask)
 
     a_visc_energy = jnp.maximum(a_visc_energy, 0.0)
-    maxvsignal = jnp.maximum(vsig_max, 0.0)
+    maxvsignal = jnp.maximum(
+        jnp.max(vsig_max, axis=1, keepdims=True), 0.0)
+    du = K3d * (prhoi * energy + 0.5 * a_visc_energy)
+    outs = [-K3d * mom_x, -K3d * mom_y, -K3d * mom_z, du, maxvsignal]
+    return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
+
+
+def _momentum_mm_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
+    """Momentum + energy with every pair reduction factored into j-side
+    moment matmuls on the MXU (the same cell-mean-centered factorization
+    as the hybrid IAD/AV bodies, extended to all five momentum-stage
+    reductions). Per pair the VPU now only evaluates geometry, the two
+    kernel polynomials, the AV signal terms and the Atwood ramp; the
+    termA projections and the mom/energy/visc-energy accumulations ride
+    a single [5*CAP, 3*CAP] x [3*CAP, 49] contraction per z-run.
+
+    Semantics identical to _momentum_body (momentum_energy_kern.hpp:
+    65-222) up to fp32 regrouping:
+
+      mom_a   = sum_j Pi*termA_a_i + Pj*termA_a_j
+      energy  = sum_j Ei * sum_a v_a,ij * termA_a_i
+      aviscE  = sum_j sum_a (Vi*termA_a_i + Vj*termA_a_j) * v_a,ij
+
+    with termA_a_i = -(sum_b c_ab,i r_b) Wi and r_b/v_ij expanded in
+    cell-mean-centered coordinates, so every sum factors into moments
+    over {1, x_b, v_a, v_a x_b} and the cij-weighted analogs. The
+    avClean rv correction is not factorable (per-pair quadratic ratio);
+    cfg.av_clean falls back to the direct body."""
+    (RVX, RVY, RVZ, RC, RPRHO, RRHO, RXM, RAL, RM,
+     R11, R12, R13, R22, R23, R33) = range(NBASE, NBASE + 15)
+
+    hi = _col(center, RH)
+    hi_inv = 1.0 / hi
+    hi_inv2 = hi_inv * hi_inv
+    hi3inv = hi_inv * hi_inv2
+    # i-side sanitization: invalid i-slots carry NaN EOS outputs; in the
+    # direct body the post-mask kills them, but here 0*NaN would ride
+    # into the weight stack (L rows) and poison the matmul rows.
+    oki = _col(center, RGID) >= 0.0
+    ci = jnp.where(oki, _col(center, RC), 1.0)
+    alpha_i = jnp.where(oki, _col(center, RAL), 0.0)
+    rhoi = jnp.where(oki, _col(center, RRHO), 1.0)
+    rhoi_inv = 1.0 / rhoi
+    prhoi = jnp.where(oki, _col(center, RPRHO), 0.0)
+    xmi = jnp.where(oki, _col(center, RXM), 1.0)
+    lxmi = jnp.log(xmi)
+    cii = [jnp.where(oki, _col(center, r), 0.0)
+           for r in (R11, R12, R13, R22, R23, R33)]
+
+    # cell-mean expansion origin (positions + velocities)
+    ox, oy, oz, ovx, ovy, ovz = _cell_means(
+        center, (RX, RY, RZ, RVX, RVY, RVZ))
+    bic = tuple(jnp.where(oki, _col(center, r) - jnp.transpose(o), 0.0)
+                for r, o in ((RX, ox), (RY, oy), (RZ, oz)))
+    vic = tuple(jnp.where(oki, _col(center, r) - jnp.transpose(o), 0.0)
+                for r, o in ((RVX, ovx), (RVY, ovy), (RVZ, ovz)))
+
+    CAP = center.shape[1]
+    # (a, b) index pairs of the symmetric cij rows, in termA row order
+    AB = ((0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2),
+          (2, 0), (2, 1), (2, 2))
+    C6 = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (0, 2): 2, (2, 0): 2,
+          (1, 1): 3, (1, 2): 4, (2, 1): 4, (2, 2): 5}
+
+    mom = 0.0
+    vsig_max = _NEG
+    for g in range(9):
+        jr = get_run(g)
+        rx, ry, rz, d2 = _geo(center, jr)
+        v2i, mask = _pair_mask(center, jr, d2, hi_inv2)
+        hj_inv = 1.0 / jr[RH:RH + 1, :]
+        v2j = d2 * (hj_inv * hj_inv)
+        Wi = jnp.where(mask, _w_v2(v2i, n_w) * hi3inv, 0.0)
+        Wj = jnp.where(mask, _w_v2(v2j, n_w)
+                       * (hj_inv * hj_inv * hj_inv), 0.0)
+
+        vx_ij = _col(center, RVX) - jr[RVX:RVX + 1, :]
+        vy_ij = _col(center, RVY) - jr[RVY:RVY + 1, :]
+        vz_ij = _col(center, RVZ) - jr[RVZ:RVZ + 1, :]
+        rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
+        inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+        wij = rv * inv_d
+        cj = jr[RC:RC + 1, :]
+        csum = ci + cj
+        vij_signal = (alpha_i + jr[RAL:RAL + 1, :]) * 0.25 * csum - 2.0 * wij
+        visc = jnp.where(mask & (wij < 0.0), -vij_signal * wij, 0.0)
+        vsig_ts = jnp.where(mask, 0.5 * csum - 2.0 * wij, _NEG)
+        vsig_max = jnp.maximum(vsig_max, vsig_ts)
+
+        # sanitized j rows (invalid slots carry NaN xm / garbage fields;
+        # the matmul path has no post-mask, so NaNs must never enter the
+        # weight or moment operands)
+        okj = jr[RGID:RGID + 1, :] >= 0.0
+        mj = jnp.where(okj, jr[RM:RM + 1, :], 0.0)
+        xmj = jnp.where(okj, jr[RXM:RXM + 1, :], 1.0)
+        rhoj = jnp.where(okj, jr[RRHO:RRHO + 1, :], 1.0)
+        prhoj = jnp.where(okj, jr[RPRHO:RPRHO + 1, :], 0.0)
+
+        # Atwood-ramped crossed/uncrossed VE coefficients
+        drho = jnp.abs(rhoi - rhoj)
+        srho = rhoi + rhoj
+        is_lo = drho < cfg.atmin * srho
+        is_hi = drho > cfg.atmax * srho
+        sigma = cfg.ramp * (drho / srho - cfg.atmin)
+        lxmj = jnp.log(xmj)
+        t = jnp.exp((sigma - 1.0) * (lxmj - lxmi))
+        prod = xmi * xmj
+        a_mom = jnp.where(is_lo, xmi * xmi,
+                          jnp.where(is_hi, prod, prod * t))
+        b_mom = jnp.where(is_lo, xmj * xmj,
+                          jnp.where(is_hi, prod, prod / t))
+
+        # pair weights for the five reduction families
+        av2 = (0.5 * mj) * visc
+        Vi_w = av2 * rhoi_inv
+        Vj_w = av2 / rhoj
+        Ei_w = mj * a_mom
+        Pi_w = prhoi * Ei_w + Vi_w
+        Pj_w = (prhoj * b_mom) * mj + Vj_w
+        L = jnp.concatenate([Pi_w * Wi, Pj_w * Wj, Ei_w * Wi,
+                             Vi_w * Wi, Vj_w * Wj], axis=0)
+
+        # j-side moment columns (centered, sanitized)
+        one = okj.astype(jnp.float32)
+        bjc = [jnp.where(okj, jr[r:r + 1, :] - o, 0.0)
+               for r, o in ((RX, ox), (RY, oy), (RZ, oz))]
+        vjc = [jnp.where(okj, jr[r:r + 1, :] - o, 0.0)
+               for r, o in ((RVX, ovx), (RVY, ovy), (RVZ, ovz))]
+        cj6 = [jnp.where(okj, jr[r:r + 1, :], 0.0)
+               for r in (R11, R12, R13, R22, R23, R33)]
+        cols = [one] + bjc + vjc
+        cols += [vjc[a] * bjc[b] for a in range(3) for b in range(3)]
+        cols += cj6
+        cols += [cj6[C6[ab]] * bjc[ab[1]] for ab in AB]
+        cols += [cj6[C6[ab]] * vjc[ab[0]] for ab in AB]
+        cols += [cj6[C6[ab]] * vjc[ab[0]] * bjc[ab[1]] for ab in AB]
+        M = jnp.concatenate(cols, axis=0)  # [49, 3CAP]
+        mom = mom + jax.lax.dot_general(
+            L, M, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [5CAP, 49]
+
+    SA = mom[0:CAP]
+    SB = mom[CAP:2 * CAP]
+    SC = mom[2 * CAP:3 * CAP]
+    SD = mom[3 * CAP:4 * CAP]
+    SE = mom[4 * CAP:5 * CAP]
+
+    def col(S, k):
+        return S[:, k:k + 1]
+
+    # ---- i-side momentum: -sum_b c_ab,i * sum_j WA r_b ----
+    RA = [bic[b] * col(SA, 0) - col(SA, 1 + b) for b in range(3)]
+    momA = [-(cii[C6[(a, 0)]] * RA[0] + cii[C6[(a, 1)]] * RA[1]
+              + cii[C6[(a, 2)]] * RA[2]) for a in range(3)]
+
+    # ---- j-side momentum: -sum_j WB sum_b c_ab,j r_b ----
+    def UB(a):
+        acc = 0.0
+        for b in range(3):
+            acc = acc + bic[b] * col(SB, 16 + C6[(a, b)]) \
+                - col(SB, 22 + 3 * a + b)
+        return acc
+    momB = [-UB(a) for a in range(3)]
+    mom_x = momA[0] + momB[0]
+    mom_y = momA[1] + momB[1]
+    mom_z = momA[2] + momB[2]
+
+    # ---- energy / i-side visc energy: -sum_ab c_ab,i Q_ab ----
+    def QI(S):
+        acc = 0.0
+        for a, b in AB:
+            q = (vic[a] * bic[b] * col(S, 0) - vic[a] * col(S, 1 + b)
+                 - bic[b] * col(S, 4 + a) + col(S, 7 + 3 * a + b))
+            acc = acc + cii[C6[(a, b)]] * q
+        return -acc
+    energy = QI(SC)
+    avE_i = QI(SD)
+
+    # ---- j-side visc energy: -sum_j WE sum_ab c_ab,j v_a,ij r_b ----
+    avE_j = 0.0
+    for a, b in AB:
+        avE_j = avE_j - (
+            vic[a] * bic[b] * col(SE, 16 + C6[(a, b)])
+            - vic[a] * col(SE, 22 + 3 * a + b)
+            - bic[b] * col(SE, 31 + 3 * a + b)
+            + col(SE, 40 + 3 * a + b))
+
+    a_visc_energy = jnp.maximum(avE_i + avE_j, 0.0)
+    maxvsignal = jnp.maximum(
+        jnp.max(vsig_max, axis=1, keepdims=True), 0.0)
     du = K3d * (prhoi * energy + 0.5 * a_visc_energy)
     outs = [-K3d * mom_x, -K3d * mom_y, -K3d * mom_z, du, maxvsignal]
     return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
@@ -989,7 +1217,7 @@ class PallasVE:
                  kernel_mode: str = "cell", gated: bool = False):
         # cap 64 packs two cells per 128-lane tile (supercell blocks stay
         # 128-aligned); windows slice at 64-lane static offsets
-        assert grid.cap % 64 == 0, "CAP must be a multiple of 64 lanes"
+        assert grid.cap % 32 == 0, "CAP must be a multiple of 32 lanes"
         n_w = int(cfg.sinc_index)
         assert float(n_w) == float(cfg.sinc_index) and n_w >= 2, \
             "pallas path needs an integer sinc index"
@@ -1012,8 +1240,11 @@ class PallasVE:
         av_body = _av_mm_body if cfg.mxu_moments else _av_direct_body
         self._av = mk(16, 1, functools.partial(av_body, cfg=cfg, **kw),
                       fi2=8)
+        mom_body = (_momentum_mm_body
+                    if cfg.mxu_momentum and not cfg.av_clean
+                    else _momentum_body)
         self._mom = mk(32 if cfg.av_clean else 24, 5,
-                       functools.partial(_momentum_body, cfg=cfg, **kw))
+                       functools.partial(mom_body, cfg=cfg, **kw))
 
     def base_rows(self, layout: CMLayout, x, y, z, h):
         """The 5 base rows shared by all stages (cm frame inputs).
