@@ -105,15 +105,18 @@ def _all2all(x):
     return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0)
 
 
-def migrate(ps: Particles, box: Box, splits, hc: HilbertConfig):
+def migrate(ps: Particles, box: Box, splits, hc: HilbertConfig,
+            owner=None):
     """Send every particle to its Hilbert-range owner via one all_to_all
     (reference: domaindecomp_mpi.hpp:86 exchangeParticles). Lossless by
     construction — every rank is reachable in one hop; only a capacity
     overflow can drop particles, and that is counted in `lost` and must
-    fail-stop the run."""
+    fail-stop the run. `owner` overrides the Hilbert-key ownership (the
+    balanced column-range domain passes grid-column owners)."""
     me = jax.lax.axis_index(AXIS)
-    keys = hilbert_keys(box, ps.x, ps.y, ps.z)
-    owner = owner_of(keys, splits)
+    if owner is None:
+        keys = hilbert_keys(box, ps.x, ps.y, ps.z)
+        owner = owner_of(keys, splits)
     stay = ps.alive & (owner == me)
 
     fields = [getattr(ps, f) for f in _FIELDS[:-1]]

@@ -34,23 +34,33 @@ from sphexa_tpu.sfc.box import Box, normalize_coords
 class CMGrid:
     """Static cell-major grid description (hashable).
 
-    n is the interior cell count in x and y; nz (default n) may differ —
-    the multi-chip path shards the box into z-plane ranges, so each
-    device's local grid is n x n x nz_local. Row-major ids need no
-    power-of-two. cap must be a multiple of 64 (lane tiling; cap-64
-    packs two cells per 128-lane tile).
-    """
-    n: int               # interior cells in x and y
+    n is the interior cell count in y (and x unless nxi is set); nz
+    (default n) may differ — the multi-chip z-plane path shards the box
+    into z ranges, so each device's local grid is n x n x nz_local; the
+    balanced column-range path (propagator/ve_pallas_hilbert.py) gives
+    each device a local x-row window, nx_local x n x nz. Row-major ids
+    need no power-of-two. cap must be a multiple of 32 (lane tiling;
+    cap-64 packs two cells per 128-lane tile)."""
+    n: int               # interior cells in y (and x unless nxi)
     cap: int = 128       # particle slots per cell
     nzi: int = 0         # interior cells in z (0 = same as n)
+    nxi: int = 0         # interior cells in x (0 = same as n)
 
     @property
     def nz(self) -> int:
         return self.nzi if self.nzi else self.n
 
     @property
-    def np_(self) -> int:  # padded cells per x/y dim
+    def nx(self) -> int:
+        return self.nxi if self.nxi else self.n
+
+    @property
+    def np_(self) -> int:  # padded cells in y
         return self.n + 2
+
+    @property
+    def npx(self) -> int:  # padded cells in x
+        return self.nx + 2
 
     @property
     def npz(self) -> int:  # padded cells in z
@@ -58,7 +68,7 @@ class CMGrid:
 
     @property
     def n_cells(self) -> int:
-        return self.np_ ** 2 * self.npz
+        return self.npx * self.np_ * self.npz
 
     @property
     def n_slots(self) -> int:
@@ -107,8 +117,8 @@ def choose_cm_grid(box: Box, h_max: float, n_global: int,
 def interior_mask(grid: CMGrid) -> jnp.ndarray:
     """Static bool [n_slots]: slot belongs to an interior (non-ghost) cell."""
     cx, cy, cz = _cell_coords_all(grid)
-    n, nz = grid.n, grid.nz
-    cell_int = ((cx >= 1) & (cx <= n) & (cy >= 1) & (cy <= n)
+    n, nz, nx = grid.n, grid.nz, grid.nx
+    cell_int = ((cx >= 1) & (cx <= nx) & (cy >= 1) & (cy <= n)
                 & (cz >= 1) & (cz <= nz))
     return jnp.asarray(np.repeat(cell_int, grid.cap))
 
@@ -127,11 +137,12 @@ def build_layout(grid: CMGrid, box: Box, x, y, z, alive=None) -> CMLayout:
     N = x.shape[0]
     n = grid.n
     nzc = grid.nz
+    nxc = grid.nx
     cap = grid.cap
     npd = grid.np_
 
     nx, ny, nz = normalize_coords(box, x, y, z)
-    ix = jnp.minimum((nx * n).astype(jnp.int32), n - 1)
+    ix = jnp.minimum((nx * nxc).astype(jnp.int32), nxc - 1)
     iy = jnp.minimum((ny * n).astype(jnp.int32), n - 1)
     iz = jnp.minimum((nz * nzc).astype(jnp.int32), nzc - 1)
     cid = grid.padded_id(ix, iy, iz)
@@ -160,7 +171,7 @@ def build_layout(grid: CMGrid, box: Box, x, y, z, alive=None) -> CMLayout:
 
     # ---- ghost cells: pull from wrapped interior cells with coord shifts ----
     cx, cy, cz = _cell_coords_all(grid)  # padded coords, numpy
-    is_interior_cell = ((cx >= 1) & (cx <= n) & (cy >= 1) & (cy <= n)
+    is_interior_cell = ((cx >= 1) & (cx <= nxc) & (cy >= 1) & (cy <= n)
                         & (cz >= 1) & (cz <= nzc))
 
     px, py, pz = box.periodic
@@ -173,12 +184,12 @@ def build_layout(grid: CMGrid, box: Box, x, y, z, alive=None) -> CMLayout:
             shift = np.zeros_like(c)  # non-periodic ghosts stay empty
         return c + shift * nd, shift
 
-    sxc, shx = wrap(cx, px, n, npd)
+    sxc, shx = wrap(cx, px, nxc, grid.npx)
     syc, shy = wrap(cy, py, n, npd)
     szc, shz = wrap(cz, pz, nzc, grid.npz)
     src_cell = (sxc * npd + syc) * grid.npz + szc
     # ghost cell is fillable only if all out-of-range dims are periodic
-    fillable = (((cx >= 1) & (cx <= n)) | px) & (((cy >= 1) & (cy <= n)) | py) \
+    fillable = (((cx >= 1) & (cx <= nxc)) | px) & (((cy >= 1) & (cy <= n)) | py) \
         & (((cz >= 1) & (cz <= nzc)) | pz)
 
     lane = np.arange(cap)

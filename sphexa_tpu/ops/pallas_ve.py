@@ -196,7 +196,7 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
             args += [act, prev]
         return pl.pallas_call(
             kernel,
-            grid=(n * n * nzb,),
+            grid=(grid.nx * n * nzb,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=jax.ShapeDtypeStruct((fo, grid.n_slots), jnp.float32),
@@ -314,10 +314,13 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
             posmask = posmask | (row == r)
         return jnp.where(posmask, FILL_POS, 0.0).astype(jnp.float32)
 
+    npx = grid.npx
+    nxc = grid.nx
+
     def srcmap(c):
         px = c // npd
         py = c % npd
-        wpx = jnp.where(px == 0, n, jnp.where(px == npd - 1, 1, px))
+        wpx = jnp.where(px == 0, nxc, jnp.where(px == npx - 1, 1, px))
         wpy = jnp.where(py == 0, n, jnp.where(py == npd - 1, 1, py))
         return (0, wpx * npd + wpy)
 
@@ -342,7 +345,7 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
             add = jnp.zeros((nrows, COLW), jnp.float32)
             if px_per:
                 sx = jnp.where(px == 0, -lx,
-                               jnp.where(px == npd - 1, lx, 0.0))
+                               jnp.where(px == npx - 1, lx, 0.0))
                 add = add + jnp.where(row == ix, jnp.float32(sx), 0.0)
             if py_per:
                 sy = jnp.where(py == 0, -ly,
@@ -355,7 +358,7 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
             if not (px_per and py_per):
                 bad = jnp.zeros((), bool)
                 if not px_per:
-                    bad = bad | (px == 0) | (px == npd - 1)
+                    bad = bad | (px == 0) | (px == npx - 1)
                 if not py_per:
                     bad = bad | (py == 0) | (py == npd - 1)
                 out = jnp.where(bad, _fill_const(), out)
@@ -366,7 +369,7 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
     def call(J):
         return pl.pallas_call(
             kernel,
-            grid=(npd * npd,),
+            grid=(npx * npd,),
             in_specs=[pl.BlockSpec((nrows, COLW), srcmap,
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((nrows, COLW), lambda c: (0, c),
