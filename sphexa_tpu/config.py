@@ -63,6 +63,14 @@ class SphConfig:
     # AV velocity-gradient cleaning terms in the momentum equation
     av_clean: bool = False
 
+    # All particle masses equal (true for every lattice/glass test
+    # case). Lets the momentum kernel's Atwood ramp run clamp-form with
+    # a short polynomial exp pair instead of per-pair exp + divide —
+    # exact under equal masses, where the xm contrast of any ramp-
+    # interior pair is bounded by the Atwood window. Initializers set
+    # it; checkpoint loaders clear it when masses vary.
+    uniform_mass: bool = False
+
     # gravity solver: "direct" (N^2, exact) or "fmm" (dense level-
     # synchronous fast multipole, ~1e-2 rms force error like BH theta~1)
     gravity_solver: str = "direct"
@@ -70,11 +78,13 @@ class SphConfig:
 
     # Pallas path: factor the IAD velocity-gradient and AV graddivv pair
     # reductions into cell-centered j-side moment matmuls on the MXU
-    # (single pass per stage). The cancellation-sensitive tau matrix
-    # stays in direct h-scaled VPU form — the hybrid split that fixes
-    # round 1's fp32 raw-moment cancellation. False = two-pass direct
-    # VPU bodies (reference semantics, used for cross-checks).
-    mxu_moments: bool = True
+    # (single pass per stage). With trustworthy device-trace timing
+    # (round 2b) the direct VPU bodies measure FASTER on the v5e than
+    # the hybrids (IAD 73 vs 79 ms, AV 60 vs 68 ms at Sedov 100^3 /
+    # cap 64): Mosaic's fp32 dot decomposition plus the moment-column
+    # assembly costs more than the saved reductions. Default is now
+    # the direct bodies; the hybrids remain for MXU-richer hardware.
+    mxu_moments: bool = False
 
     # Pallas path: factor ALL momentum-stage pair reductions (termA
     # projections, momentum, energy, viscous energy) into one stacked

@@ -68,4 +68,12 @@ def make_initializer(name: str):
     _ensure_loaded()
     if name not in _CASES:
         raise ValueError(f"unknown test case '{name}'; available: {available_cases()}")
-    return _CASES[name]
+    fn = _CASES[name]
+
+    def build(*args, **kw):
+        # every registered lattice/glass case uses one particle mass —
+        # enable the equal-mass momentum-kernel fast path (exact there)
+        state, box, cfg = fn(*args, **kw)
+        return state, box, cfg.replace(uniform_mass=True)
+
+    return build

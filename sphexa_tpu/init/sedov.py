@@ -40,7 +40,8 @@ def init_sedov(side: int, cfg: SphConfig, capacity: int | None = None,
     u = const["ener0"] * np.exp(-r2 / const["width"] ** 2) + const["u0"]
     temp = u / cv
 
-    cfg = cfg.replace(gamma=const["gamma"], mui=const["mui"],
+    cfg = cfg.replace(uniform_mass=True,
+                      gamma=const["gamma"], mui=const["mui"],
                       ng0=int(const["ng0"]), ngmax=int(const["ngmax"]))
 
     cap = capacity or n_global

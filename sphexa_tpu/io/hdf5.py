@@ -139,8 +139,10 @@ def load_checkpoint(path: str, cfg: SphConfig, step: int = -1,
     bd = [Boundary(int(v)) for v in attrs["boundary"]]
     box = Box(float(b[0]), float(b[1]), float(b[2]), float(b[3]),
               float(b[4]), float(b[5]), bd[0], bd[1], bd[2])
+    m = np.asarray(fields["m"]) if "m" in fields else np.ones(1)
     cfg = cfg.replace(ng0=int(attrs["ng0"]), ngmax=int(attrs["ngmax"]),
                       gamma=float(attrs["gamma"]), mui=float(attrs["muiConst"]),
                       gravG=float(attrs["gravConstant"]),
-                      kcour=float(attrs["Kcour"]), krho=float(attrs["Krho"]))
+                      kcour=float(attrs["Kcour"]), krho=float(attrs["Krho"]),
+                      uniform_mass=bool(m.min() == m.max()))
     return state, box, cfg

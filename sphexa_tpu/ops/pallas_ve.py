@@ -30,9 +30,14 @@ different — and rebuilt in round 2:
     matmuls on the MXU (single pass); the cancellation-sensitive tau
     matrix stays in direct h-scaled VPU form (the fp32-stable hybrid).
 
-Self-interaction is excluded by particle-gid compare; invalid slots
-carry FILL_POS positions (distance overflow masks them) and gid -1.
-CAP must be a multiple of 128 (lane tiling).
+Self-interaction is INCLUDED in the pair loops and absorbed
+analytically (zero in every antisymmetric sum; the +xmi / -3*xmi
+constants of xmass/gradh; nc_sph = count) — this removes the per-lane
+gid compare entirely. Invalid slots carry FILL_POS positions (distance
+overflow masks them); every stage masks its own outputs so all
+streamed rows stay finite ("NaN-free frame contract"), which lets the
+accumulations run as plain fma instead of NaN-protecting selects.
+CAP must be a multiple of 32 (lane tiling).
 """
 
 from __future__ import annotations
@@ -50,13 +55,16 @@ from sphexa_tpu.config import SphConfig
 from sphexa_tpu.ops.cellmajor import CMGrid, CMLayout, positions_cm, to_cm
 from sphexa_tpu.sfc.box import Box
 from sphexa_tpu.sph.kernels import (_DSINC_OVER_V_COEF, _SINC_COEF,
-                                    _poly_even, _pow_int, kernel_3d_k)
+                                    _poly_even, _pow_int, exp_pair,
+                                    kernel_3d_k)
 
 # base row indices shared by every stage's J matrix
 RX, RY, RZ, RH, RGID = 0, 1, 2, 3, 4
 NBASE = 5
 
-FILL_POS = 1e17   # invalid-slot position fill: d2 overflows the support
+FILL_POS = 1e8    # invalid-slot position fill: d2 overflows the support
+                  # by ~1e16/h^2 but h-scaled squares stay finite (1e17
+                  # risked Inf*0=NaN in folded tile accumulations)
 _NEG = -1e30
 
 
@@ -391,6 +399,18 @@ def _col(center, row):
     return jnp.transpose(center[row:row + 1, :])
 
 
+def _tc(center):
+    """Transpose the whole center block ONCE per cell ([fj, CAP] ->
+    [CAP, fj]): every i-side column is then a plain slice. Per-row
+    _col transposes inside the window loops are Mosaic relayouts that
+    do not get hoisted/CSEd — one bulk transpose replaces them all."""
+    return jnp.transpose(center)
+
+
+def _tcol(tc, row):
+    return tc[:, row:row + 1]
+
+
 def _w_v2(v2, n_w: int):
     """W = sinc(pi v/2)^n as a polynomial in v^2; zero outside support."""
     sinc = _poly_even(v2, _SINC_COEF)
@@ -401,18 +421,44 @@ def _msum(val, mask):
     return jnp.sum(jnp.where(mask, val, 0.0), axis=1, keepdims=True)
 
 
-def _geo(center, jr):
-    """Displacements and squared distance (sqrt-free prelude)."""
-    rx = _col(center, RX) - jr[RX:RX + 1, :]
-    ry = _col(center, RY) - jr[RY:RY + 1, :]
-    rz = _col(center, RZ) - jr[RZ:RZ + 1, :]
+def _sum1(val):
+    return jnp.sum(val, axis=1, keepdims=True)
+
+
+def _geo(pos, jr):
+    """Displacements and squared distance (sqrt-free prelude).
+    `pos` is the (xi, yi, zi) column triple sliced from the
+    once-transposed center block."""
+    xi, yi, zi = pos
+    rx = xi - jr[RX:RX + 1, :]
+    ry = yi - jr[RY:RY + 1, :]
+    rz = zi - jr[RZ:RZ + 1, :]
     return rx, ry, rz, rx * rx + ry * ry + rz * rz
 
 
-def _pair_mask(center, jr, d2, hi_inv2):
+def _pos(tc):
+    return (_tcol(tc, RX), _tcol(tc, RY), _tcol(tc, RZ))
+
+
+def _pair_mask(d2, hi_inv2):
+    """Support mask WITHOUT a self/gid exclusion: self-pairs are kept
+    and their contributions absorbed analytically (they are exactly
+    zero in every antisymmetric pair sum, and fold into the +xmi /
+    -3*xmi constants of xmass/gradh — see each body). Invalid slots
+    are excluded by their FILL_POS distance overflow."""
     v2 = d2 * hi_inv2
-    mask = (jr[RGID:RGID + 1, :] != _col(center, RGID)) & (v2 < 4.0)
-    return v2, mask
+    return v2, v2 < 4.0
+
+
+def _oki(xi):
+    """i-slot validity from the x column: invalid slots carry FILL_POS
+    positions. Every stage masks its own outputs with this, which
+    keeps all streamed rows NaN-free (the frame contract that lets
+    downstream stages accumulate with plain fma instead of selects)."""
+    return xi < 0.5 * FILL_POS
+
+
+_exp_pair = exp_pair    # shared with the XLA path (sph/kernels.py)
 
 
 def _cell_means(center, rows):
@@ -438,46 +484,44 @@ def _xh_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
     VMEM-resident candidates is exact and costs no extra HBM traffic.
     Outputs [xm, h, nc]."""
     RM = NBASE
-    hi = _col(center, RH)
-    gid_i = _col(center, RGID)
-    xi, yi, zi = (_col(center, r) for r in (RX, RY, RZ))
-    gidr = lambda jr: jr[RGID:RGID + 1, :]
+    tc = _tc(center)
+    hi = _tcol(tc, RH)
+    xi, yi, zi = _pos(tc)
 
     # pair distances depend only on positions: compute the nine
     # [CAP, 3CAP] d2 tiles once and reuse them across every
     # h-controller count pass and the final xmass pass (the candidates
-    # are VMEM-resident; re-deriving d2 per pass was pure VPU waste)
+    # are VMEM-resident; re-deriving d2 per pass was pure VPU waste).
+    # Self-pairs are INCLUDED (d2 = 0): the in-support count is then
+    # nc_sph = nc + 1 directly, and the self weight W(0) = 1 supplies
+    # the +mi term of the xmass denominator for free.
     d2s = []
-    gms = []
     for g in range(9):
         jr = get_run(g)
         rx = xi - jr[RX:RX + 1, :]
         ry = yi - jr[RY:RY + 1, :]
         rz = zi - jr[RZ:RZ + 1, :]
         d2s.append(rx * rx + ry * ry + rz * rz)
-        gms.append(gidr(jr) != gid_i)
 
-    def count(hi_inv2):
+    def count_sph(hi_inv2):
         # accumulate the mask tiles elementwise, reduce across lanes once
         # (a cross-lane reduce costs several elementwise passes on the VPU)
         ncm = 0.0
         for g in range(9):
-            mask = gms[g] & (d2s[g] * hi_inv2 < 4.0)
-            ncm = ncm + mask.astype(jnp.float32)
+            ncm = ncm + (d2s[g] * hi_inv2 < 4.0).astype(jnp.float32)
         return jnp.sum(ncm, axis=1, keepdims=True)
 
     hinv = 1.0 / hi
-    nc = count(hinv * hinv)
+    nc_sph = count_sph(hinv * hinv)
     ngmin = float(cfg.ng0 // 4)
     for it in range(cfg.h_iter):
-        nc_sph = nc + 1.0
-        need = (nc_sph < ngmin) | (nc > float(cfg.ngmax))
+        need = (nc_sph < ngmin) | (nc_sph - 1.0 > float(cfg.ngmax))
         h_new = hi * 0.5 * jnp.power(
             1.0 + 1023.0 * float(cfg.ng0) / jnp.maximum(nc_sph, 1.0), 0.1)
         hi = jnp.where(need, h_new, hi)
         hinv = 1.0 / hi
         if it < cfg.h_iter - 1:
-            nc = count(hinv * hinv)
+            nc_sph = count_sph(hinv * hinv)
 
     # final pass: count + xmass accumulation with the converged h
     hi_inv2 = hinv * hinv
@@ -486,15 +530,19 @@ def _xh_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
     for g in range(9):
         jr = get_run(g)
         v2 = d2s[g] * hi_inv2
-        mask = gms[g] & (v2 < 4.0)
-        w = _w_v2(v2, n_w)
-        accm = accm + jnp.where(mask, w * jr[RM:RM + 1, :], 0.0)
-        ncm = ncm + mask.astype(jnp.float32)
-    nc = jnp.sum(ncm, axis=1, keepdims=True)
-    acc = jnp.sum(accm, axis=1, keepdims=True)
+        w = _w_v2(v2, n_w)          # internally zero outside support
+        accm = accm + w * jr[RM:RM + 1, :]
+        ncm = ncm + (v2 < 4.0).astype(jnp.float32)
+    nc = jnp.sum(ncm, axis=1, keepdims=True) - 1.0   # self excluded
+    acc = jnp.sum(accm, axis=1, keepdims=True)       # includes +mi (self)
 
-    mi = _col(center, RM)
-    xm = mi * (hi * hi * hi) / (K3d * (mi + acc))
+    mi = _tcol(tc, RM)
+    xm = mi * (hi * hi * hi) / (K3d * acc)
+    # frame contract: invalid slots must stream finite, benign values
+    # downstream (xm rides as a divisor via volj = xm/kx)
+    ok = _oki(xi)
+    xm = jnp.where(ok, xm, 1.0)
+    nc = jnp.where(ok, nc, 0.0)
     return jnp.concatenate(
         [jnp.transpose(xm), jnp.transpose(hi), jnp.transpose(nc)], axis=0)
 
@@ -503,14 +551,20 @@ def _gradh_body(center, get_run, *, K3d, n_w):
     """VE normalization kx + grad-h (ve_def_gradh_kern.hpp:44), sqrt-free:
     v*dW/dv = n sinc^{n-1} v^2 P_d(v^2) needs no distance."""
     RM, RXM = NBASE, NBASE + 1
-    hi = _col(center, RH)
+    tc = _tc(center)
+    pos = _pos(tc)
+    hi = _tcol(tc, RH)
     hinv = 1.0 / hi
     hi_inv2 = hinv * hinv
+    # self-pairs included: W(0) = 1 and v*dW/dv(0) = 0 make the self
+    # terms exactly the +xmi / -3*xmi / -3*mi constants of
+    # ve_def_gradh_kern.hpp:61-67, so no explicit addition is needed;
+    # all accumulations are plain fma (w/vdw are zero outside support)
     kx_m = whomega_m = wrho0_m = 0.0
     for g in range(9):
         jr = get_run(g)
-        _, _, _, d2 = _geo(center, jr)
-        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        _, _, _, d2 = _geo(pos, jr)
+        v2 = d2 * hi_inv2
         sinc = _poly_even(v2, _SINC_COEF)
         wnm1 = _pow_int(sinc, n_w - 1)
         inside = v2 < 4.0
@@ -520,19 +574,15 @@ def _gradh_body(center, get_run, *, K3d, n_w):
                         0.0)
         dterh = -(3.0 * w + vdw)
         # accumulate [CAP, 3CAP] tiles; one cross-lane reduce at the end
-        kx_m = kx_m + jnp.where(mask, w * jr[RXM:RXM + 1, :], 0.0)
-        whomega_m = whomega_m + jnp.where(mask, dterh * jr[RXM:RXM + 1, :],
-                                          0.0)
-        wrho0_m = wrho0_m + jnp.where(mask, dterh * jr[RM:RM + 1, :], 0.0)
-    kx_a = jnp.sum(kx_m, axis=1, keepdims=True)
-    whomega_a = jnp.sum(whomega_m, axis=1, keepdims=True)
-    wrho0_a = jnp.sum(wrho0_m, axis=1, keepdims=True)
+        kx_m = kx_m + w * jr[RXM:RXM + 1, :]
+        whomega_m = whomega_m + dterh * jr[RXM:RXM + 1, :]
+        wrho0_m = wrho0_m + dterh * jr[RM:RM + 1, :]
+    kx = jnp.sum(kx_m, axis=1, keepdims=True)
+    whomega = jnp.sum(whomega_m, axis=1, keepdims=True)
+    wrho0 = jnp.sum(wrho0_m, axis=1, keepdims=True)
 
-    mi = _col(center, RM)
-    xmi = _col(center, RXM)
-    kx = xmi + kx_a
-    whomega = -3.0 * xmi + whomega_a
-    wrho0 = -3.0 * mi + wrho0_a
+    mi = _tcol(tc, RM)
+    xmi = _tcol(tc, RXM)
 
     h3inv = hinv * hi_inv2
     kx = kx * K3d * h3inv
@@ -542,6 +592,10 @@ def _gradh_body(center, get_run, *, K3d, n_w):
     whomega = whomega * mi / xmi + (kx - K3d * xmi * h3inv) * wrho0
     rho = kx * mi / xmi
     gradh = 1.0 + hi / (rho * 3.0) * whomega
+    # frame contract: kx rides as a divisor (volj = xm/kx) downstream
+    ok = _oki(pos[0])
+    kx = jnp.where(ok, kx, 1.0)
+    gradh = jnp.where(ok, gradh, 1.0)
     return jnp.concatenate([jnp.transpose(kx), jnp.transpose(gradh)], axis=0)
 
 
@@ -558,7 +612,7 @@ def _iad_tail(t11, t12, t13, t22, t23, t33, hi):
     return c11, c12, c13, c22, c23, c33
 
 
-def _iad_outputs(cij, dVx, dVy, dVz, norm_kx):
+def _iad_outputs(cij, dVx, dVy, dVz, norm_kx, ok):
     c11, c12, c13, c22, c23, c33 = cij
     divv = norm_kx * (dVx[0] + dVy[1] + dVz[2])
     curlv = norm_kx * jnp.sqrt((dVz[1] - dVy[2]) ** 2
@@ -567,8 +621,11 @@ def _iad_outputs(cij, dVx, dVy, dVz, norm_kx):
     outs = [c11, c12, c13, c22, c23, c33, divv, curlv,
             norm_kx * dVx[0], norm_kx * (dVx[1] + dVy[0]),
             norm_kx * (dVx[2] + dVz[0]), norm_kx * dVy[1],
-            norm_kx * (dVy[2] + dVz[1]), norm_kx * dVz[2],
-            jnp.zeros_like(divv), jnp.zeros_like(divv)]
+            norm_kx * (dVy[2] + dVz[1]), norm_kx * dVz[2]]
+    # frame contract: invalid centers stream zeros (their tau is
+    # singular, so cij/divv would otherwise carry Inf/NaN downstream)
+    outs = [jnp.where(ok, o, 0.0) for o in outs]
+    outs += [jnp.zeros_like(divv), jnp.zeros_like(divv)]
     return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
 
 
@@ -577,7 +634,9 @@ def _iad_direct_body(center, get_run, *, K3d, n_w):
     all on the VPU; h-scaled tau keeps the 3x3 inverse fp32-stable."""
     RKX, RXM, RVX, RVY, RVZ = (NBASE, NBASE + 1, NBASE + 2, NBASE + 3,
                                NBASE + 4)
-    hi = _col(center, RH)
+    tc = _tc(center)
+    pos = _pos(tc)
+    hi = _tcol(tc, RH)
     hinv = 1.0 / hi
     hi_inv2 = hinv * hinv
     h3inv = hinv * hi_inv2
@@ -585,34 +644,36 @@ def _iad_direct_body(center, get_run, *, K3d, n_w):
     t11 = t12 = t13 = t22 = t23 = t33 = 0.0
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, d2 = _geo(center, jr)
-        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
-        w = _w_v2(v2, n_w)
+        rx, ry, rz, d2 = _geo(pos, jr)
+        v2 = d2 * hi_inv2
+        w = _w_v2(v2, n_w)          # zero outside support; self s=0
         volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
-        wn = jnp.where(mask, volj * w, 0.0) * (K3d * h3inv)
+        wn = (volj * w) * (K3d * h3inv)
         sx = rx * hinv
         sy = ry * hinv
         sz = rz * hinv
-        t11 = t11 + jnp.sum(sx * sx * wn, axis=1, keepdims=True)
-        t12 = t12 + jnp.sum(sx * sy * wn, axis=1, keepdims=True)
-        t13 = t13 + jnp.sum(sx * sz * wn, axis=1, keepdims=True)
-        t22 = t22 + jnp.sum(sy * sy * wn, axis=1, keepdims=True)
-        t23 = t23 + jnp.sum(sy * sz * wn, axis=1, keepdims=True)
-        t33 = t33 + jnp.sum(sz * sz * wn, axis=1, keepdims=True)
+        t11 = t11 + sx * sx * wn
+        t12 = t12 + sx * sy * wn
+        t13 = t13 + sx * sz * wn
+        t22 = t22 + sy * sy * wn
+        t23 = t23 + sy * sz * wn
+        t33 = t33 + sz * sz * wn
+    t11, t12, t13, t22, t23, t33 = (
+        _sum1(t) for t in (t11, t12, t13, t22, t23, t33))
 
     cij = _iad_tail(t11, t12, t13, t22, t23, t33, hi)
     c11, c12, c13, c22, c23, c33 = cij
 
-    vxi = _col(center, RVX)
-    vyi = _col(center, RVY)
-    vzi = _col(center, RVZ)
+    vxi = _tcol(tc, RVX)
+    vyi = _tcol(tc, RVY)
+    vzi = _tcol(tc, RVZ)
     dVx = [0.0, 0.0, 0.0]
     dVy = [0.0, 0.0, 0.0]
     dVz = [0.0, 0.0, 0.0]
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, d2 = _geo(center, jr)
-        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        rx, ry, rz, d2 = _geo(pos, jr)
+        v2 = d2 * hi_inv2
         w = _w_v2(v2, n_w)
         termA = (-(c11 * rx + c12 * ry + c13 * rz) * w,
                  -(c12 * rx + c22 * ry + c23 * rz) * w,
@@ -622,12 +683,12 @@ def _iad_direct_body(center, get_run, *, K3d, n_w):
         vz_ji = jr[RVZ:RVZ + 1, :] - vzi
         xmj = jr[RXM:RXM + 1, :]
         for b in range(3):
-            dVx[b] = dVx[b] + _msum(vx_ji * xmj * termA[b], mask)
-            dVy[b] = dVy[b] + _msum(vy_ji * xmj * termA[b], mask)
-            dVz[b] = dVz[b] + _msum(vz_ji * xmj * termA[b], mask)
+            dVx[b] = dVx[b] + _sum1(vx_ji * xmj * termA[b])
+            dVy[b] = dVy[b] + _sum1(vy_ji * xmj * termA[b])
+            dVz[b] = dVz[b] + _sum1(vz_ji * xmj * termA[b])
 
-    norm_kx = K3d * h3inv / _col(center, RKX)
-    return _iad_outputs(cij, dVx, dVy, dVz, norm_kx)
+    norm_kx = K3d * h3inv / _tcol(tc, RKX)
+    return _iad_outputs(cij, dVx, dVy, dVz, norm_kx, _oki(pos[0]))
 
 
 def _iad_hybrid_body(center, get_run, *, K3d, n_w):
@@ -640,7 +701,9 @@ def _iad_hybrid_body(center, get_run, *, K3d, n_w):
     (spread ~ a few h instead of box scale)."""
     RKX, RXM, RVX, RVY, RVZ = (NBASE, NBASE + 1, NBASE + 2, NBASE + 3,
                                NBASE + 4)
-    hi = _col(center, RH)
+    tc = _tc(center)
+    pos = _pos(tc)
+    hi = _tcol(tc, RH)
     hinv = 1.0 / hi
     hi_inv2 = hinv * hinv
     h3inv = hinv * hi_inv2
@@ -648,24 +711,23 @@ def _iad_hybrid_body(center, get_run, *, K3d, n_w):
     ox, oy, oz, ovx, ovy, ovz = _cell_means(
         center, (RX, RY, RZ, RVX, RVY, RVZ))
     oxT, oyT, ozT = (jnp.transpose(o) for o in (ox, oy, oz))
-    xib = (_col(center, RX) - oxT, _col(center, RY) - oyT,
-           _col(center, RZ) - ozT)
-    vic = (_col(center, RVX) - jnp.transpose(ovx),
-           _col(center, RVY) - jnp.transpose(ovy),
-           _col(center, RVZ) - jnp.transpose(ovz))
+    xib = (pos[0] - oxT, pos[1] - oyT, pos[2] - ozT)
+    vic = (_tcol(tc, RVX) - jnp.transpose(ovx),
+           _tcol(tc, RVY) - jnp.transpose(ovy),
+           _tcol(tc, RVZ) - jnp.transpose(ovz))
 
     t11m = t12m = t13m = t22m = t23m = t33m = 0.0
     mom = 0.0
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, d2 = _geo(center, jr)
-        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
-        w = _w_v2(v2, n_w)
+        rx, ry, rz, d2 = _geo(pos, jr)
+        v2 = d2 * hi_inv2
+        w = _w_v2(v2, n_w)          # zero outside support; self s=0
 
         # tau: direct VPU accumulation (h-scaled, fp32-stable); tile
         # accumulators, one cross-lane reduce per component at the end
         volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
-        wn = jnp.where(mask, volj * w, 0.0) * (K3d * h3inv)
+        wn = (volj * w) * (K3d * h3inv)
         sx = rx * hinv
         sy = ry * hinv
         sz = rz * hinv
@@ -677,14 +739,13 @@ def _iad_hybrid_body(center, get_run, *, K3d, n_w):
         t33m = t33m + sz * sz * wn
 
         # dV moments: j-side columns (O(3*CAP) work), MXU contraction.
-        # Invalid slots carry NaN xm (0/0 in the xmass stage) — sanitize
-        # the column basis, not just the weight, or NaN rides the matmul.
-        wm = jnp.where(mask, w, 0.0)
-        okj = jr[RGID:RGID + 1, :] >= 0.0
+        # The frame contract guarantees finite j rows (invalid slots
+        # carry xm=1, kx=1, v=0), so w=0 alone kills invalid pairs.
+        wm = w
         xjc = jr[RX:RX + 1, :] - ox
         yjc = jr[RY:RY + 1, :] - oy
         zjc = jr[RZ:RZ + 1, :] - oz
-        xmj = jnp.where(okj, jr[RXM:RXM + 1, :], 0.0)
+        xmj = jr[RXM:RXM + 1, :]
         ux = xmj * (jr[RVX:RVX + 1, :] - ovx)
         uy = xmj * (jr[RVY:RVY + 1, :] - ovy)
         uz = xmj * (jr[RVZ:RVZ + 1, :] - ovz)
@@ -722,15 +783,16 @@ def _iad_hybrid_body(center, get_run, *, K3d, n_w):
     dVy = dv(8, vic[1])
     dVz = dv(12, vic[2])
 
-    norm_kx = K3d * h3inv / _col(center, RKX)
-    return _iad_outputs(cij, dVx, dVy, dVz, norm_kx)
+    norm_kx = K3d * h3inv / _tcol(tc, RKX)
+    return _iad_outputs(cij, dVx, dVy, dVz, norm_kx, _oki(pos[0]))
 
 
-def _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
+def _av_alpha_tail(ti2, graddivv, vijsignal, divv_i, hi, ci,
                    cfg: SphConfig):
-    """Cullen-Dehnen style alpha evolution (av_switches_kern.hpp:45)."""
-    alpha_i = jnp.transpose(i2[6:7, :])
-    dt = jnp.transpose(i2[7:8, :])
+    """Cullen-Dehnen style alpha evolution (av_switches_kern.hpp:45).
+    `ti2` is the transposed [CAP, 8] i2 block."""
+    alpha_i = ti2[:, 6:7]
+    dt = ti2[:, 7:8]
     a_const = hi * hi * graddivv
     alphaloc = jnp.where(divv_i < 0.0,
                          cfg.alphamax * a_const
@@ -744,14 +806,16 @@ def _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
     return jnp.transpose(alpha)
 
 
-def _av_vsig_term(center, jr, rx, ry, rz, d2, mask, ci):
+def _av_vsig_term(vcols, jr, rx, ry, rz, d2, mask, ci):
     """Per-pair signal-velocity tile [CAP, 3CAP]; the caller folds the
     tiles with elementwise max and does ONE cross-lane reduce at the
-    end (cross-lane reduces cost several elementwise passes)."""
+    end (cross-lane reduces cost several elementwise passes). `vcols`
+    is the (vxi, vyi, vzi) column triple (hoisted, not re-transposed
+    per window)."""
     RVX, RVY, RVZ = NBASE + 4, NBASE + 5, NBASE + 6
-    vx_ij = _col(center, RVX) - jr[RVX:RVX + 1, :]
-    vy_ij = _col(center, RVY) - jr[RVY:RVY + 1, :]
-    vz_ij = _col(center, RVZ) - jr[RVZ:RVZ + 1, :]
+    vx_ij = vcols[0] - jr[RVX:RVX + 1, :]
+    vy_ij = vcols[1] - jr[RVY:RVY + 1, :]
+    vz_ij = vcols[2] - jr[RVZ:RVZ + 1, :]
     rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
     inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
     return jnp.where(mask & (rv < 0.0),
@@ -760,40 +824,51 @@ def _av_vsig_term(center, jr, rx, ry, rz, d2, mask, ci):
 
 def _av_direct_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
     RC, RKX, RXM, RDIVV = NBASE, NBASE + 1, NBASE + 2, NBASE + 3
-    hi = _col(center, RH)
+    RVX = NBASE + 4
+    tc = _tc(center)
+    pos = _pos(tc)
+    vcols = (_tcol(tc, RVX), _tcol(tc, RVX + 1), _tcol(tc, RVX + 2))
+    hi = _tcol(tc, RH)
     hinv = 1.0 / hi
     hi_inv2 = hinv * hinv
     h3inv = hinv * hi_inv2
-    ci = _col(center, RC)
-    divv_i = _col(center, RDIVV)
-    cij_i = [jnp.transpose(i2[k:k + 1, :]) for k in range(6)]
-    c11i, c12i, c13i, c22i, c23i, c33i = cij_i
+    ci = _tcol(tc, RC)
+    divv_i = _tcol(tc, RDIVV)
+    ti2 = jnp.transpose(i2)
+    c11i, c12i, c13i, c22i, c23i, c33i = (ti2[:, k:k + 1] for k in range(6))
 
     vsig_max = _NEG
-    gx = gy = gz = 0.0
+    gxm = gym = gzm = 0.0
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, d2 = _geo(center, jr)
-        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        rx, ry, rz, d2 = _geo(pos, jr)
+        v2, mask = _pair_mask(d2, hi_inv2)
         vsig_max = jnp.maximum(vsig_max, _av_vsig_term(
-            center, jr, rx, ry, rz, d2, mask, ci))
+            vcols, jr, rx, ry, rz, d2, mask, ci))
 
-        w = _w_v2(v2, n_w) * (K3d * h3inv)
+        w = _w_v2(v2, n_w) * (K3d * h3inv)   # zero outside support
         termA1 = -(c11i * rx + c12i * ry + c13i * rz) * w
         termA2 = -(c12i * rx + c22i * ry + c23i * rz) * w
         termA3 = -(c13i * rx + c23i * ry + c33i * rz) * w
         volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
-        factor = jnp.where(mask,
-                           volj * (divv_i - jr[RDIVV:RDIVV + 1, :]), 0.0)
-        gx = gx + jnp.sum(factor * termA1, axis=1, keepdims=True)
-        gy = gy + jnp.sum(factor * termA2, axis=1, keepdims=True)
-        gz = gz + jnp.sum(factor * termA3, axis=1, keepdims=True)
+        factor = volj * (divv_i - jr[RDIVV:RDIVV + 1, :])
+        gxm = gxm + factor * termA1
+        gym = gym + factor * termA2
+        gzm = gzm + factor * termA3
+    gx, gy, gz = _sum1(gxm), _sum1(gym), _sum1(gzm)
 
     vsig_max = jnp.max(vsig_max, axis=1, keepdims=True)
     vijsignal = jnp.maximum(vsig_max, 1e-30 * ci)
     graddivv = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-    return _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
-                          cfg)
+    alpha = _av_alpha_tail(ti2, graddivv, vijsignal, divv_i, hi, ci, cfg)
+    ok_row = center[RX:RX + 1, :] < 0.5 * FILL_POS
+    alpha = jnp.where(ok_row, alpha, 0.0)
+    # pad to 8 output rows: [1, n] outputs take a T(1,128) layout whose
+    # stores/copies are far slower than T(8,128) on the v5e (iota-select
+    # instead of concat: Mosaic cannot legalize a 1-row concat stack)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, alpha.shape[1]), 0)
+    return jnp.where(row == 0, jnp.broadcast_to(alpha, (8, alpha.shape[1])),
+                     0.0)
 
 
 def _av_mm_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
@@ -801,39 +876,40 @@ def _av_mm_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
     cell-centered moments on the MXU; the per-pair signal-velocity max
     stays on the VPU (max is not a matmul)."""
     RC, RKX, RXM, RDIVV = NBASE, NBASE + 1, NBASE + 2, NBASE + 3
-    hi = _col(center, RH)
+    RVX = NBASE + 4
+    tc = _tc(center)
+    pos = _pos(tc)
+    vcols = (_tcol(tc, RVX), _tcol(tc, RVX + 1), _tcol(tc, RVX + 2))
+    hi = _tcol(tc, RH)
     hinv = 1.0 / hi
     hi_inv2 = hinv * hinv
     h3inv = hinv * hi_inv2
-    ci = _col(center, RC)
-    cij_i = [jnp.transpose(i2[k:k + 1, :]) for k in range(6)]
-    c11i, c12i, c13i, c22i, c23i, c33i = cij_i
+    ci = _tcol(tc, RC)
+    ti2 = jnp.transpose(i2)
+    c11i, c12i, c13i, c22i, c23i, c33i = (ti2[:, k:k + 1] for k in range(6))
 
     ox, oy, oz, odv = _cell_means(center, (RX, RY, RZ, RDIVV))
-    xib = (_col(center, RX) - jnp.transpose(ox),
-           _col(center, RY) - jnp.transpose(oy),
-           _col(center, RZ) - jnp.transpose(oz))
-    divv_i = _col(center, RDIVV)
+    xib = (pos[0] - jnp.transpose(ox),
+           pos[1] - jnp.transpose(oy),
+           pos[2] - jnp.transpose(oz))
+    divv_i = _tcol(tc, RDIVV)
     dvic = divv_i - jnp.transpose(odv)
 
     vsig_max = _NEG
     mom = 0.0
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, d2 = _geo(center, jr)
-        v2, mask = _pair_mask(center, jr, d2, hi_inv2)
+        rx, ry, rz, d2 = _geo(pos, jr)
+        v2, mask = _pair_mask(d2, hi_inv2)
         vsig_max = jnp.maximum(vsig_max, _av_vsig_term(
-            center, jr, rx, ry, rz, d2, mask, ci))
+            vcols, jr, rx, ry, rz, d2, mask, ci))
 
-        w = _w_v2(v2, n_w)
-        wm = jnp.where(mask, w, 0.0)
-        okj = jr[RGID:RGID + 1, :] >= 0.0
+        wm = _w_v2(v2, n_w)          # zero outside support
         volj = jr[RXM:RXM + 1, :] / jr[RKX:RKX + 1, :]
-        volj = jnp.where(okj, volj, 0.0)
         xjc = jr[RX:RX + 1, :] - ox
         yjc = jr[RY:RY + 1, :] - oy
         zjc = jr[RZ:RZ + 1, :] - oz
-        vd = volj * jnp.where(okj, jr[RDIVV:RDIVV + 1, :] - odv, 0.0)
+        vd = volj * (jr[RDIVV:RDIVV + 1, :] - odv)
         cols = [volj, volj * xjc, volj * yjc, volj * zjc,
                 vd, vd * xjc, vd * yjc, vd * zjc]
         M = jnp.concatenate(cols, axis=0)  # [8, 3CAP]
@@ -857,8 +933,15 @@ def _av_mm_body(center, get_run, i2, *, K3d, n_w, cfg: SphConfig):
     vsig_max = jnp.max(vsig_max, axis=1, keepdims=True)
     vijsignal = jnp.maximum(vsig_max, 1e-30 * ci)
     graddivv = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-    return _av_alpha_tail(center, i2, graddivv, vijsignal, divv_i, hi, ci,
-                          cfg)
+    alpha = _av_alpha_tail(ti2, graddivv, vijsignal, divv_i, hi, ci, cfg)
+    ok_row = center[RX:RX + 1, :] < 0.5 * FILL_POS
+    alpha = jnp.where(ok_row, alpha, 0.0)
+    # pad to 8 output rows: [1, n] outputs take a T(1,128) layout whose
+    # stores/copies are far slower than T(8,128) on the v5e (iota-select
+    # instead of concat: Mosaic cannot legalize a 1-row concat stack)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, alpha.shape[1]), 0)
+    return jnp.where(row == 0, jnp.broadcast_to(alpha, (8, alpha.shape[1])),
+                     0.0)
 
 
 def _momentum_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
@@ -874,30 +957,32 @@ def _momentum_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
         RD11, RD12, RD13, RD22, RD23, RD33, RETA = range(NBASE + 15,
                                                          NBASE + 22)
 
-    hi = _col(center, RH)
+    tc = _tc(center)
+    pos = _pos(tc)
+    hi = _tcol(tc, RH)
     hi_inv = 1.0 / hi
     hi_inv2 = hi_inv * hi_inv
     hi3inv = hi_inv * hi_inv2
-    c11i = _col(center, R11)
-    c12i = _col(center, R12)
-    c13i = _col(center, R13)
-    c22i = _col(center, R22)
-    c23i = _col(center, R23)
-    c33i = _col(center, R33)
-    vxi = _col(center, RVX)
-    vyi = _col(center, RVY)
-    vzi = _col(center, RVZ)
-    ci = _col(center, RC)
-    alpha_i = _col(center, RAL)
-    rhoi = _col(center, RRHO)
+    c11i = _tcol(tc, R11)
+    c12i = _tcol(tc, R12)
+    c13i = _tcol(tc, R13)
+    c22i = _tcol(tc, R22)
+    c23i = _tcol(tc, R23)
+    c33i = _tcol(tc, R33)
+    vxi = _tcol(tc, RVX)
+    vyi = _tcol(tc, RVY)
+    vzi = _tcol(tc, RVZ)
+    ci = _tcol(tc, RC)
+    alpha_i = _tcol(tc, RAL)
+    rhoi = _tcol(tc, RRHO)
     rhoi_inv = 1.0 / rhoi
-    prhoi = _col(center, RPRHO)
-    xmi = _col(center, RXM)
+    prhoi = _tcol(tc, RPRHO)
+    xmi = _tcol(tc, RXM)
     lxmi = jnp.log(xmi)
     if cfg.av_clean:
-        dv_i = [_col(center, r) for r in (RD11, RD12, RD13, RD22, RD23,
-                                          RD33)]
-        eta_crit = _col(center, RETA)
+        dv_i = [_tcol(tc, r) for r in (RD11, RD12, RD13, RD22, RD23,
+                                       RD33)]
+        eta_crit = _tcol(tc, RETA)
 
     mom_x = mom_y = mom_z = 0.0
     energy = 0.0
@@ -905,11 +990,13 @@ def _momentum_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
     vsig_max = _NEG
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, d2 = _geo(center, jr)
-        v2i, mask = _pair_mask(center, jr, d2, hi_inv2)
+        rx, ry, rz, d2 = _geo(pos, jr)
+        v2i, mask = _pair_mask(d2, hi_inv2)
         hj_inv = 1.0 / jr[RH:RH + 1, :]        # [1, 3CAP] row reciprocal
         v2j = d2 * (hj_inv * hj_inv)
-        Wi = jnp.where(mask, _w_v2(v2i, n_w) * hi3inv, 0.0)
+        # Wi/Wj are zero outside the i-support (w_v2's internal select
+        # covers Wi; Wj needs the i-support mask since hj may exceed hi)
+        Wi = _w_v2(v2i, n_w) * hi3inv
         Wj = jnp.where(mask, _w_v2(v2j, n_w)
                        * (hj_inv * hj_inv * hj_inv), 0.0)
 
@@ -957,9 +1044,12 @@ def _momentum_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
         cj = jr[RC:RC + 1, :]
         csum = ci + cj
         vij_signal = (alpha_i + jr[RAL:RAL + 1, :]) * 0.25 * csum - 2.0 * wij
-        visc = jnp.where(mask & (wij < 0.0), -vij_signal * wij, 0.0)
+        # approaching-pair select only: out-of-support garbage rides on
+        # termA (= 0 there), so no support mask is needed on visc
+        visc = jnp.where(wij < 0.0, -vij_signal * wij, 0.0)
 
-        vsig_ts = jnp.where(mask, 0.5 * csum - 2.0 * wij, _NEG)
+        # d2 > 0 excludes the self-pair (it would contribute ci)
+        vsig_ts = jnp.where(mask & (d2 > 0.0), 0.5 * csum - 2.0 * wij, _NEG)
         vsig_max = jnp.maximum(vsig_max, vsig_ts)
 
         mj = jr[RM:RM + 1, :]
@@ -967,45 +1057,58 @@ def _momentum_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
         rhoj = jr[RRHO:RRHO + 1, :]
         drho = jnp.abs(rhoi - rhoj)
         srho = rhoi + rhoj
-        # compare-by-multiplication: atwood < atmin  <=>  drho < atmin*s
-        is_lo = drho < cfg.atmin * srho
-        is_hi = drho > cfg.atmax * srho
         sigma = cfg.ramp * (drho / srho - cfg.atmin)
-        # xmi^(2-s) xmj^s = xmi*xmj*(xmj/xmi)^(s-1); log(xm) is row/col
         lxmj = jnp.log(xmj)
-        t = jnp.exp((sigma - 1.0) * (lxmj - lxmi))
         prod = xmi * xmj
-        a_mom = jnp.where(is_lo, xmi * xmi,
-                          jnp.where(is_hi, prod, prod * t))
-        b_mom = jnp.where(is_lo, xmj * xmj,
-                          jnp.where(is_hi, prod, prod / t))
+        if cfg.uniform_mass:
+            # Equal-mass fast path: clamp sigma to [0, 1] — the branch
+            # endpoints xmi^2 / prod are exactly the clamped-exponent
+            # values — and evaluate both exp(+-(1-sigma)*dlog) with one
+            # short polynomial pair. Valid because equal masses bound
+            # the xm contrast by the Atwood window (|arg| <~ 0.5)
+            # whenever sigma is interior (momentum_energy_kern.hpp:
+            # 117-132 semantics, regrouped).
+            sc = jnp.clip(sigma, 0.0, 1.0)
+            xarg = (1.0 - sc) * (lxmj - lxmi)
+            ep, em = _exp_pair(xarg)
+            a_mom = prod * em
+            b_mom = prod * ep
+        else:
+            is_lo = drho < cfg.atmin * srho
+            is_hi = drho > cfg.atmax * srho
+            # xmi^(2-s) xmj^s = xmi*xmj*(xmj/xmi)^(s-1)
+            t = jnp.exp((sigma - 1.0) * (lxmj - lxmi))
+            a_mom = jnp.where(is_lo, xmi * xmi,
+                              jnp.where(is_hi, prod, prod * t))
+            b_mom = jnp.where(is_lo, xmj * xmj,
+                              jnp.where(is_hi, prod, prod / t))
 
         a_visc = (mj * rhoi_inv) * visc        # column reciprocal
         b_visc = (mj / rhoj) * visc            # row-level divide
         a_visc_x = 0.5 * (a_visc * termA1_i + b_visc * termA1_j)
         a_visc_y = 0.5 * (a_visc * termA2_i + b_visc * termA2_j)
         a_visc_z = 0.5 * (a_visc * termA3_i + b_visc * termA3_j)
-        a_visc_energy = a_visc_energy + _msum(
-            a_visc_x * vx_ij + a_visc_y * vy_ij + a_visc_z * vz_ij, mask)
+        a_visc_energy = a_visc_energy + (
+            a_visc_x * vx_ij + a_visc_y * vy_ij + a_visc_z * vz_ij)
 
-        energy = energy + _msum(
-            mj * a_mom * (vx_ij * termA1_i + vy_ij * termA2_i
-                          + vz_ij * termA3_i), mask)
+        energy = energy + mj * a_mom * (vx_ij * termA1_i + vy_ij * termA2_i
+                                        + vz_ij * termA3_i)
 
         mom_i = mj * prhoi * a_mom
         mom_j = mj * jr[RPRHO:RPRHO + 1, :] * b_mom
-        mom_x = mom_x + _msum(mom_i * termA1_i + mom_j * termA1_j + a_visc_x,
-                              mask)
-        mom_y = mom_y + _msum(mom_i * termA2_i + mom_j * termA2_j + a_visc_y,
-                              mask)
-        mom_z = mom_z + _msum(mom_i * termA3_i + mom_j * termA3_j + a_visc_z,
-                              mask)
+        mom_x = mom_x + (mom_i * termA1_i + mom_j * termA1_j + a_visc_x)
+        mom_y = mom_y + (mom_i * termA2_i + mom_j * termA2_j + a_visc_y)
+        mom_z = mom_z + (mom_i * termA3_i + mom_j * termA3_j + a_visc_z)
 
-    a_visc_energy = jnp.maximum(a_visc_energy, 0.0)
+    mom_x, mom_y, mom_z = _sum1(mom_x), _sum1(mom_y), _sum1(mom_z)
+    energy = _sum1(energy)
+    a_visc_energy = jnp.maximum(_sum1(a_visc_energy), 0.0)
     maxvsignal = jnp.maximum(
         jnp.max(vsig_max, axis=1, keepdims=True), 0.0)
     du = K3d * (prhoi * energy + 0.5 * a_visc_energy)
-    outs = [-K3d * mom_x, -K3d * mom_y, -K3d * mom_z, du, maxvsignal]
+    ok = _oki(pos[0])
+    outs = [jnp.where(ok, o, 0.0) for o in
+            (-K3d * mom_x, -K3d * mom_y, -K3d * mom_z, du, maxvsignal)]
     return jnp.concatenate([jnp.transpose(o) for o in outs], axis=0)
 
 
@@ -1033,30 +1136,31 @@ def _momentum_mm_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
     (RVX, RVY, RVZ, RC, RPRHO, RRHO, RXM, RAL, RM,
      R11, R12, R13, R22, R23, R33) = range(NBASE, NBASE + 15)
 
-    hi = _col(center, RH)
+    tc = _tc(center)
+    pos = _pos(tc)
+    hi = _tcol(tc, RH)
     hi_inv = 1.0 / hi
     hi_inv2 = hi_inv * hi_inv
     hi3inv = hi_inv * hi_inv2
-    # i-side sanitization: invalid i-slots carry NaN EOS outputs; in the
-    # direct body the post-mask kills them, but here 0*NaN would ride
-    # into the weight stack (L rows) and poison the matmul rows.
-    oki = _col(center, RGID) >= 0.0
-    ci = jnp.where(oki, _col(center, RC), 1.0)
-    alpha_i = jnp.where(oki, _col(center, RAL), 0.0)
-    rhoi = jnp.where(oki, _col(center, RRHO), 1.0)
+    # i-side sanitization: garbage (finite, frame contract) i-rows of
+    # invalid slots must not enter the matmul weight rows
+    oki = _oki(pos[0])
+    ci = jnp.where(oki, _tcol(tc, RC), 1.0)
+    alpha_i = jnp.where(oki, _tcol(tc, RAL), 0.0)
+    rhoi = jnp.where(oki, _tcol(tc, RRHO), 1.0)
     rhoi_inv = 1.0 / rhoi
-    prhoi = jnp.where(oki, _col(center, RPRHO), 0.0)
-    xmi = jnp.where(oki, _col(center, RXM), 1.0)
+    prhoi = jnp.where(oki, _tcol(tc, RPRHO), 0.0)
+    xmi = jnp.where(oki, _tcol(tc, RXM), 1.0)
     lxmi = jnp.log(xmi)
-    cii = [jnp.where(oki, _col(center, r), 0.0)
+    cii = [jnp.where(oki, _tcol(tc, r), 0.0)
            for r in (R11, R12, R13, R22, R23, R33)]
 
     # cell-mean expansion origin (positions + velocities)
     ox, oy, oz, ovx, ovy, ovz = _cell_means(
         center, (RX, RY, RZ, RVX, RVY, RVZ))
-    bic = tuple(jnp.where(oki, _col(center, r) - jnp.transpose(o), 0.0)
+    bic = tuple(jnp.where(oki, _tcol(tc, r) - jnp.transpose(o), 0.0)
                 for r, o in ((RX, ox), (RY, oy), (RZ, oz)))
-    vic = tuple(jnp.where(oki, _col(center, r) - jnp.transpose(o), 0.0)
+    vic = tuple(jnp.where(oki, _tcol(tc, r) - jnp.transpose(o), 0.0)
                 for r, o in ((RVX, ovx), (RVY, ovy), (RVZ, ovz)))
 
     CAP = center.shape[1]
@@ -1070,17 +1174,17 @@ def _momentum_mm_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
     vsig_max = _NEG
     for g in range(9):
         jr = get_run(g)
-        rx, ry, rz, d2 = _geo(center, jr)
-        v2i, mask = _pair_mask(center, jr, d2, hi_inv2)
+        rx, ry, rz, d2 = _geo(pos, jr)
+        v2i, mask = _pair_mask(d2, hi_inv2)
         hj_inv = 1.0 / jr[RH:RH + 1, :]
         v2j = d2 * (hj_inv * hj_inv)
         Wi = jnp.where(mask, _w_v2(v2i, n_w) * hi3inv, 0.0)
         Wj = jnp.where(mask, _w_v2(v2j, n_w)
                        * (hj_inv * hj_inv * hj_inv), 0.0)
 
-        vx_ij = _col(center, RVX) - jr[RVX:RVX + 1, :]
-        vy_ij = _col(center, RVY) - jr[RVY:RVY + 1, :]
-        vz_ij = _col(center, RVZ) - jr[RVZ:RVZ + 1, :]
+        vx_ij = _tcol(tc, RVX) - jr[RVX:RVX + 1, :]
+        vy_ij = _tcol(tc, RVY) - jr[RVY:RVY + 1, :]
+        vz_ij = _tcol(tc, RVZ) - jr[RVZ:RVZ + 1, :]
         rv = rx * vx_ij + ry * vy_ij + rz * vz_ij
         inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
         wij = rv * inv_d
@@ -1088,7 +1192,7 @@ def _momentum_mm_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
         csum = ci + cj
         vij_signal = (alpha_i + jr[RAL:RAL + 1, :]) * 0.25 * csum - 2.0 * wij
         visc = jnp.where(mask & (wij < 0.0), -vij_signal * wij, 0.0)
-        vsig_ts = jnp.where(mask, 0.5 * csum - 2.0 * wij, _NEG)
+        vsig_ts = jnp.where(mask & (d2 > 0.0), 0.5 * csum - 2.0 * wij, _NEG)
         vsig_max = jnp.maximum(vsig_max, vsig_ts)
 
         # sanitized j rows (invalid slots carry NaN xm / garbage fields;
@@ -1217,7 +1321,8 @@ class PallasVE:
     scaling with n (pick it for small grids)."""
 
     def __init__(self, grid: CMGrid, cfg: SphConfig, interpret: bool = False,
-                 kernel_mode: str = "cell", gated: bool = False):
+                 kernel_mode: str = "cell", gated: bool = False,
+                 zgroup: int = 0):
         # cap 64 packs two cells per 128-lane tile (supercell blocks stay
         # 128-aligned); windows slice at 64-lane static offsets
         assert grid.cap % 32 == 0, "CAP must be a multiple of 32 lanes"
@@ -1231,17 +1336,18 @@ class PallasVE:
         kw = dict(K3d=self.K3d, n_w=n_w)
         maker = (make_column_pair_call if kernel_mode == "column"
                  else make_cell_pair_call)
-        mk = functools.partial(maker, grid, interpret=interpret)
+        zkw = {"zgroup": zgroup} if kernel_mode == "cell" else {}
+        mk = functools.partial(maker, grid, interpret=interpret, **zkw)
         if gated:
             assert kernel_mode == "cell"
             mk = functools.partial(maker, grid, interpret=interpret,
-                                   gated=True)
+                                   gated=True, **zkw)
         self._xh = mk(8, 3, functools.partial(_xh_body, cfg=cfg, **kw))
         self._gradh = mk(8, 2, functools.partial(_gradh_body, **kw))
         iad_body = _iad_hybrid_body if cfg.mxu_moments else _iad_direct_body
         self._iad = mk(16, 16, functools.partial(iad_body, **kw))
         av_body = _av_mm_body if cfg.mxu_moments else _av_direct_body
-        self._av = mk(16, 1, functools.partial(av_body, cfg=cfg, **kw),
+        self._av = mk(16, 8, functools.partial(av_body, cfg=cfg, **kw),
                       fi2=8)
         mom_body = (_momentum_mm_body
                     if cfg.mxu_momentum and not cfg.av_clean
@@ -1297,7 +1403,7 @@ class PallasVE:
                               vz_cm], 16)
         dt_row = jnp.full_like(alpha_cm, dt)
         I2 = _pad_rows(list(cij) + [alpha_cm, dt_row])
-        return self._av(J, I2, **self._gate_kw(gate, 1))[0]
+        return self._av(J, I2, **self._gate_kw(gate, 8))[0]
 
     def momentum(self, base, vx_cm, vy_cm, vz_cm, c_cm, prho_cm, rho_cm,
                  xm_cm, alpha_cm, m_cm, cij, gradv=None, eta_crit_cm=None,

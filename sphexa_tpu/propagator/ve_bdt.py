@@ -39,7 +39,7 @@ from flax import struct
 
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.ops.cellmajor import CMGrid, interior_mask
-from sphexa_tpu.ops.pallas_ve import PallasVE
+from sphexa_tpu.ops.pallas_ve import FILL_POS, PallasVE
 from sphexa_tpu.propagator.ve_pallas import (ResidentVE, RVState,
                                              _run_pipeline)
 from sphexa_tpu.sfc.box import Box
@@ -149,7 +149,7 @@ class BdtVE(ResidentVE):
         # ---- gated force pipeline: frozen fields ride as prev outputs ----
         assert not cfg.av_clean, "avClean + BDT not supported yet"
         base = [rv.x, rv.y, rv.z, rv.h, rv.gid]
-        refresh = lambda st: self.rf(st.shape[0])(st)
+        refresh = lambda st, fills=None: self.rf(st.shape[0])(st)
         out = _run_pipeline_gated(
             self.pve_gated, refresh, base, rv.m, rv.vx, rv.vy, rv.vz,
             rv.temp, rv.alpha, bst.dt_min, validint, act_row,
@@ -277,30 +277,36 @@ def _run_pipeline_gated(pve: PallasVE, refresh, base, m, vx, vy, vz, temp,
     xm, h_new, nc = pve.xmass_h(base, m,
                                 gate=gate(prev["xm"], prev["h"], zero))
     h_new = jnp.where(validint, h_new, base[3])
-    st = refresh(jnp.stack([xm, h_new]))
+    st = refresh(jnp.stack([xm, h_new]), (1.0, 1.0))
     xm, h_new = st[0], st[1]
     base = [base[0], base[1], base[2], h_new, base[4]]
     nc_sph = nc + 1.0
 
     kx, gradh = pve.gradh(base, m, xm, gate=gate(prev["kx"], prev["gradh"]))
-    st = refresh(jnp.stack([kx, gradh]))
+    st = refresh(jnp.stack([kx, gradh]), (1.0, 1.0))
     kx, gradh = st[0], st[1]
 
     rho, p, c, prho = eos_ve(temp, m, kx, xm, gradh, cfg.mui, cfg.gamma)
+    # frame contract: invalid slots stream finite, divide-safe values
+    # (see propagator/ve_pallas.py)
+    va = base[0] < 0.5 * FILL_POS
+    rho = jnp.where(va, rho, 1.0)
+    c = jnp.where(va, c, 1.0)
+    prho = jnp.where(va, prho, 0.0)
 
     pc = prev["cij"]
     cij, divv, curlv, gradv = pve.iad_divv(
         base, kx, xm, vx, vy, vz,
         gate=gate(*pc, prev["divv"], zero, zero, zero, zero, zero, zero,
                   zero, zero))
-    st = refresh(jnp.stack(list(cij) + [divv]))
+    st = refresh(jnp.stack(list(cij) + [divv]), (0.0,) * 7)
     cij = tuple(st[i] for i in range(6))
     divv = st[6]
 
     alpha_out = pve.av_switches(base, c, kx, xm, divv, vx, vy, vz, cij,
                                 alpha, dt, gate=gate(prev["alpha"]))
     alpha_new = jnp.where(validint, alpha_out, alpha)
-    alpha_new = refresh(alpha_new[None])[0]
+    alpha_new = refresh(alpha_new[None], (0.0,))[0]
 
     ax, ay, az, du, mvs = pve.momentum(
         base, vx, vy, vz, c, prho, rho, xm, alpha_new, m, cij,

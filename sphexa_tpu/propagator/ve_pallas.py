@@ -63,41 +63,57 @@ class _Refreshers:
 def _run_pipeline(pve: PallasVE, refresh, base, m, vx, vy, vz,
                   temp, alpha, dt, validint):
     """The five pair stages with ghost refreshes between them. base[3]
-    (h) is replaced by the xmass-stage adapted h. `refresh` maps a
-    [k, n_slots] row stack to the same stack with all ghost slots
-    re-derived (single chip: the pallas ghost kernel; multi chip: that
-    plus the ppermute z-plane exchange). Returns a dict of cm frame
-    results."""
+    (h) is replaced by the xmass-stage adapted h. `refresh(stack,
+    fills)` maps a [k, n_slots] row stack to the same stack with all
+    ghost slots re-derived (single chip: the pallas ghost kernel; multi
+    chip: that plus the ppermute z-plane/band exchange); `fills` gives
+    each row's benign invalid-slot value — the frame contract requires
+    every slot the pair kernels might read to stream finite,
+    divide-safe data, and slots of never-computed cells (empty / ghost
+    on a local window) otherwise carry unwritten kernel output memory.
+    Returns a dict of cm frame results."""
     cfg = pve.cfg
 
     xm, h_new, nc = pve.xmass_h(base, m)
     h_new = jnp.where(validint, h_new, base[3])
-    st = refresh(jnp.stack([xm, h_new]))
+    st = refresh(jnp.stack([xm, h_new]), (1.0, 1.0))
     xm, h_new = st[0], st[1]
     base = [base[0], base[1], base[2], h_new, base[4]]
     nc_sph = nc + 1.0
 
     kx, gradh = pve.gradh(base, m, xm)
-    st = refresh(jnp.stack([kx, gradh]))
+    st = refresh(jnp.stack([kx, gradh]), (1.0, 1.0))
     kx, gradh = st[0], st[1]
 
     # EOS is elementwise on ghost-correct rows, so its outputs are
-    # ghost-correct without another refresh (hydro_ve/eos.hpp:67-76)
+    # ghost-correct without another refresh (hydro_ve/eos.hpp:67-76).
+    # Frame contract: invalid slots (FILL_POS positions) must stream
+    # finite, divide-safe rho/prho into the momentum kernel, whose
+    # accumulations are fold-into-fma (no NaN-protecting selects).
     rho, p, c, prho = eos_ve(temp, m, kx, xm, gradh, cfg.mui, cfg.gamma)
+    va = base[0] < 0.5 * FILL_POS
+    rho = jnp.where(va, rho, 1.0)
+    c = jnp.where(va, c, 1.0)
+    prho = jnp.where(va, prho, 0.0)
 
     cij, divv, curlv, gradv = pve.iad_divv(base, kx, xm, vx, vy, vz)
     if cfg.av_clean:
-        st = refresh(jnp.stack(list(cij) + [divv, curlv] + list(gradv)))
+        st = refresh(jnp.stack(list(cij) + [divv, curlv] + list(gradv)),
+                     (0.0,) * 14)
         gradv = tuple(st[8 + i] for i in range(6))
     else:
-        st = refresh(jnp.stack(list(cij) + [divv, curlv]))
+        st = refresh(jnp.stack(list(cij) + [divv, curlv]), (0.0,) * 8)
     cij = tuple(st[i] for i in range(6))
     divv, curlv = st[6], st[7]
 
     alpha_out = pve.av_switches(base, c, kx, xm, divv, vx, vy, vz, cij,
                                 alpha, dt)
     alpha_new = jnp.where(validint, alpha_out, alpha)
-    alpha_new = refresh(alpha_new[None])[0]
+    # refresh as an 8-row stack: a [1, n_slots] array takes a T(1,128)
+    # layout whose copies run ~40x slower than T(8,128) (measured 39 ms
+    # on the v5e); padding with dead rows is far cheaper
+    pad7 = [jnp.zeros_like(alpha_new)] * 7
+    alpha_new = refresh(jnp.stack([alpha_new] + pad7), (0.0,) * 8)[0]
 
     mom_kw = {}
     if cfg.av_clean:
@@ -154,7 +170,7 @@ def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
         cm = lambda f, fill=0.0: to_cm(layout, f, fill)
         validint = layout.valid & intmask
 
-        refresh = lambda st: rf(st.shape[0])(st)
+        refresh = lambda st, fills=None: rf(st.shape[0])(st)
         out = _run_pipeline(pve, refresh, base, cm(ps.m), cm(ps.vx),
                             cm(ps.vy), cm(ps.vz), cm(ps.temp), cm(ps.alpha),
                             state.dt, validint)
@@ -320,7 +336,7 @@ class ResidentVE:
         validint = rst.valid & self.intmask
 
         base = [rst.x, rst.y, rst.z, rst.h, rst.gid]
-        refresh = lambda st: self.rf(st.shape[0])(st)
+        refresh = lambda st, fills=None: self.rf(st.shape[0])(st)
         out = _run_pipeline(self.pve, refresh, base, rst.m, rst.vx, rst.vy,
                             rst.vz, rst.temp, rst.alpha, rst.dt, validint)
         out, egrav = _add_gravity(out, rst.x, rst.y, rst.z, rst.m, validint,

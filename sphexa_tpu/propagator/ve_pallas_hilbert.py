@@ -259,18 +259,28 @@ def make_ve_step_pallas_hilbert(box: Box, cd: ColDomain, cap_cell: int,
         span_ok = (r_hi - r0 + 3) <= grid.nx
 
         base = pve.base_rows(layout, eps.x, eps.y, eps.z, eps.h)
+        import os as _os
+        if _os.environ.get("HILBERT_DEBUG"):
+            jax.debug.print(
+                "dbg rank={r} n_ext_alive={a} n_valid={v} n_validint={vi} "
+                "base_ok={bo} span={sp} r0={r0} rhi={rh}",
+                r=me, a=jnp.sum(ext_alive), v=jnp.sum(layout.valid),
+                vi=jnp.sum(validint), bo=jnp.sum(base[0] < 5e7),
+                sp=span_ok, r0=r0, rh=r_hi)
         cm = lambda f, fill=0.0: to_cm(layout, f, fill)
 
-        def refresh(stack):
+        def refresh(stack, fills):
             """Per-stage halo refresh: slot frame -> particle frame ->
             band re-send -> slot frame (to_cm re-derives ghost slots).
-            Invalid slots keep their incoming values (h rides refreshes
-            with a 1.0 fill that a plain to_cm would zero)."""
+            Invalid slots get each row's benign fill — NOT the incoming
+            stack values: slots of cells outside this rank's window
+            (open-x ghosts, empty rows) carry unwritten pallas output
+            memory, which the fold-into-fma pair kernels would read."""
             k = stack.shape[0]
-            rows = [from_cm(layout, stack[i], n_ext) for i in range(k)]
+            rows = [from_cm(layout, stack[i], n_ext, f)
+                    for i, f in zip(range(k), fills)]
             rows = band_refresh(rows)
-            fresh = jnp.stack([cm(r) for r in rows])
-            return jnp.where(layout.valid[None, :], fresh, stack)
+            return jnp.stack([cm(r, f) for r, f in zip(rows, fills)])
 
         out = _run_pipeline(pve, refresh, base, cm(eps.m), cm(eps.vx),
                             cm(eps.vy), cm(eps.vz), cm(eps.temp),
@@ -289,6 +299,20 @@ def make_ve_step_pallas_hilbert(box: Box, cd: ColDomain, cap_cell: int,
 
         dt_courant = ts.courant_timestep(out["maxvsignal"], out["h"],
                                          out["c"], validint, cfg.kcour)
+        if _os.environ.get("HILBERT_DEBUG"):
+            mv = jnp.where(validint, out["maxvsignal"], 0.0)
+            jax.debug.print(
+                "dbg2 rank={r} dtprev={dp} dtc={dc} mvs_max={mv} "
+                "c_max={c} xm_rng=[{x0},{x1}] kx_rng=[{k0},{k1}] "
+                "du_nan={dn} ax_nan={an}",
+                r=me, dp=dt_prev, dc=dt_courant, mv=jnp.max(mv),
+                c=jnp.max(jnp.where(validint, out["c"], 0.0)),
+                x0=jnp.min(jnp.where(validint, out["xm"], 1.0)),
+                x1=jnp.max(jnp.where(validint, out["xm"], 0.0)),
+                k0=jnp.min(jnp.where(validint, out["kx"], 1.0)),
+                k1=jnp.max(jnp.where(validint, out["kx"], 0.0)),
+                dn=jnp.sum(jnp.isnan(jnp.where(validint, out["du"], 0.0))),
+                an=jnp.sum(jnp.isnan(jnp.where(validint, out["ax"], 0.0))))
         dt_rho = ts.rho_timestep(out["divv"], validint, cfg.krho)
         dt_local = jnp.minimum(dt_courant, dt_rho)
         if cfg.gravG != 0.0:

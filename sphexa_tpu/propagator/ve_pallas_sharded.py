@@ -129,7 +129,10 @@ def make_ve_step_pallas_sharded(box: Box, grid: CMGrid, cfg: SphConfig,
         stack = stack.at[:, zmaps["hi_ghost"]].set(from_right)
         return stack
 
-    def refresh(stack, zrow: int = -1):
+    def refresh(stack, fills=None, zrow: int = -1):
+        # fills unused: the xy ghost kernel + z-plane exchange rewrite
+        # every ghost slot, and interior cells (even empty ones) are
+        # written by the pair kernels' own output masking
         return rf_xy(zxchg(stack, zrow=zrow))
 
     def _local_step(ps: Particles, dt_prev):

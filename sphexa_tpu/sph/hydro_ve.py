@@ -298,12 +298,25 @@ def compute_momentum_energy(box: Box, x, y, z, vx, vy, vz, h, m, prho, c,
         sigma = cfg.ramp * (atwood - cfg.atmin)
         lxmi = jnp.log(xmi)
         lxmj = jnp.log(xmj)
-        a_ramp = jnp.exp((2.0 - sigma) * lxmi + sigma * lxmj)
-        b_ramp = jnp.exp((2.0 - sigma) * lxmj + sigma * lxmi)
-        a_mom = jnp.where(atwood < cfg.atmin, xmi * xmi,
-                          jnp.where(atwood > cfg.atmax, xmi * xmj, a_ramp))
-        b_mom = jnp.where(atwood < cfg.atmin, xmj * xmj,
-                          jnp.where(atwood > cfg.atmax, xmi * xmj, b_ramp))
+        if cfg.uniform_mass:
+            # equal-mass fast path: clamp-form ramp with a short
+            # polynomial exp pair (see ops/pallas_ve.py _momentum_body —
+            # the formulations must match exactly for Pallas/XLA parity)
+            from sphexa_tpu.sph.kernels import exp_pair
+            sc = jnp.clip(sigma, 0.0, 1.0)
+            ep, em = exp_pair((1.0 - sc) * (lxmj - lxmi))
+            prod = xmi * xmj
+            a_mom = prod * em
+            b_mom = prod * ep
+        else:
+            a_ramp = jnp.exp((2.0 - sigma) * lxmi + sigma * lxmj)
+            b_ramp = jnp.exp((2.0 - sigma) * lxmj + sigma * lxmi)
+            a_mom = jnp.where(atwood < cfg.atmin, xmi * xmi,
+                              jnp.where(atwood > cfg.atmax, xmi * xmj,
+                                        a_ramp))
+            b_mom = jnp.where(atwood < cfg.atmin, xmj * xmj,
+                              jnp.where(atwood > cfg.atmax, xmi * xmj,
+                                        b_ramp))
 
         a_visc = mj / rhoi * visc
         b_visc = mj / rhoj * visc

@@ -33,13 +33,19 @@ def kahan_sum(x, axis=None):
         return jnp.sum(x, axis=axis)
     s = x.reshape(-1)
     e = jnp.zeros_like(s)
+    # fold CONTIGUOUS halves (s[:n2] + s[n2:]) rather than stride-2
+    # pairs: a stride-2 slice of a 1D array is a lane-deinterleave
+    # relayout on TPU (measured ~ms per level at 1e6 elements); the
+    # half-fold is a plain slice and the EFT cascade is equally exact.
     while s.shape[0] > 1:
         n = s.shape[0]
         if n % 2:
             s = jnp.concatenate([s, jnp.zeros((1,), s.dtype)])
             e = jnp.concatenate([e, jnp.zeros((1,), e.dtype)])
-        s, err = _two_sum(s[0::2], s[1::2])
-        e = e[0::2] + e[1::2] + err
+            n += 1
+        n2 = n // 2
+        s, err = _two_sum(s[:n2], s[n2:])
+        e = e[:n2] + e[n2:] + err
     return (s + e)[0]
 
 
