@@ -55,10 +55,18 @@ NCH_L = 20   # local channels (through 3rd-order Taylor: L0, L1, H, C)
 class FmmConfig:
     level: int = 4        # leaf cells per dim = 2^level
     leaf_cap: int = 128   # max particles per leaf for the P2P pass
-    wide_near: bool = True   # 5^3 leaf near field + |d|>=3 leaf M2L:
-                             # shrinks the worst-pair expansion ratio
-                             # from 0.87 to 0.58 (the fixed-list analog
-                             # of a tighter MAC theta)
+    min_sep: int = 3      # well-separateness |d| >= min_sep at EVERY
+                          # level (pairs closer than that defer to the
+                          # child level, whose per-parity lists extend
+                          # to |d| <= 2*min_sep - 1); 3 caps the
+                          # worst-pair expansion ratio at 0.58 instead
+                          # of the classic V-list's 0.87 — the
+                          # fixed-list analog of a tighter MAC theta.
+                          # Near field: (2*min_sep - 1)^3 leaf P2P.
+
+    @property
+    def wide_near(self) -> bool:   # back-compat alias
+        return self.min_sep >= 3
 
 
 # --------------------------------------------------------------------------
@@ -175,21 +183,26 @@ def _m2l_matrix(R):
 
 
 def _parity_offsets_exact(p, min_sep: int = 2):
-    """V-list offsets for child parity p = (px,py,pz): cells d with
-    max|d| >= min_sep whose parents are adjacent — the standard FMM
-    well-separateness criterion (min_sep=2), or the widened leaf
-    variant (min_sep=3, near field handled by a 5^3 P2P). Parent offset
-    for a coordinate of parity pp is floor((pp + d)/2)."""
+    """Interaction-list offsets for child parity p = (px,py,pz): cells
+    d with max|d| >= min_sep whose parent pair was NOT well-separated
+    (|parent offset| <= min_sep - 1, so the parent level deferred the
+    pair down). min_sep=2 is the classic 189-offset V-list; min_sep=3
+    widens every level's near region (deferred pairs reach |d| <=
+    2*min_sep - 1 at the child), capping the worst-pair expansion
+    ratio at sqrt(3)/3 = 0.58. Parent offset for a coordinate of
+    parity pp is floor((pp + d)/2)."""
+    D = 2 * min_sep - 1
+    po_max = min_sep - 1
     offs = []
-    for dx in range(-3, 4):
-        for dy in range(-3, 4):
-            for dz in range(-3, 4):
+    for dx in range(-D, D + 1):
+        for dy in range(-D, D + 1):
+            for dz in range(-D, D + 1):
                 if max(abs(dx), abs(dy), abs(dz)) < min_sep:
                     continue
                 ok = True
                 for d, pp in ((dx, p[0]), (dy, p[1]), (dz, p[2])):
                     po = (pp + d) // 2 - pp // 2  # python floor division
-                    if po < -1 or po > 1:
+                    if po < -po_max or po > po_max:
                         ok = False
                         break
                 if ok:
@@ -198,21 +211,23 @@ def _parity_offsets_exact(p, min_sep: int = 2):
 
 
 def _m2l_conv_kernels(cell_size: float, min_sep: int = 2):
-    """For each parity: a [NCH_L, NCH_M, 7, 7, 7] conv kernel (fp32)
-    whose (o, i, taps) entries are the M2L matrices at the V-list
-    offsets."""
+    """For each parity: a [NCH_L, NCH_M, S, S, S] conv kernel (fp32),
+    S = 4*min_sep - 1, whose (o, i, taps) entries are the M2L matrices
+    at the interaction-list offsets."""
+    D = 2 * min_sep - 1
+    S = 2 * D + 1
     kernels = {}
     for px in (0, 1):
         for py in (0, 1):
             for pz in (0, 1):
-                K = np.zeros((NCH_L, NCH_M, 7, 7, 7), np.float32)
+                K = np.zeros((NCH_L, NCH_M, S, S, S), np.float32)
                 for (dx, dy, dz) in _parity_offsets_exact((px, py, pz),
                                                           min_sep):
                     # R = target_center - source_center = -d * cell_size
                     R = -np.array([dx, dy, dz], np.float64) * cell_size
                     M = _m2l_matrix(R)
                     # kernel[o, i, taps] with spatial taps ordered (x, y, z)
-                    K[:, :, dx + 3, dy + 3, dz + 3] = M.astype(np.float32)
+                    K[:, :, dx + D, dy + D, dz + D] = M.astype(np.float32)
                 kernels[(px, py, pz)] = K
     return kernels
 
@@ -316,8 +331,8 @@ def fmm_gravity(x, y, z, m, alive, box: Box, G: float,
         s = 1 << lvl
         cs = box.lx / s
         cm = center_moments(raw_levels[lvl], lvl)
-        leaf_wide = fc.wide_near and lvl == fc.level
-        kernels = _m2l_conv_kernels(cs, min_sep=3 if leaf_wide else 2)
+        kernels = _m2l_conv_kernels(cs, min_sep=fc.min_sep)
+        H = 2 * fc.min_sep - 1   # kernel half-width
 
         contrib = jnp.zeros((NCH_L, s, s, s), jnp.float32)
         src = cm[None]  # NCHW-style: [1, 20, s, s, s]
@@ -325,8 +340,8 @@ def fmm_gravity(x, y, z, m, alive, box: Box, G: float,
             out = jax.lax.conv_general_dilated(
                 src, jnp.asarray(K),
                 window_strides=(2, 2, 2),
-                padding=[(3 - px, 2 + px), (3 - py, 2 + py),
-                         (3 - pz, 2 + pz)],
+                padding=[(H - px, H - 1 + px), (H - py, H - 1 + py),
+                         (H - pz, H - 1 + pz)],
                 dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
             # out spatial dims: s/2 per dim -> scatter to parity sublattice
             contrib = contrib.at[:, px::2, py::2, pz::2].add(out[0])
@@ -419,7 +434,7 @@ def fmm_gravity(x, y, z, m, alive, box: Box, G: float,
     ax_far, ay_far, az_far = acc_far
 
     # ---- P2P: direct sum over the leaf-cell near field ----
-    reach = 2 if fc.wide_near else 1
+    reach = fc.min_sep - 1
     ax_nf, ay_nf, az_nf, pot_nf = _p2p(x, y, z, mm, cid, n, fc.leaf_cap,
                                        eps, reach=reach)
 

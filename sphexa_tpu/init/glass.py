@@ -74,6 +74,40 @@ def relax_glass_block(side: int, steps: int = 80, seed: int = 42,
     return xr, yr, zr
 
 
+def glass_cuboid(lo, hi, spacing: float, template_side: int = 24,
+                 seed: int = 42):
+    """assembleCuboid analog (reference: main/src/init/grid.hpp:238):
+    tile the relaxed periodic glass template over the cuboid [lo, hi)
+    at ~`spacing` interparticle distance. The per-dim multiplicity is
+    rounded like the reference's, so each tile is the template scaled
+    (possibly anisotropically for thin dimensions — the reference
+    squeezes its block the same way). Returns (x, y, z)."""
+    tx, ty, tz = relax_glass_block(template_side, seed=seed)
+    lo = np.asarray(lo, float)
+    ext = np.asarray(hi, float) - lo
+    block = template_side * spacing
+    reps = np.maximum(1, np.round(ext / block).astype(int))
+    bs = ext / reps
+    squeeze = bs / block
+    if np.any(squeeze < 0.7) or np.any(squeeze > 1.4):
+        # a dimension thinner than ~a template block would squeeze the
+        # glass anisotropically (ruining the noise spectrum the glass
+        # exists to provide) — callers fall back to a lattice
+        raise ValueError(
+            f"cuboid {ext} cannot host {template_side}^3 glass blocks at "
+            f"spacing {spacing:.4g} (per-dim squeeze {squeeze})")
+    out = []
+    for i in range(reps[0]):
+        for j in range(reps[1]):
+            for k in range(reps[2]):
+                out.append(np.c_[(tx + i) * bs[0] + lo[0],
+                                 (ty + j) * bs[1] + lo[1],
+                                 (tz + k) * bs[2] + lo[2]])
+    pts = np.concatenate(out)
+    return (pts[:, 0].astype(np.float32), pts[:, 1].astype(np.float32),
+            pts[:, 2].astype(np.float32))
+
+
 def density_noise(x, y, z, k: int = 32):
     """Relative scatter of the k-NN-ball density estimate — the quality
     metric for a glass (lower = more uniform volume share)."""

@@ -3,8 +3,10 @@
 
 Thin periodic slab [0,1]x[0,1]x[0,0.0625]; dense central band (rho=2)
 shears against the exterior (rho=1) with a sinusoidal seed perturbation.
-The reference tiles glass layers; we tile lattices with a 2x-denser
-central band and uniform particle mass."""
+Like the reference, the three y-layers are tiled from a relaxed glass
+template (with the inner band cbrt(2)-stretched finer) when the box can
+host whole blocks; thin-z low resolutions fall back to lattices with a
+double-y-resolution central band. Particle mass is uniform."""
 
 from __future__ import annotations
 
@@ -33,29 +35,45 @@ def _slab_lattice(nx, ny, nz, ylo, yhi, zmax):
 
 def init_kelvin_helmholtz(side: int, cfg: SphConfig,
                           capacity: int | None = None,
-                          dt0: float | None = None):
-    """side sets the exterior resolution along x; the central band is
-    2^(1/3)-spaced finer per dim is impractical on a lattice, so the
-    band uses double y-resolution (rho = 2)."""
+                          dt0: float | None = None, glass: bool = True):
+    """side sets the exterior resolution along x. With glass=True the
+    three y-layers are assembleCuboid-tiled relaxed glass blocks with
+    the central band cbrt(2)-finer spacing (the reference's stretched
+    inner glass, kelvin_helmholtz_init.hpp:152-184); the lattice
+    fallback uses double y-resolution for the band instead."""
     const = kelvin_helmholtz_constants()
     zmax = 0.0625
     nz = max(2, int(round(side * zmax)))
+    rho_i, rho_e = const["rhoInt"], const["rhoExt"]
+    d_ext = 1.0 / side
 
-    # exterior: y in [0, 0.25) and (0.75, 1], rho 1
-    ny_ext = max(2, side // 4)
-    x1, y1, z1 = _slab_lattice(side, ny_ext, nz, 0.0, 0.25, zmax)
-    x3, y3, z3 = _slab_lattice(side, ny_ext, nz, 0.75, 1.0, zmax)
-    # interior band y in [0.25, 0.75], rho 2 (double y resolution)
-    x2, y2, z2 = _slab_lattice(side, 4 * ny_ext, nz, 0.25, 0.75, zmax)
+    if glass:
+        try:
+            from sphexa_tpu.init.glass import glass_cuboid
+            d_int = d_ext / (rho_i / rho_e) ** (1.0 / 3.0)
+            x1, y1, z1 = glass_cuboid((0, 0, 0), (1, 0.25, zmax), d_ext)
+            x3, y3, z3 = glass_cuboid((0, 0.75, 0), (1, 1.0, zmax), d_ext)
+            x2, y2, z2 = glass_cuboid((0, 0.25, 0), (1, 0.75, zmax), d_int,
+                                      seed=7)
+        except (ValueError, ImportError):
+            # thin-z box cannot host glass blocks at this resolution
+            glass = False
+    if not glass:
+        ny_ext = max(2, side // 4)
+        x1, y1, z1 = _slab_lattice(side, ny_ext, nz, 0.0, 0.25, zmax)
+        x3, y3, z3 = _slab_lattice(side, ny_ext, nz, 0.75, 1.0, zmax)
+        x2, y2, z2 = _slab_lattice(side, 4 * ny_ext, nz, 0.25, 0.75, zmax)
 
     x = np.concatenate([x1, x2, x3])
     y = np.concatenate([y1, y2, y3])
     z = np.concatenate([z1, z2, z3])
     n = x.size
 
-    rho_i, rho_e = const["rhoInt"], const["rhoExt"]
-    d_ext = 1.0 / side
-    m_part = rho_e * d_ext ** 2 * (zmax / nz)
+    if glass:
+        # uniform particle mass from the realized exterior count
+        m_part = rho_e * (2 * 0.25 * zmax) / (x1.size + x3.size)
+    else:
+        m_part = rho_e * d_ext ** 2 * (zmax / nz)
     h_i = h_from_density(cfg.ng0, m_part, rho_i)
     h_e = h_from_density(cfg.ng0, m_part, rho_e)
 

@@ -23,7 +23,7 @@ def wind_shock_constants() -> dict:
 
 
 def init_wind_shock(side: int, cfg: SphConfig, capacity: int | None = None,
-                    dt0: float | None = None):
+                    dt0: float | None = None, glass: bool = True):
     const = wind_shock_constants()
     r = const["r"]
     rs = const["rSphere"]
@@ -36,24 +36,35 @@ def init_wind_shock(side: int, cfg: SphConfig, capacity: int | None = None,
         Z, Y, X = np.meshgrid(gs[2], gs[1], gs[0], indexing="ij")
         return X.ravel(), Y.ravel(), Z.ravel()
 
-    # wind region: full box lattice minus the blob sphere
-    xw, yw, zw = lattice(4 * side, side, side, (0, 0, 0), (8 * r, 2 * r, 2 * r))
+    d_ext = 2 * r / side
+    d_int = d_ext / (rho_i / rho_e) ** (1 / 3)
+
+    if glass:
+        try:
+            # reference path: assembleCuboid-tiled relaxed glass for
+            # both regions (wind_shock_init.hpp builds wind +
+            # stretched-blob glass), matching the reference's IC noise
+            from sphexa_tpu.init.glass import glass_cuboid
+            xw, yw, zw = glass_cuboid((0, 0, 0), (8 * r, 2 * r, 2 * r),
+                                      d_ext)
+            xb, yb, zb = glass_cuboid(
+                (cx[0] - rs, cx[1] - rs, cx[2] - rs),
+                (cx[0] + rs, cx[1] + rs, cx[2] + rs), d_int, seed=7)
+        except (ValueError, ImportError):
+            glass = False
+    if not glass:
+        xw, yw, zw = lattice(4 * side, side, side, (0, 0, 0),
+                             (8 * r, 2 * r, 2 * r))
+        nb = max(2, int(round(2 * rs / d_int)))
+        xb, yb, zb = lattice(nb, nb, nb,
+                             (cx[0] - rs, cx[1] - rs, cx[2] - rs),
+                             (cx[0] + rs, cx[1] + rs, cx[2] + rs))
+
+    # wind region: full box minus the blob sphere
     rw = np.sqrt((xw - cx[0]) ** 2 + (yw - cx[1]) ** 2 + (zw - cx[2]) ** 2)
     keep = rw > rs
     xw, yw, zw = xw[keep], yw[keep], zw[keep]
-
-    # blob: 10^(1/3)x finer lattice clipped to the sphere
-    fine = int(np.ceil(side * (rho_i / rho_e) ** (1 / 3)))
-    xb, yb, zb = lattice(fine, fine, fine,
-                         (cx[0] - rs, cx[1] - rs, cx[2] - rs),
-                         (cx[0] + rs, cx[1] + rs, cx[2] + rs))
-    # that lattice has spacing 2rs/fine; want spacing d_ext/10^(1/3)
-    d_ext = 2 * r / side
-    d_int = d_ext / (rho_i / rho_e) ** (1 / 3)
-    nb = max(2, int(round(2 * rs / d_int)))
-    xb, yb, zb = lattice(nb, nb, nb,
-                         (cx[0] - rs, cx[1] - rs, cx[2] - rs),
-                         (cx[0] + rs, cx[1] + rs, cx[2] + rs))
+    # blob: clipped to the sphere (cutSphere, grid.hpp:268)
     rb = np.sqrt((xb - cx[0]) ** 2 + (yb - cx[1]) ** 2 + (zb - cx[2]) ** 2)
     inb = rb <= rs
     xb, yb, zb = xb[inb], yb[inb], zb[inb]
@@ -64,7 +75,12 @@ def init_wind_shock(side: int, cfg: SphConfig, capacity: int | None = None,
     n = x.size
     in_blob = np.concatenate([np.zeros(xw.size, bool), np.ones(xb.size, bool)])
 
-    m_part = rho_e * d_ext ** 3
+    if glass:
+        # uniform particle mass from the realized wind-region count
+        v_wind = (8 * r) * (2 * r) * (2 * r) - 4.0 / 3.0 * np.pi * rs ** 3
+        m_part = rho_e * v_wind / xw.size
+    else:
+        m_part = rho_e * d_ext ** 3
     h_i = h_from_density(cfg.ng0, m_part, rho_i)
     h_e = h_from_density(cfg.ng0, m_part, rho_e)
     h = np.where(in_blob, h_i, h_e)

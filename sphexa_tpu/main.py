@@ -277,7 +277,10 @@ def main(argv=None):
                   f"etot={float(q.etot):.8g} ecin={float(q.ecin):.6g} "
                   f"eint={float(q.eint):.6g} egrav={float(q.egrav):.6g} "
                   f"nc~{float(diag.nc_mean):.0f} "
-                  f"wall={dt_wall*1e3:.0f}ms", flush=True)
+                  + (f"h_nonconv={int(diag.h_nonconv)} "
+                     if getattr(diag, "h_nonconv", None) is not None
+                     and int(diag.h_nonconv) else "")
+                  + f"wall={dt_wall*1e3:.0f}ms", flush=True)
         if int(diag.max_nc) > cfg.ngpad or int(diag.max_cell_count) > cfg.cell_cap:
             # fail-stop, not a warning: truncated candidate sets are
             # silently wrong physics (reference throws,
@@ -311,9 +314,17 @@ def main(argv=None):
 
     if profiler_ctx:
         import jax
-        jax.block_until_ready(state.p.x)
+        import jax.numpy as jnp
+        # a real device->host readback: block_until_ready is not a
+        # reliable barrier through remote-device tunnels
+        _ = float(jnp.sum(jnp.where(jnp.isfinite(state.p.x), 1.0, 0.0)))
         jax.profiler.stop_trace()
         print("# profile trace written to ./sphexa-trace")
+        try:
+            from sphexa_tpu.util.xprofile import print_table
+            print_table("sphexa-trace", steps=max(int(state.iteration), 1))
+        except Exception as e:   # parsing needs the tf tsl protos
+            print(f"# (per-kernel table unavailable: {e})")
 
     wall = time.perf_counter() - t_start
     if not args.quiet:

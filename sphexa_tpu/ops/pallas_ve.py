@@ -538,13 +538,21 @@ def _xh_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
 
     mi = _tcol(tc, RM)
     xm = mi * (hi * hi * hi) / (K3d * acc)
+    # h-controller convergence monitor: 1.0 where the final count still
+    # violates the [ng0/4, ngmax] window (the reference iterates until
+    # converged, find_neighbors.hpp:48; with a fixed h_iter this flag
+    # surfaces residual non-convergence in the diagnostics)
+    nonconv = ((nc + 1.0 < ngmin)
+               | (nc > float(cfg.ngmax))).astype(jnp.float32)
     # frame contract: invalid slots must stream finite, benign values
     # downstream (xm rides as a divisor via volj = xm/kx)
     ok = _oki(xi)
     xm = jnp.where(ok, xm, 1.0)
     nc = jnp.where(ok, nc, 0.0)
+    nonconv = jnp.where(ok, nonconv, 0.0)
     return jnp.concatenate(
-        [jnp.transpose(xm), jnp.transpose(hi), jnp.transpose(nc)], axis=0)
+        [jnp.transpose(xm), jnp.transpose(hi), jnp.transpose(nc),
+         jnp.transpose(nonconv)], axis=0)
 
 
 def _gradh_body(center, get_run, *, K3d, n_w):
@@ -1342,7 +1350,7 @@ class PallasVE:
             assert kernel_mode == "cell"
             mk = functools.partial(maker, grid, interpret=interpret,
                                    gated=True, **zkw)
-        self._xh = mk(8, 3, functools.partial(_xh_body, cfg=cfg, **kw))
+        self._xh = mk(8, 4, functools.partial(_xh_body, cfg=cfg, **kw))
         self._gradh = mk(8, 2, functools.partial(_gradh_body, **kw))
         iad_body = _iad_hybrid_body if cfg.mxu_moments else _iad_direct_body
         self._iad = mk(16, 16, functools.partial(iad_body, **kw))
@@ -1378,11 +1386,12 @@ class PallasVE:
                     if len(prevs) == fo else _pad_rows(list(prevs), fo))
 
     def xmass_h(self, base, m_cm, gate=None):
-        """Fused nc/h-iteration/xmass. Returns (xm, h, nc); base[3] (h)
-        is NOT updated in place — refresh ghosts of the returned h and
-        write it back into the base rows."""
-        out = self._xh(_pad_rows(base + [m_cm]), **self._gate_kw(gate, 3))
-        return out[0], out[1], out[2]
+        """Fused nc/h-iteration/xmass. Returns (xm, h, nc, nonconv);
+        base[3] (h) is NOT updated in place — refresh ghosts of the
+        returned h and write it back into the base rows. nonconv is 1.0
+        where the h controller did not converge within cfg.h_iter."""
+        out = self._xh(_pad_rows(base + [m_cm]), **self._gate_kw(gate, 4))
+        return out[0], out[1], out[2], out[3]
 
     def gradh(self, base, m_cm, xm_cm, gate=None):
         out = self._gradh(_pad_rows(base + [m_cm, xm_cm]),

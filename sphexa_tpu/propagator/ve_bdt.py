@@ -274,8 +274,8 @@ def _run_pipeline_gated(pve: PallasVE, refresh, base, m, vx, vy, vz, temp,
     gate = lambda *prevs: (act_row, prevs)
     zero = jnp.zeros_like(m)
 
-    xm, h_new, nc = pve.xmass_h(base, m,
-                                gate=gate(prev["xm"], prev["h"], zero))
+    xm, h_new, nc, nonconv = pve.xmass_h(
+        base, m, gate=gate(prev["xm"], prev["h"], zero, zero))
     h_new = jnp.where(validint, h_new, base[3])
     st = refresh(jnp.stack([xm, h_new]), (1.0, 1.0))
     xm, h_new = st[0], st[1]

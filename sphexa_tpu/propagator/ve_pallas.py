@@ -74,7 +74,7 @@ def _run_pipeline(pve: PallasVE, refresh, base, m, vx, vy, vz,
     Returns a dict of cm frame results."""
     cfg = pve.cfg
 
-    xm, h_new, nc = pve.xmass_h(base, m)
+    xm, h_new, nc, nonconv = pve.xmass_h(base, m)
     h_new = jnp.where(validint, h_new, base[3])
     st = refresh(jnp.stack([xm, h_new]), (1.0, 1.0))
     xm, h_new = st[0], st[1]
@@ -123,7 +123,8 @@ def _run_pipeline(pve: PallasVE, refresh, base, m, vx, vy, vz,
                                        alpha_new, m, cij, **mom_kw)
     return dict(h=h_new, nc_sph=nc_sph, xm=xm, kx=kx, rho=rho, p=p, c=c,
                 prho=prho, divv=divv, curlv=curlv, alpha=alpha_new,
-                ax=ax, ay=ay, az=az, du=du, maxvsignal=mvs)
+                ax=ax, ay=ay, az=az, du=du, maxvsignal=mvs,
+                h_nonconv=nonconv)
 
 
 def _add_gravity(out, x, y, z, m, alive, box: Box, cfg: SphConfig):
@@ -242,6 +243,9 @@ class ResidentDiag(NamedTuple):
     drift: jnp.ndarray
     rebinned: jnp.ndarray
     need_regrid: jnp.ndarray
+    h_nonconv: jnp.ndarray   # particles whose h controller hit h_iter
+                             # without converging (reference iterates to
+                             # convergence, find_neighbors.hpp:48)
 
 
 class ResidentVE:
@@ -396,5 +400,7 @@ class ResidentVE:
             overflow=rst.overflow,
             maxvsignal=jnp.max(jnp.where(validint, out["maxvsignal"], 0.0)),
             drift=drift, rebinned=stale,
-            need_regrid=(2.0 * h_max * 1.05 >= self.cell_edge))
+            need_regrid=(2.0 * h_max * 1.05 >= self.cell_edge),
+            h_nonconv=jnp.sum(jnp.where(validint, out["h_nonconv"],
+                                        0.0)).astype(jnp.int32))
         return rst, diag

@@ -81,3 +81,34 @@ def test_glass_relaxation_reduces_density_noise():
     # intrinsic glass level (~4% kNN-density noise)
     assert noise_glass < 0.62 * noise_jit, (noise_glass, noise_jit)
     assert noise_glass < 0.05, noise_glass
+
+
+def test_glass_cuboid_tiling():
+    """assembleCuboid analog: tiled glass fills a cuboid at the target
+    spacing with near-uniform density; geometries that would squeeze
+    the template anisotropically are rejected (callers fall back to a
+    lattice — reference: main/src/init/grid.hpp:238)."""
+    import pytest as _pytest
+
+    from sphexa_tpu.init.glass import density_noise, glass_cuboid
+
+    spacing = 1.0 / 48
+    x, y, z = glass_cuboid((0, 0, 0), (1, 1, 1), spacing,
+                           template_side=24)
+    n_target = 1.0 / spacing ** 3
+    assert abs(x.size - n_target) / n_target < 0.15
+    assert x.min() >= 0 and x.max() < 1.0
+
+    # density uniformity of the tiled field (periodic unit box)
+    noise = density_noise(x, y, z)
+    assert noise < 0.08, noise
+
+    # non-cubic regions tile too when every extent hosts whole blocks
+    xw, yw, zw = glass_cuboid((0, 0, 0), (1, 0.5, 0.5), spacing,
+                              template_side=24)
+    assert abs(xw.size - 0.25 * n_target) / (0.25 * n_target) < 0.15
+    assert yw.max() < 0.5
+
+    # a z-extent far below one template block must be rejected
+    with _pytest.raises(ValueError):
+        glass_cuboid((0, 0, 0), (1, 1, 0.0625), spacing, template_side=24)
