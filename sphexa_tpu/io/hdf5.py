@@ -146,3 +146,66 @@ def load_checkpoint(path: str, cfg: SphConfig, step: int = -1,
                       kcour=float(attrs["Kcour"]), krho=float(attrs["Krho"]),
                       uniform_mass=bool(m.min() == m.max()))
     return state, box, cfg
+
+
+def load_split_checkpoint(path: str, cfg: SphConfig, num_splits: int,
+                          step: int = -1, capacity: int | None = None):
+    """Upsampled restart — the FileSplitInit analog (reference:
+    main/src/init/file_init.hpp:103-235): each particle of the dump
+    becomes `num_splits` particles placed along the Hilbert curve
+    between its key and its successor's; m scales 1/S, h 1/cbrt(S),
+    velocities/temp/alpha replicate, the Press-2 history resets
+    (du_m1 = 0, x_m1 = v*dt), and dt shrinks by 100*S for a gentle
+    re-equilibration."""
+    from sphexa_tpu.sfc.hilbert import MAX_LEVEL, hilbert_decode, \
+        hilbert_encode
+
+    S = int(num_splits)
+    assert S >= 1
+    state, box, cfg = load_checkpoint(path, cfg, step=step)
+    ps = state.p
+    alive = np.asarray(ps.alive)
+    f = {k: np.asarray(getattr(ps, k))[alive] for k in CONSERVED_FIELDS}
+    n0 = f["x"].shape[0]
+
+    side = 1 << MAX_LEVEL
+    to_i = lambda v, lo, L: np.clip(((v - lo) / L * side).astype(np.int64),
+                                    0, side - 1)
+    keys = np.asarray(hilbert_encode(
+        to_i(f["x"], box.xmin, box.lx), to_i(f["y"], box.ymin, box.ly),
+        to_i(f["z"], box.zmin, box.lz))).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    f = {k: v[order] for k, v in f.items()}
+
+    # clone keys interpolate toward the next particle's key (the last
+    # particle interpolates backward, as the reference does)
+    delta = np.empty(n0, np.int64)
+    delta[:-1] = (keys[1:] - keys[:-1]) // S
+    delta[-1] = -(keys[-1] - keys[-2]) // (S + 1) if n0 > 1 else 0
+    j = np.arange(S)
+    ck = (keys[:, None] + delta[:, None] * j[None, :]).reshape(-1)
+    ck = np.clip(ck, 0, (1 << (3 * MAX_LEVEL)) - 1).astype(np.uint32)
+    ix, iy, iz = (np.asarray(v) for v in hilbert_decode(ck))
+    x = (box.xmin + ix.astype(np.float64) * box.lx / side).astype(np.float32)
+    y = (box.ymin + iy.astype(np.float64) * box.ly / side).astype(np.float32)
+    z = (box.zmin + iz.astype(np.float64) * box.lz / side).astype(np.float32)
+    # the original particle keeps its exact position (clone j = 0)
+    x[::S], y[::S], z[::S] = f["x"], f["y"], f["z"]
+
+    rep = lambda v, scale=1.0: np.repeat(v * scale, S)
+    n = n0 * S
+    dt = float(state.dt) / (100.0 * S)
+    fields = dict(
+        x=x, y=y, z=z, m=rep(f["m"], 1.0 / S),
+        h=rep(f["h"], S ** (-1.0 / 3.0)),
+        vx=rep(f["vx"]), vy=rep(f["vy"]), vz=rep(f["vz"]),
+        temp=rep(f["temp"]), alpha=rep(f["alpha"]),
+        du_m1=np.zeros(n, np.float32))
+    fields["x_m1"] = fields["vx"] * dt
+    fields["y_m1"] = fields["vy"] * dt
+    fields["z_m1"] = fields["vz"] * dt
+    ps = make_particles(capacity or n, n, **fields)
+    new_state = make_state(ps, dt0=dt, ttot=float(state.ttot))
+    new_state = new_state.replace(dt_m1=np.float32(dt), iteration=np.int32(1))
+    return new_state, box, cfg

@@ -41,6 +41,9 @@ def parse_args(argv=None):
                    help="per-step observables file")
     p.add_argument("--dt0", type=float, default=None,
                    help="override initial timestep")
+    p.add_argument("--split", type=int, default=1,
+                   help="upsample a checkpoint restart N-fold along the "
+                        "Hilbert curve (FileSplitInit analog)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings")
@@ -59,8 +62,13 @@ def build_sim(args):
     extras = {}
     kind, name, extra = parse_init_spec(args.init)
     if kind == "checkpoint":
-        from sphexa_tpu.io.hdf5 import load_checkpoint
+        from sphexa_tpu.io.hdf5 import load_checkpoint, load_split_checkpoint
         path, step = name, (extra if extra is not None else -1)
+        if args.split > 1:
+            # upsampled restart (FileSplitInit, file_init.hpp:103)
+            state, box, cfg = load_split_checkpoint(path, cfg, args.split,
+                                                    step=step)
+            return state, box, cfg, extras
         state, box, cfg = load_checkpoint(path, cfg, step=step)
         from sphexa_tpu.io.hdf5 import load_turbulence_state
         try:

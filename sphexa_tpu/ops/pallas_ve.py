@@ -638,8 +638,14 @@ def _iad_outputs(cij, dVx, dVy, dVz, norm_kx, ok):
 
 
 def _iad_direct_body(center, get_run, *, K3d, n_w):
-    """Two-pass direct IAD + divv/curlv (iad_kern.hpp + divv_curlv_kern.hpp),
-    all on the VPU; h-scaled tau keeps the 3x3 inverse fp32-stable."""
+    """Single-pass direct IAD + divv/curlv (iad_kern.hpp +
+    divv_curlv_kern.hpp), all on the VPU; h-scaled tau keeps the 3x3
+    inverse fp32-stable. The velocity-gradient reductions
+    Q_ab = sum_j w xm_j v_ab,ij r_b do NOT depend on the inverted
+    C matrix, so they accumulate in the SAME window pass as tau and the
+    C contraction dV_a = -(C Q)_a happens per-cell afterwards —
+    halving the window streaming + W evaluations of the old two-pass
+    form."""
     RKX, RXM, RVX, RVY, RVZ = (NBASE, NBASE + 1, NBASE + 2, NBASE + 3,
                                NBASE + 4)
     tc = _tc(center)
@@ -648,8 +654,12 @@ def _iad_direct_body(center, get_run, *, K3d, n_w):
     hinv = 1.0 / hi
     hi_inv2 = hinv * hinv
     h3inv = hinv * hi_inv2
+    vxi = _tcol(tc, RVX)
+    vyi = _tcol(tc, RVY)
+    vzi = _tcol(tc, RVZ)
 
     t11 = t12 = t13 = t22 = t23 = t33 = 0.0
+    Q = [[0.0, 0.0, 0.0] for _ in range(3)]   # Q[a][b] += w xmj v_a r_b
     for g in range(9):
         jr = get_run(g)
         rx, ry, rz, d2 = _geo(pos, jr)
@@ -666,34 +676,27 @@ def _iad_direct_body(center, get_run, *, K3d, n_w):
         t22 = t22 + sy * sy * wn
         t23 = t23 + sy * sz * wn
         t33 = t33 + sz * sz * wn
+
+        wxm = w * jr[RXM:RXM + 1, :]
+        vji = (jr[RVX:RVX + 1, :] - vxi, jr[RVY:RVY + 1, :] - vyi,
+               jr[RVZ:RVZ + 1, :] - vzi)
+        rr = (rx, ry, rz)
+        for a in range(3):
+            va = wxm * vji[a]
+            for b in range(3):
+                Q[a][b] = Q[a][b] + va * rr[b]
     t11, t12, t13, t22, t23, t33 = (
         _sum1(t) for t in (t11, t12, t13, t22, t23, t33))
+    Q = [[_sum1(Q[a][b]) for b in range(3)] for a in range(3)]
 
     cij = _iad_tail(t11, t12, t13, t22, t23, t33, hi)
     c11, c12, c13, c22, c23, c33 = cij
+    C = ((c11, c12, c13), (c12, c22, c23), (c13, c23, c33))
 
-    vxi = _tcol(tc, RVX)
-    vyi = _tcol(tc, RVY)
-    vzi = _tcol(tc, RVZ)
-    dVx = [0.0, 0.0, 0.0]
-    dVy = [0.0, 0.0, 0.0]
-    dVz = [0.0, 0.0, 0.0]
-    for g in range(9):
-        jr = get_run(g)
-        rx, ry, rz, d2 = _geo(pos, jr)
-        v2 = d2 * hi_inv2
-        w = _w_v2(v2, n_w)
-        termA = (-(c11 * rx + c12 * ry + c13 * rz) * w,
-                 -(c12 * rx + c22 * ry + c23 * rz) * w,
-                 -(c13 * rx + c23 * ry + c33 * rz) * w)
-        vx_ji = jr[RVX:RVX + 1, :] - vxi
-        vy_ji = jr[RVY:RVY + 1, :] - vyi
-        vz_ji = jr[RVZ:RVZ + 1, :] - vzi
-        xmj = jr[RXM:RXM + 1, :]
-        for b in range(3):
-            dVx[b] = dVx[b] + _sum1(vx_ji * xmj * termA[b])
-            dVy[b] = dVy[b] + _sum1(vy_ji * xmj * termA[b])
-            dVz[b] = dVz[b] + _sum1(vz_ji * xmj * termA[b])
+    def dv(a):
+        return [-(C[b][0] * Q[a][0] + C[b][1] * Q[a][1]
+                  + C[b][2] * Q[a][2]) for b in range(3)]
+    dVx, dVy, dVz = dv(0), dv(1), dv(2)
 
     norm_kx = K3d * h3inv / _tcol(tc, RKX)
     return _iad_outputs(cij, dVx, dVy, dVz, norm_kx, _oki(pos[0]))

@@ -68,3 +68,34 @@ def test_cli_restart(tmp_path):
           "-w", "2", "-o", out, "--constants", "", "--quiet"])
     state = main(["--init", out, "-s", "2", "--constants", "", "--quiet"])
     assert int(state.iteration) == 5  # 2 + 2 steps, 1-based
+
+
+def test_split_restart(tmp_path):
+    """Upsampled restart (FileSplitInit analog, file_init.hpp:103):
+    N-fold particle count, conserved total mass, h scaled 1/cbrt(S),
+    clones near their parents along the Hilbert curve, dt reduced."""
+    from sphexa_tpu.io.hdf5 import load_split_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "ck.h5")
+    cfg = SphConfig()
+    state, box, cfg = init_sedov(8, cfg, dt0=3e-4)
+    save_checkpoint(path, state, cfg, box)
+
+    S = 4
+    st2, box2, cfg2 = load_split_checkpoint(path, SphConfig(), S)
+    alive = np.asarray(st2.p.alive)
+    n0 = int(np.sum(np.asarray(state.p.alive)))
+    assert int(alive.sum()) == S * n0
+    m0 = float(np.sum(np.asarray(state.p.m)[np.asarray(state.p.alive)]))
+    m2 = float(np.sum(np.asarray(st2.p.m)[alive]))
+    assert m2 == pytest.approx(m0, rel=1e-5)
+    h_ratio = (np.asarray(st2.p.h)[alive].mean()
+               / np.asarray(state.p.h)[np.asarray(state.p.alive)].mean())
+    assert h_ratio == pytest.approx(S ** (-1 / 3), rel=1e-4)
+    assert float(st2.dt) == pytest.approx(float(state.dt) / (100 * S))
+    # every original position survives exactly (clone j=0)
+    x2 = np.asarray(st2.p.x)[alive]
+    assert np.isin(np.asarray(state.p.x)[np.asarray(state.p.alive)][:10],
+                   x2).all()
+    # positions stay in the box
+    assert x2.min() >= box.xmin and x2.max() <= box.xmax
