@@ -1,16 +1,23 @@
-"""Headline benchmark: Sedov blast throughput on one chip.
+"""Headline benchmark: VE-step throughput on one chip.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: particle-updates per second for the full VE step at Sedov
-side^3 particles. Baseline target: 50e6 particle-updates/s on one TPU
-chip (BASELINE.md north star).
+Metric: particle-updates per second for the full VE step at side^3
+particles. Baseline target: 50e6 particle-updates/s on one TPU chip
+(BASELINE.md north star — defined on a v5p; the bench chip is a v5e).
 
 On TPU this uses the cell-major-resident Pallas engine (state lives in
 the slot frame; layout rebins happen in-graph on a drift margin); on
 CPU (no TPU available) it falls back to the XLA gather path at a small
 size.
+
+Env knobs: SPHEXA_BENCH_SIDE (default 100 on TPU), SPHEXA_BENCH_CASE
+in {sedov, noh, evrard} (BASELINE.md's benchmark configs; evrard uses
+a host-sized deep CAP whose uncached Mosaic compile takes tens of
+minutes), SPHEXA_BENCH_PROP=ve-bdt for block-timestep active-update
+accounting, SPHEXA_BENCH_CAP to override the slot cap. Every run
+appends to BENCH_HISTORY.jsonl and warns on >10% regressions.
 """
 
 from __future__ import annotations
@@ -35,8 +42,22 @@ def main():
     warmup = 3
     iters = 10 if on_tpu else 3
 
+    # BASELINE.md benchmark configs: sedov (default), noh (shock +
+    # conservation), evrard (self-gravity via the conv-FMM)
+    case = os.environ.get("SPHEXA_BENCH_CASE", "sedov")
     cfg = SphConfig()
-    state, box, cfg = init_sedov(side, cfg, dt0=1e-4)
+    if case == "noh":
+        from sphexa_tpu.init.noh import init_noh
+        state, box, cfg = init_noh(side, cfg, dt0=1e-5)
+    elif case == "evrard":
+        from sphexa_tpu.init.evrard import init_evrard
+        state, box, cfg = init_evrard(side, cfg, dt0=1e-4)
+        # clustered density: deep-CAP grid + FMM self-gravity
+        # (cap is computed from the realized occupancy below; Mosaic
+        # compiles of deep-CAP kernels take tens of minutes uncached)
+        cfg = cfg.replace(gravity_solver="fmm")
+    else:
+        state, box, cfg = init_sedov(side, cfg, dt0=1e-4)
     n = side ** 3
 
     bdt = os.environ.get("SPHEXA_BENCH_PROP") == "ve-bdt"
@@ -49,8 +70,10 @@ def main():
         from sphexa_tpu.ops.cellmajor import choose_cm_grid
         from sphexa_tpu.propagator.ve_bdt import BdtVE
 
+        import numpy as np
+        h_max = float(np.max(np.asarray(state.p.h)[np.asarray(state.p.alive)]))
         cap = int(os.environ.get("SPHEXA_BENCH_CAP", 64))
-        grid = choose_cm_grid(box, float(state.p.h[0]) * 1.2, n, cap=cap)
+        grid = choose_cm_grid(box, h_max * 1.2, n, cap=cap)
         eng = BdtVE(box, grid, cfg)
         bst = eng.bind_bdt(state)
         bst, diags = eng.run_cycle(bst)   # warmup cycle (compiles)
@@ -67,7 +90,7 @@ def main():
         updates = sum(float(d.active_frac) for d in all_diags) * float(n)
         pups = updates / dt_wall
         print(json.dumps({
-            "metric": "sedov_bdt_active_updates_per_sec",
+            "metric": f"{case}_bdt_active_updates_per_sec",
             "value": pups, "unit": "particles/s",
             "vs_baseline": pups / BASELINE_PUPS,
         }))
@@ -76,8 +99,12 @@ def main():
         from sphexa_tpu.ops.cellmajor import choose_cm_grid
         from sphexa_tpu.propagator.ve_pallas import ResidentVE
 
-        cap = int(os.environ.get("SPHEXA_BENCH_CAP", 64))
-        grid = choose_cm_grid(box, float(state.p.h[0]) * 1.2, n, cap=cap)
+        import numpy as np
+        h_max = float(np.max(np.asarray(state.p.h)[np.asarray(state.p.alive)]))
+        cap = int(os.environ.get("SPHEXA_BENCH_CAP", 0))
+        if not cap:
+            cap = _needed_cap(state, box, h_max * 1.2, n)
+        grid = choose_cm_grid(box, h_max * 1.2, n, cap=cap)
         eng = ResidentVE(box, grid, cfg)
         rst = eng.bind(state)
         assert int(rst.overflow) == 0, "cell CAP overflow at bind"
@@ -111,15 +138,38 @@ def main():
 
     pups = n / dt_wall
     print(json.dumps({
-        "metric": "sedov_particle_updates_per_sec",
+        "metric": f"{case}_particle_updates_per_sec",
         "value": pups,
         "unit": "particles/s",
         "vs_baseline": pups / BASELINE_PUPS,
     }))
-    _append_history(pups, side, jax.devices()[0].platform)
+    _append_history(pups, side, jax.devices()[0].platform, case)
 
 
-def _append_history(pups: float, side: int, platform: str):
+def _needed_cap(state, box, h_eff, n, base: int = 64):
+    """Host-side slot-cap sizing: bin the ICs into the grid that
+    choose_cm_grid would pick and round the max cell count up to a
+    multiple of 32 with 30% headroom (clustered cases like Evrard need
+    deep CAPs; uniform cases resolve to the default 64)."""
+    import numpy as np
+
+    from sphexa_tpu.ops.cellmajor import choose_cm_grid
+    g = choose_cm_grid(box, h_eff, n, cap=base)
+    alive = np.asarray(state.p.alive)
+    xs = np.asarray(state.p.x)[alive]
+    ys = np.asarray(state.p.y)[alive]
+    zs = np.asarray(state.p.z)[alive]
+    ix = np.clip(((xs - box.xmin) / box.lx * g.nx).astype(int), 0, g.nx - 1)
+    iy = np.clip(((ys - box.ymin) / box.ly * g.n).astype(int), 0, g.n - 1)
+    iz = np.clip(((zs - box.zmin) / box.lz * g.nz).astype(int), 0, g.nz - 1)
+    cnt = np.bincount((ix * g.n + iy) * g.nz + iz,
+                      minlength=g.nx * g.n * g.nz).max()
+    need = int(np.ceil(cnt * 1.3 / 32) * 32)
+    return max(base, need)
+
+
+def _append_history(pups: float, side: int, platform: str,
+                    case: str = "sedov"):
     """Regression tracking (the ReFrame-CI analog of the reference's
     nightly perf binaries, .jenkins/reframe_ci.py): append every run to
     BENCH_HISTORY.jsonl with the git revision, and warn on stderr if
@@ -141,13 +191,15 @@ def _append_history(pups: float, side: int, platform: str):
         with open(path) as f:
             for line in f:
                 r = json.loads(line)
-                if r.get("side") == side and r.get("platform") == platform:
+                if r.get("side") == side and r.get("platform") == platform \
+                        and r.get("case", "sedov") == case:
                     best = max(best, r.get("pups", 0.0))
     except FileNotFoundError:
         pass
     with open(path, "a") as f:
         f.write(json.dumps({"ts": time.time(), "rev": rev, "side": side,
-                            "platform": platform, "pups": pups}) + "\n")
+                            "platform": platform, "case": case,
+                            "pups": pups}) + "\n")
     if best > 0 and pups < 0.9 * best:
         print(f"# PERF REGRESSION: {pups / 1e6:.2f}M < 90% of best "
               f"{best / 1e6:.2f}M (side={side}, {platform})",

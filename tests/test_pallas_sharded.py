@@ -21,7 +21,8 @@ from sphexa_tpu.state import SimState, _FIELDS
 
 @pytest.mark.multichip
 @pytest.mark.slow
-@pytest.mark.parametrize("n_devices,side,ng", [(2, 12, 4), (4, 12, 4)])
+@pytest.mark.parametrize("n_devices,side,ng", [(2, 12, 4), (4, 12, 4),
+                                               (8, 12, 8)])
 def test_pallas_sharded_matches_single(n_devices, side, ng):
     steps = 3
     cfg = SphConfig(cell_cap=256, ngpad=256)
