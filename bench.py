@@ -12,12 +12,17 @@ the slot frame; layout rebins happen in-graph on a drift margin); on
 CPU (no TPU available) it falls back to the XLA gather path at a small
 size.
 
+Timing: the axon tunnel's `block_until_ready` is a no-op, so every
+timed region ends with a real device->host scalar readback; the fixed
+~35-40 ms readback latency is cancelled by rep-scaling (time 2 steps
+vs 2+iters steps, divide the difference by iters).
+
 Env knobs: SPHEXA_BENCH_SIDE (default 100 on TPU), SPHEXA_BENCH_CASE
 in {sedov, noh, evrard} (BASELINE.md's benchmark configs; evrard uses
-a host-sized deep CAP whose uncached Mosaic compile takes tens of
-minutes), SPHEXA_BENCH_PROP=ve-bdt for block-timestep active-update
-accounting, SPHEXA_BENCH_CAP to override the slot cap. Every run
-appends to BENCH_HISTORY.jsonl and warns on >10% regressions.
+a deep CAP whose uncached Mosaic compile takes tens of minutes),
+SPHEXA_BENCH_PROP=ve-bdt for block-timestep active-update accounting,
+SPHEXA_BENCH_CAP to override the slot cap. Every run appends to
+BENCH_HISTORY.jsonl and warns on >10% regressions.
 """
 
 from __future__ import annotations
@@ -32,6 +37,25 @@ from sphexa_tpu.config import SphConfig
 from sphexa_tpu.init.sedov import init_sedov
 
 BASELINE_PUPS = 50e6  # particle-updates/sec north star (BASELINE.md)
+
+
+def _pick_cap_grid(state, box, h_eff, n):
+    """(cap, grid) for the Pallas engine: SPHEXA_BENCH_CAP override, or
+    the joint scan in cellmajor.choose_cap_and_grid (guarantees a legal
+    z-supercell AND that the ICs fit the slots — the two constraints
+    whose mismatch crashed the round-2 bench)."""
+    import numpy as np
+
+    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid, choose_cm_grid
+
+    alive = np.asarray(state.p.alive)
+    xs = np.asarray(state.p.x)[alive]
+    ys = np.asarray(state.p.y)[alive]
+    zs = np.asarray(state.p.z)[alive]
+    cap = int(os.environ.get("SPHEXA_BENCH_CAP", 0))
+    if cap:
+        return cap, choose_cm_grid(box, h_eff, n, cap=cap)
+    return choose_cap_and_grid(box, h_eff, n, xs, ys, zs)
 
 
 def main():
@@ -52,9 +76,6 @@ def main():
     elif case == "evrard":
         from sphexa_tpu.init.evrard import init_evrard
         state, box, cfg = init_evrard(side, cfg, dt0=1e-4)
-        # clustered density: deep-CAP grid + FMM self-gravity
-        # (cap is computed from the realized occupancy below; Mosaic
-        # compiles of deep-CAP kernels take tens of minutes uncached)
         cfg = cfg.replace(gravity_solver="fmm")
     else:
         state, box, cfg = init_sedov(side, cfg, dt0=1e-4)
@@ -67,13 +88,12 @@ def main():
         # counts ACTIVE particle updates (the individual-timestep
         # accounting of ve_hydro_bdt.hpp) — inactive rungs cost ~no
         # compute via the pl.when supercell gates
-        from sphexa_tpu.ops.cellmajor import choose_cm_grid
+        import numpy as np
+
         from sphexa_tpu.propagator.ve_bdt import BdtVE
 
-        import numpy as np
         h_max = float(np.max(np.asarray(state.p.h)[np.asarray(state.p.alive)]))
-        cap = int(os.environ.get("SPHEXA_BENCH_CAP", 64))
-        grid = choose_cm_grid(box, h_max * 1.2, n, cap=cap)
+        cap, grid = _pick_cap_grid(state, box, h_max * 1.2, n)
         eng = BdtVE(box, grid, cfg)
         bst = eng.bind_bdt(state)
         bst, diags = eng.run_cycle(bst)   # warmup cycle (compiles)
@@ -84,7 +104,7 @@ def main():
         for _ in range(cycles):
             bst, diags = eng.run_cycle(bst)
             all_diags += diags
-        _ = float(all_diags[-1].dt)   # readback barrier
+        _ = float(all_diags[-1].dt)   # device readback barrier
         dt_wall = time.perf_counter() - t0
         # active-update accounting read back AFTER the timed region
         updates = sum(float(d.active_frac) for d in all_diags) * float(n)
@@ -96,28 +116,31 @@ def main():
         }))
         return
     if on_tpu:
-        from sphexa_tpu.ops.cellmajor import choose_cm_grid
+        import numpy as np
+
         from sphexa_tpu.propagator.ve_pallas import ResidentVE
 
-        import numpy as np
         h_max = float(np.max(np.asarray(state.p.h)[np.asarray(state.p.alive)]))
-        cap = int(os.environ.get("SPHEXA_BENCH_CAP", 0))
-        if not cap:
-            cap = _needed_cap(state, box, h_max * 1.2, n)
-        grid = choose_cm_grid(box, h_max * 1.2, n, cap=cap)
+        cap, grid = _pick_cap_grid(state, box, h_max * 1.2, n)
         eng = ResidentVE(box, grid, cfg)
         rst = eng.bind(state)
         assert int(rst.overflow) == 0, "cell CAP overflow at bind"
 
-        for _ in range(warmup):
-            rst, diag = eng.step(rst)
-        jax.block_until_ready(rst.x)
+        def run(steps, rst):
+            diag = None
+            for _ in range(steps):
+                rst, diag = eng.step(rst)
+            _ = float(rst.x[0])  # real readback (block_until_ready no-ops)
+            return rst, diag
 
+        rst, _diag = run(warmup, rst)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            rst, diag = eng.step(rst)
-        jax.block_until_ready(rst.x)
-        dt_wall = (time.perf_counter() - t0) / iters
+        rst, _diag = run(2, rst)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rst, diag = run(2 + iters, rst)
+        t_long = time.perf_counter() - t0
+        dt_wall = max(t_long - t_short, 1e-9) / iters
         assert int(diag.overflow) == 0, "cell CAP overflow during run"
     else:
         from sphexa_tpu.neighbors import CellGrid, choose_level
@@ -144,28 +167,6 @@ def main():
         "vs_baseline": pups / BASELINE_PUPS,
     }))
     _append_history(pups, side, jax.devices()[0].platform, case)
-
-
-def _needed_cap(state, box, h_eff, n, base: int = 64):
-    """Host-side slot-cap sizing: bin the ICs into the grid that
-    choose_cm_grid would pick and round the max cell count up to a
-    multiple of 32 with 30% headroom (clustered cases like Evrard need
-    deep CAPs; uniform cases resolve to the default 64)."""
-    import numpy as np
-
-    from sphexa_tpu.ops.cellmajor import choose_cm_grid
-    g = choose_cm_grid(box, h_eff, n, cap=base)
-    alive = np.asarray(state.p.alive)
-    xs = np.asarray(state.p.x)[alive]
-    ys = np.asarray(state.p.y)[alive]
-    zs = np.asarray(state.p.z)[alive]
-    ix = np.clip(((xs - box.xmin) / box.lx * g.nx).astype(int), 0, g.nx - 1)
-    iy = np.clip(((ys - box.ymin) / box.ly * g.n).astype(int), 0, g.n - 1)
-    iz = np.clip(((zs - box.zmin) / box.lz * g.nz).astype(int), 0, g.nz - 1)
-    cnt = np.bincount((ix * g.n + iy) * g.nz + iz,
-                      minlength=g.nx * g.n * g.nz).max()
-    need = int(np.ceil(cnt * 1.3 / 32) * 32)
-    return max(base, need)
 
 
 def _append_history(pups: float, side: int, platform: str,

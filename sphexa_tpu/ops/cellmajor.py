@@ -114,6 +114,71 @@ def choose_cm_grid(box: Box, h_max: float, n_global: int,
     return CMGrid(n=max(n, 1), cap=cap)
 
 
+def legal_zgroup(npz: int, cap: int) -> int:
+    """Largest z-supercell size Z in (8,6,4,3,2,1) such that Z divides the
+    padded z extent and Z*cap tiles to full 128-lane vregs — the geometry
+    contract of ops/pallas_ve.make_cell_pair_call. Returns 0 when no such
+    Z exists (that (grid, cap) pair cannot run on the Pallas engine)."""
+    for z in (8, 6, 4, 3, 2, 1):
+        if npz % z == 0 and (z * cap) % 128 == 0:
+            return z
+    return 0
+
+
+def max_cell_count(grid: CMGrid, box: Box, xs, ys, zs) -> int:
+    """Host-side: the largest per-cell particle count when binning the
+    given (alive) positions into `grid` — the minimum viable slot cap."""
+    ix = np.clip(((np.asarray(xs) - box.xmin) / box.lx * grid.nx).astype(int),
+                 0, grid.nx - 1)
+    iy = np.clip(((np.asarray(ys) - box.ymin) / box.ly * grid.n).astype(int),
+                 0, grid.n - 1)
+    iz = np.clip(((np.asarray(zs) - box.zmin) / box.lz * grid.nz).astype(int),
+                 0, grid.nz - 1)
+    cnt = np.bincount((ix * grid.n + iy) * grid.nz + iz,
+                      minlength=grid.nx * grid.n * grid.nz)
+    return int(cnt.max())
+
+
+def choose_cap_and_grid(box: Box, h_eff: float, n_global: int, xs, ys, zs,
+                        cap_min: int = 64, cap_max: int = 1024,
+                        headroom: int = 0):
+    """Jointly pick (cap, grid) for the Pallas cell-pair engine.
+
+    Scans even interior resolutions n from the 2*h_eff correctness bound
+    downward; for each, the realized max cell count (+headroom slots for
+    drift) sets the minimal cap, rounded up to a multiple of 32 and then
+    to the nearest cap with a legal z-supercell for that grid's npz
+    (make_cell_pair_call's lane-tiling contract). Returns the candidate
+    minimizing streamed pair-lane cost ~ n_cells * cap^2 — this keeps
+    uniform cases at shallow caps and lets clustered cases (Evrard) keep
+    the fine grid with a deep cap instead of coarsening. Raises if
+    nothing fits below cap_max (pathological clustering)."""
+    import math
+
+    L = min(box.lx, box.ly, box.lz)
+    n_corr = max(2, int(math.floor(L / (2.0 * h_eff * 1.05))))
+    if n_corr % 2:
+        n_corr -= 1
+    best = None
+    for n in range(n_corr, 1, -2):
+        g0 = CMGrid(n=n)
+        need = max(cap_min, max_cell_count(g0, box, xs, ys, zs) + headroom)
+        cap = int(np.ceil(need / 32) * 32)
+        while cap <= cap_max and legal_zgroup(g0.npz, cap) == 0:
+            cap += 32
+        if cap > cap_max:
+            continue
+        g = CMGrid(n=n, cap=cap)
+        cost = g.n_cells * cap * cap
+        if best is None or cost < best[0]:
+            best = (cost, cap, g)
+    if best is None:
+        raise ValueError(
+            f"no (cap, grid) with a legal z-group fits these positions "
+            f"below cap_max={cap_max}")
+    return best[1], best[2]
+
+
 def interior_mask(grid: CMGrid) -> jnp.ndarray:
     """Static bool [n_slots]: slot belongs to an interior (non-ghost) cell."""
     cx, cy, cz = _cell_coords_all(grid)

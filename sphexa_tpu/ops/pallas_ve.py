@@ -92,8 +92,14 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
     npz = grid.npz
     n = grid.n
     if zgroup == 0:
-        zgroup = next(z for z in (8, 6, 4, 3, 2, 1)
-                      if npz % z == 0 and (z * CAP) % 128 == 0)
+        from sphexa_tpu.ops.cellmajor import legal_zgroup
+        zgroup = legal_zgroup(npz, CAP)
+        if zgroup == 0:
+            raise ValueError(
+                f"no z-supercell size divides npz={npz} while tiling "
+                f"cap={CAP} to 128 lanes; pick cap with "
+                f"cellmajor.choose_cap_and_grid (cap%%64==0 with even nz "
+                f"always works)")
     Z = zgroup
     assert npz % Z == 0 and (Z * CAP) % 128 == 0, (Z, CAP)
     nzb = npz // Z            # z-blocks per column
