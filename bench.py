@@ -126,22 +126,30 @@ def main():
         rst = eng.bind(state)
         assert int(rst.overflow) == 0, "cell CAP overflow at bind"
 
-        def run(steps, rst):
-            diag = None
-            for _ in range(steps):
-                rst, diag = eng.step(rst)
+        # steps chained in-graph with lax.scan: one dispatch per block
+        # (each dispatch through the tunnel costs ~100 ms of launch gap)
+        def run(rst, k):
+            rst, diags = eng.steps(rst, k)
             _ = float(rst.x[0])  # real readback (block_until_ready no-ops)
-            return rst, diag
+            return rst, diags
 
-        rst, _diag = run(warmup, rst)
+        for _ in range(warmup):         # compiles the 1-step scan + warms
+            rst, _d1 = run(rst, 1)
+        rst, _diags = run(rst, iters)   # compiles + warms the iters scan
         t0 = time.perf_counter()
-        rst, _diag = run(2, rst)
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        rst, diag = run(2 + iters, rst)
+        rst, diags = run(rst, iters)
         t_long = time.perf_counter() - t0
-        dt_wall = max(t_long - t_short, 1e-9) / iters
-        assert int(diag.overflow) == 0, "cell CAP overflow during run"
+        # subtract the fixed dispatch+readback latency via a 1-step run
+        t0 = time.perf_counter()
+        rst, _d1 = run(rst, 1)
+        t_short = time.perf_counter() - t0
+        dt_wall = max(t_long - t_short, 1e-9) / (iters - 1)
+        assert int(diags.overflow[-1]) == 0, (
+            "cell CAP overflow during run: "
+            f"overflow={np.asarray(diags.overflow).tolist()} "
+            f"rebinned={np.asarray(diags.rebinned).tolist()} "
+            f"need_regrid={np.asarray(diags.need_regrid).tolist()} "
+            f"cap={cap} grid={grid}")
     else:
         from sphexa_tpu.neighbors import CellGrid, choose_level
         from sphexa_tpu.propagator.ve import make_ve_step

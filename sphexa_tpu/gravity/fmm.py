@@ -28,6 +28,7 @@ boxes: see gravity/ewald.py (root-multipole Ewald correction).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -210,26 +211,160 @@ def _parity_offsets_exact(p, min_sep: int = 2):
     return offs
 
 
-def _m2l_conv_kernels(cell_size: float, min_sep: int = 2):
-    """For each parity: a [NCH_L, NCH_M, S, S, S] conv kernel (fp32),
-    S = 4*min_sep - 1, whose (o, i, taps) entries are the M2L matrices
-    at the interaction-list offsets."""
+def _derivative_tensors_batch(R):
+    """Vectorized D0..D5 derivative tensors of 1/|R| over a batch of
+    separations R: [K, 3] -> D0 [K], D1 [K,3], ... D5 [K,3,3,3,3,3]
+    (fp64 numpy). Same closed forms as `_derivative_tensors`, evaluated
+    for every interaction-list offset at once — the scalar version costs
+    ~50 ms per offset and dominated fmm trace time (442 s at level 3)."""
+    import itertools
+
+    K = R.shape[0]
+    r2 = np.einsum("ka,ka->k", R, R)
+    r = np.sqrt(r2)
+    d = np.eye(3)
+    ir = {k: r ** (-k) for k in (1, 3, 5, 7, 9, 11)}
+    D0 = ir[1]
+    D1 = -R * ir[3][:, None]
+    D2 = (3.0 * R[:, :, None] * R[:, None, :]
+          - r2[:, None, None] * d[None]) * ir[5][:, None, None]
+    D3 = np.zeros((K, 3, 3, 3))
+    for a in range(3):
+        for b in range(3):
+            for c in range(3):
+                D3[:, a, b, c] = (
+                    -15.0 * R[:, a] * R[:, b] * R[:, c] * ir[7]
+                    + 3.0 * (d[a, b] * R[:, c] + d[a, c] * R[:, b]
+                             + d[b, c] * R[:, a]) * ir[5])
+    D4 = np.zeros((K, 3, 3, 3, 3))
+    for a in range(3):
+        for b in range(3):
+            for c in range(3):
+                for e in range(3):
+                    pair_rr = (d[a, b] * R[:, c] * R[:, e]
+                               + d[a, c] * R[:, b] * R[:, e]
+                               + d[a, e] * R[:, b] * R[:, c]
+                               + d[b, c] * R[:, a] * R[:, e]
+                               + d[b, e] * R[:, a] * R[:, c]
+                               + d[c, e] * R[:, a] * R[:, b])
+                    pair_dd = (d[a, b] * d[c, e] + d[a, c] * d[b, e]
+                               + d[a, e] * d[b, c])
+                    D4[:, a, b, c, e] = (
+                        105.0 * R[:, a] * R[:, b] * R[:, c] * R[:, e] * ir[9]
+                        - 15.0 * pair_rr * ir[7] + 3.0 * pair_dd * ir[5])
+    D5 = np.zeros((K, 3, 3, 3, 3, 3))
+    for idx in itertools.product(range(3), repeat=5):
+        v = -945.0 * R[:, idx[0]] * R[:, idx[1]] * R[:, idx[2]] \
+            * R[:, idx[3]] * R[:, idx[4]] * ir[11]
+        for (p, q) in itertools.combinations(range(5), 2):
+            rest = [idx[k] for k in range(5) if k not in (p, q)]
+            v = v + 105.0 * d[idx[p], idx[q]] \
+                * R[:, rest[0]] * R[:, rest[1]] * R[:, rest[2]] * ir[9]
+        for (p, q) in itertools.combinations(range(5), 2):
+            others = [k for k in range(5) if k not in (p, q)]
+            for (u, w) in itertools.combinations(others, 2):
+                rest = [k for k in others if k not in (u, w)]
+                v = v - 15.0 * d[idx[p], idx[q]] * d[idx[u], idx[w]] \
+                    * R[:, idx[rest[0]]] * ir[7]
+        D5[:, idx[0], idx[1], idx[2], idx[3], idx[4]] = v
+    return D0, D1, D2, D3, D4, D5
+
+
+def _m2l_matrix_batch(R):
+    """Vectorized `_m2l_matrix` over R: [K, 3] -> [K, NCH_L, NCH_M]."""
+    D0, D1, D2, D3, D4, D5 = _derivative_tensors_batch(R)
+    K = np.zeros((R.shape[0], NCH_L, NCH_M))
+
+    def w2(a, b):
+        return 0.5 if a == b else 1.0
+
+    K[:, 0, 0] = -D0
+    for a in range(3):
+        K[:, 0, 1 + a] = -D1[:, a]
+    for ch, (a, b) in enumerate(_SYM):
+        K[:, 0, 4 + ch] = -w2(a, b) * D2[:, a, b]
+    for ch, (a, b, c) in enumerate(_SYM3):
+        K[:, 0, 10 + ch] = -(_MULT3[ch] / 6.0) * D3[:, a, b, c]
+
+    for a in range(3):
+        K[:, 1 + a, 0] = -D1[:, a]
+        for b in range(3):
+            K[:, 1 + a, 1 + b] = -D2[:, a, b]
+        for ch, (b, c) in enumerate(_SYM):
+            K[:, 1 + a, 4 + ch] = -w2(b, c) * D3[:, a, b, c]
+        for ch, (b, c, e) in enumerate(_SYM3):
+            K[:, 1 + a, 10 + ch] = -(_MULT3[ch] / 6.0) * D4[:, a, b, c, e]
+
+    for ch, (a, b) in enumerate(_SYM):
+        K[:, 4 + ch, 0] = -D2[:, a, b]
+        for c in range(3):
+            K[:, 4 + ch, 1 + c] = -D3[:, a, b, c]
+        for ch2, (c, e) in enumerate(_SYM):
+            K[:, 4 + ch, 4 + ch2] = -w2(c, e) * D4[:, a, b, c, e]
+        for ch3, (c, e, f) in enumerate(_SYM3):
+            K[:, 4 + ch, 10 + ch3] = -(_MULT3[ch3] / 6.0) * D5[:, a, b, c, e, f]
+
+    for ch, (a, b, c) in enumerate(_SYM3):
+        K[:, 10 + ch, 0] = -D3[:, a, b, c]
+        for e in range(3):
+            K[:, 10 + ch, 1 + e] = -D4[:, a, b, c, e]
+        for ch2, (e, f) in enumerate(_SYM):
+            K[:, 10 + ch, 4 + ch2] = -w2(e, f) * D5[:, a, b, c, e, f]
+
+    # odd source moments flip sign (see `_m2l_matrix`)
+    K[:, :, 1:4] *= -1.0
+    K[:, :, 10:] *= -1.0
+    return K
+
+
+# channel polynomial orders: M0 | M1 (x3) | M2 (x6) | M3 (x10)
+_CH_ORDER = np.array([0] + [1] * 3 + [2] * 6 + [3] * 10)
+
+
+@functools.lru_cache(maxsize=None)
+def _unit_kernel_stack(min_sep: int = 2):
+    """The full-offset-grid M2L tensor at UNIT cell size plus per-parity
+    tap masks, computed once per min_sep (module-level cache). The
+    kernel value at offset d is parity-independent; parity only selects
+    which taps are present."""
     D = 2 * min_sep - 1
     S = 2 * D + 1
-    kernels = {}
+    offs = [(dx, dy, dz)
+            for dx in range(-D, D + 1)
+            for dy in range(-D, D + 1)
+            for dz in range(-D, D + 1)
+            if max(abs(dx), abs(dy), abs(dz)) >= min_sep]
+    # R = target_center - source_center = -d (unit cell size)
+    R = -np.asarray(offs, np.float64)
+    Kmat = _m2l_matrix_batch(R)  # [n_offs, NCH_L, NCH_M]
+    full = np.zeros((NCH_L, NCH_M, S, S, S))
+    for k, (dx, dy, dz) in enumerate(offs):
+        full[:, :, dx + D, dy + D, dz + D] = Kmat[k]
+    masks = {}
     for px in (0, 1):
         for py in (0, 1):
             for pz in (0, 1):
-                K = np.zeros((NCH_L, NCH_M, S, S, S), np.float32)
+                m = np.zeros((S, S, S), bool)
                 for (dx, dy, dz) in _parity_offsets_exact((px, py, pz),
                                                           min_sep):
-                    # R = target_center - source_center = -d * cell_size
-                    R = -np.array([dx, dy, dz], np.float64) * cell_size
-                    M = _m2l_matrix(R)
-                    # kernel[o, i, taps] with spatial taps ordered (x, y, z)
-                    K[:, :, dx + D, dy + D, dz + D] = M.astype(np.float32)
-                kernels[(px, py, pz)] = K
-    return kernels
+                    m[dx + D, dy + D, dz + D] = True
+                masks[(px, py, pz)] = m
+    return full, masks
+
+
+def _m2l_conv_kernels(cell_size: float, min_sep: int = 2):
+    """For each parity: a [NCH_L, NCH_M, S, S, S] conv kernel (fp32),
+    S = 4*min_sep - 1, whose (o, i, taps) entries are the M2L matrices
+    at the interaction-list offsets. Levels reuse one cached unit-scale
+    tensor: D_k is homogeneous of degree -(k+1), so the entry coupling
+    an order-j source channel to an order-l local channel scales as
+    cell_size^-(j + l + 1)."""
+    full, masks = _unit_kernel_stack(min_sep)
+    expo = _CH_ORDER[:, None] + _CH_ORDER[None, :] + 1
+    scaled = full * (float(cell_size) ** (-expo.astype(np.float64))
+                     )[:, :, None, None, None]
+    return {p: (scaled * m[None, None]).astype(np.float32)
+            for p, m in masks.items()}
 
 
 # --------------------------------------------------------------------------
@@ -241,6 +376,12 @@ class FmmGravity(NamedTuple):
     ay: jnp.ndarray
     az: jnp.ndarray
     pot: jnp.ndarray
+    # particle slots beyond leaf_cap in any near-field leaf: the P2P
+    # candidate gather clamps per-cell counts, so a nonzero value means
+    # silently dropped near-field pairs — surfaced for the same
+    # fail-stop treatment as cell-capacity overflow (the reference
+    # throws on traversal-stack exhaustion, xmass_gpu.cu:120-128)
+    nf_truncated: jnp.ndarray = 0
 
 
 def _leaf_binning(fc: FmmConfig, box: Box, x, y, z, alive):
@@ -435,11 +576,12 @@ def fmm_gravity(x, y, z, m, alive, box: Box, G: float,
 
     # ---- P2P: direct sum over the leaf-cell near field ----
     reach = fc.min_sep - 1
-    ax_nf, ay_nf, az_nf, pot_nf = _p2p(x, y, z, mm, cid, n, fc.leaf_cap,
-                                       eps, reach=reach)
+    ax_nf, ay_nf, az_nf, pot_nf, nf_trunc = _p2p(
+        x, y, z, mm, cid, n, fc.leaf_cap, eps, reach=reach)
 
     return FmmGravity(G * (ax_far + ax_nf), G * (ay_far + ay_nf),
-                      G * (az_far + az_nf), G * (pot_far + pot_nf))
+                      G * (az_far + az_nf), G * (pot_far + pot_nf),
+                      nf_truncated=nf_trunc)
 
 
 def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096,
@@ -454,6 +596,12 @@ def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096,
     cell_start = jnp.searchsorted(
         cid_sorted, jnp.arange(n_leaf + 1, dtype=cid_sorted.dtype)
     ).astype(INDEX_DTYPE)
+    # near-field truncation accounting: any leaf holding more than
+    # `cap` particles loses its tail from every neighbor's candidate
+    # gather below (the jnp.minimum clamp) — count the dropped slots
+    leaf_cnt = cell_start[1:] - cell_start[:-1]
+    nf_trunc = jnp.sum(jnp.maximum(
+        leaf_cnt.astype(jnp.int32) - cap, 0)).astype(jnp.int32)
     xs, ys, zs, ms = x[order], y[order], z[order], m[order]
     cs = cid_sorted
 
@@ -510,4 +658,4 @@ def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096,
     out = []
     for v in (ax, ay, az, pot):
         out.append(v.reshape(Npad)[:N][inv])
-    return tuple(out)
+    return tuple(out) + (nf_trunc,)

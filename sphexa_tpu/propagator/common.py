@@ -34,6 +34,9 @@ class StepDiagnostics(NamedTuple):
                                  # open boundaries — the static-shape analog
                                  # of the reference's per-sync makeGlobalBox,
                                  # box_mpi.hpp:84)
+    nf_truncated: jnp.ndarray = 0   # FMM near-field slots beyond leaf_cap
+                                    # (silently dropped pairs — fail-stop,
+                                    # see gravity/fmm.FmmGravity)
 
 
 def compute_energies(ps: Particles, cfg: SphConfig):
@@ -48,7 +51,7 @@ def compute_energies(ps: Particles, cfg: SphConfig):
 
 def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
                 c, divv, nc_sph, box: Box, cfg: SphConfig,
-                max_nc, max_cell_count, egrav=0.0):
+                max_nc, max_cell_count, egrav=0.0, nf_truncated=0):
     """Timestep + Press-2 integration + AB2 energy + h controller + diag.
     `ps` must carry the force-step-updated h/alpha."""
     dt_courant = ts.courant_timestep(maxvsignal, ps.h, c, ps.alive, cfg.kcour)
@@ -88,6 +91,7 @@ def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
         nc_mean=(jnp.sum(jnp.where(ps.alive, nc_sph, 0))
                  / jnp.maximum(jnp.sum(ps.alive), 1)).astype(jnp.float32),
         max_nc=max_nc, max_cell_count=max_cell_count,
+        nf_truncated=jnp.int32(nf_truncated),
         maxvsignal=jnp.max(jnp.where(ps.alive, maxvsignal, 0.0)))
 
     new_state = SimState(p=ps, ttot=state.ttot + dt, dt=dt, dt_m1=dt_m1,

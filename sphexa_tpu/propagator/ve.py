@@ -78,6 +78,7 @@ def make_ve_step(box: Box, grid: CellGrid, cfg: SphConfig):
         ps, me, aux = compute_forces_ve(state.p, box, grid, cfg, state.dt)
         ax, ay, az = me.ax, me.ay, me.az
         egrav = 0.0
+        nf_trunc = 0
         if cfg.gravG != 0.0:
             # self-gravity (reference: ve_hydro.hpp:195-204 upsweep+traverse)
             from sphexa_tpu.gravity.direct import egrav as _eg
@@ -94,11 +95,12 @@ def make_ve_step(box: Box, grid: CellGrid, cfg: SphConfig):
             ay = ay + g.ay
             az = az + g.az
             egrav = _eg(ps.m, g.pot, ps.alive)
+            nf_trunc = getattr(g, "nf_truncated", 0)
         return finish_step(state, ps, ax, ay, az, me.du,
                            me.maxvsignal, aux["c"], aux["divv"],
                            aux["nc_sph"], box, cfg,
                            max_nc=aux["max_nc"],
                            max_cell_count=aux["max_cell_count"],
-                           egrav=egrav)
+                           egrav=egrav, nf_truncated=nf_trunc)
 
     return step

@@ -133,7 +133,7 @@ def _add_gravity(out, x, y, z, m, alive, box: Box, cfg: SphConfig):
     arrays may be particle-frame or cell-major slot rows — every solver
     takes (positions, m, alive)."""
     if cfg.gravG == 0.0:
-        return out, 0.0
+        return out, 0.0, 0
     from sphexa_tpu.gravity.direct import egrav as _eg
     if cfg.gravity_solver == "fmm":
         from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
@@ -147,7 +147,7 @@ def _add_gravity(out, x, y, z, m, alive, box: Box, cfg: SphConfig):
         g = direct_gravity(x, y, z, m, alive, cfg.gravG, cfg.eps)
     out = dict(out, ax=out["ax"] + g.ax, ay=out["ay"] + g.ay,
                az=out["az"] + g.az)
-    return out, _eg(m, g.pot, alive)
+    return out, _eg(m, g.pot, alive), getattr(g, "nf_truncated", 0)
 
 
 # --------------------------------------------------------------------------
@@ -175,8 +175,8 @@ def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
         out = _run_pipeline(pve, refresh, base, cm(ps.m), cm(ps.vx),
                             cm(ps.vy), cm(ps.vz), cm(ps.temp), cm(ps.alpha),
                             state.dt, validint)
-        out, egrav = _add_gravity(out, base[0], base[1], base[2], cm(ps.m),
-                                  validint, box, cfg)
+        out, egrav, nf_trunc = _add_gravity(out, base[0], base[1], base[2],
+                                            cm(ps.m), validint, box, cfg)
 
         back = lambda f, fill=0.0: from_cm(layout, f, n, fill)
         ps = ps.replace(h=back(out["h"], 1.0),
@@ -188,7 +188,7 @@ def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
             back(out["divv"]), back(out["nc_sph"], 1.0), box, cfg,
             max_nc=max_nc.astype(jnp.int32),
             max_cell_count=layout.overflow.astype(jnp.int32),
-            egrav=egrav)
+            egrav=egrav, nf_truncated=nf_trunc)
         return new_state, diag
 
     return step
@@ -246,6 +246,8 @@ class ResidentDiag(NamedTuple):
     h_nonconv: jnp.ndarray   # particles whose h controller hit h_iter
                              # without converging (reference iterates to
                              # convergence, find_neighbors.hpp:48)
+    nf_truncated: jnp.ndarray = 0   # FMM near-field slots beyond leaf_cap
+                                    # (dropped pairs — fail-stop signal)
 
 
 class ResidentVE:
@@ -267,8 +269,26 @@ class ResidentVE:
         self.pve = PallasVE(grid, cfg, interpret=interpret)
         self.rf = _Refreshers(grid, box, interpret)
         self.intmask = interior_mask(grid)
-        self.cell_edge = min(box.lx, box.ly, box.lz) / grid.n
+        self.cell_edge = min(box.lx / grid.nx, box.ly / grid.n,
+                             box.lz / grid.nz)
         self.step = jax.jit(self._step, donate_argnums=0)
+        self._steps_cache = {}
+
+    def steps(self, rst: RVState, k: int):
+        """Run k steps inside ONE jit dispatch (lax.scan). Through the
+        tunneled device each dispatch costs ~100 ms of launch gap on
+        top of ~320 ms of device work at Sedov 100^3, so chaining steps
+        in-graph is a ~30% throughput win on the real rig. Returns
+        (state, stacked diags)."""
+        if k not in self._steps_cache:
+            def body(r, _):
+                r, d = self._step(r)
+                return r, d
+
+            self._steps_cache[k] = jax.jit(
+                lambda r: jax.lax.scan(body, r, None, length=k),
+                donate_argnums=0)
+        return self._steps_cache[k](rst)
 
     # ---- frame conversion ------------------------------------------------
     def _gather(self, layout, fields: dict, scalars: dict,
@@ -343,8 +363,8 @@ class ResidentVE:
         refresh = lambda st, fills=None: self.rf(st.shape[0])(st)
         out = _run_pipeline(self.pve, refresh, base, rst.m, rst.vx, rst.vy,
                             rst.vz, rst.temp, rst.alpha, rst.dt, validint)
-        out, egrav = _add_gravity(out, rst.x, rst.y, rst.z, rst.m, validint,
-                                  box, cfg)
+        out, egrav, nf_trunc = _add_gravity(out, rst.x, rst.y, rst.z, rst.m,
+                                            validint, box, cfg)
 
         # ---- global timestep (ts_global.hpp:96-112) ----
         dt_courant = ts.courant_timestep(out["maxvsignal"], out["h"],
@@ -402,5 +422,6 @@ class ResidentVE:
             drift=drift, rebinned=stale,
             need_regrid=(2.0 * h_max * 1.05 >= self.cell_edge),
             h_nonconv=jnp.sum(jnp.where(validint, out["h_nonconv"],
-                                        0.0)).astype(jnp.int32))
+                                        0.0)).astype(jnp.int32),
+            nf_truncated=jnp.int32(nf_trunc))
         return rst, diag

@@ -53,6 +53,7 @@ def test_fmm_vs_direct(level):
     assert perr < 0.006, perr
 
 
+@pytest.mark.slow
 def test_fmm_nonuniform_cluster():
     """Plummer-like central concentration (the gravity-relevant regime)."""
     rng = np.random.default_rng(11)

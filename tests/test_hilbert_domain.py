@@ -92,7 +92,9 @@ def run_pair(side, n_devices, steps, dt0):
 
 
 @pytest.mark.multichip
-@pytest.mark.parametrize("n_devices,side", [(2, 12), (8, 16)])
+@pytest.mark.parametrize(
+    "n_devices,side",
+    [(2, 12), pytest.param(8, 16, marks=pytest.mark.slow)])
 def test_hilbert_sharded_matches_single(n_devices, side):
     steps = 4
     s1, d1, sN, dN = run_pair(side=side, n_devices=n_devices, steps=steps,

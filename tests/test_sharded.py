@@ -45,7 +45,9 @@ def run_pair(side, n_devices, steps, dt0):
 
 
 @pytest.mark.multichip
-@pytest.mark.parametrize("n_devices,side", [(2, 12), (4, 20)])
+@pytest.mark.parametrize(
+    "n_devices,side",
+    [(2, 12), pytest.param(4, 20, marks=pytest.mark.slow)])
 def test_sharded_matches_single(n_devices, side):
     steps = 5
     s1, d1, sN, dN = run_pair(side=side, n_devices=n_devices, steps=steps,
