@@ -63,11 +63,15 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     side = (30 if small else 100) if on_tpu else 20
     side = int(os.environ.get("SPHEXA_BENCH_SIDE", side))
-    warmup = 3
-    iters = 10 if on_tpu else 3
+    warmup = 2
+    iters = 8 if on_tpu else 3
 
     # BASELINE.md benchmark configs: sedov (default), noh (shock +
-    # conservation), evrard (self-gravity via the conv-FMM)
+    # conservation), evrard (self-gravity via the conv-FMM).
+    # dt0 is small on purpose: step cost is dt-independent, but the
+    # joint cap+grid scan picks zero-headroom caps, so large dt lets
+    # Sedov compression overflow the tail cells within the ~20 bench
+    # steps (observed at dt0=1e-4: overflow from step ~21).
     case = os.environ.get("SPHEXA_BENCH_CASE", "sedov")
     cfg = SphConfig()
     if case == "noh":
@@ -75,10 +79,10 @@ def main():
         state, box, cfg = init_noh(side, cfg, dt0=1e-5)
     elif case == "evrard":
         from sphexa_tpu.init.evrard import init_evrard
-        state, box, cfg = init_evrard(side, cfg, dt0=1e-4)
+        state, box, cfg = init_evrard(side, cfg, dt0=3e-5)
         cfg = cfg.replace(gravity_solver="fmm")
     else:
-        state, box, cfg = init_sedov(side, cfg, dt0=1e-4)
+        state, box, cfg = init_sedov(side, cfg, dt0=3e-5)
     n = side ** 3
 
     bdt = os.environ.get("SPHEXA_BENCH_PROP") == "ve-bdt"
@@ -123,8 +127,6 @@ def main():
         h_max = float(np.max(np.asarray(state.p.h)[np.asarray(state.p.alive)]))
         cap, grid = _pick_cap_grid(state, box, h_max * 1.2, n)
         eng = ResidentVE(box, grid, cfg)
-        rst = eng.bind(state)
-        assert int(rst.overflow) == 0, "cell CAP overflow at bind"
 
         # steps chained in-graph with lax.scan: one dispatch per block
         # (each dispatch through the tunnel costs ~100 ms of launch gap)
@@ -133,18 +135,33 @@ def main():
             _ = float(rst.x[0])  # real readback (block_until_ready no-ops)
             return rst, diags
 
-        for _ in range(warmup):         # compiles the 1-step scan + warms
+        def measure(state0):
+            rst = eng.bind(state0)
+            assert int(rst.overflow) == 0, "cell CAP overflow at bind"
+            for _ in range(warmup):     # compiles the 1-step scan + warms
+                rst, _d1 = run(rst, 1)
+            rst, _diags = run(rst, iters)  # compiles + warms the iters scan
+            t0 = time.perf_counter()
+            rst, diags = run(rst, iters)
+            t_long = time.perf_counter() - t0
+            # subtract fixed dispatch+readback latency via a 1-step run
+            t0 = time.perf_counter()
             rst, _d1 = run(rst, 1)
-        rst, _diags = run(rst, iters)   # compiles + warms the iters scan
-        t0 = time.perf_counter()
-        rst, diags = run(rst, iters)
-        t_long = time.perf_counter() - t0
-        # subtract the fixed dispatch+readback latency via a 1-step run
-        t0 = time.perf_counter()
-        rst, _d1 = run(rst, 1)
-        t_short = time.perf_counter() - t0
-        dt_wall = max(t_long - t_short, 1e-9) / (iters - 1)
-        assert int(diags.overflow[-1]) == 0, (
+            t_short = time.perf_counter() - t0
+            dt = max(t_long - t_short, 1e-9) / (iters - 1)
+            return dt, int(diags.overflow[-1]), diags
+
+        dt_wall, ovf, diags = measure(state)
+        if ovf:
+            # fail-stop with one retry (main.py's re-grid spirit): the
+            # drift overflowed the zero-headroom cap — rerun the timed
+            # region from t=0 with 4x less drift per step
+            import sys
+            print(f"# bench overflow={ovf} at dt0={float(state.dt)}; "
+                  "retrying from t=0 with dt0/4", file=sys.stderr)
+            state = state.replace(dt=state.dt / 4, dt_m1=state.dt_m1 / 4)
+            dt_wall, ovf, diags = measure(state)
+        assert ovf == 0, (
             "cell CAP overflow during run: "
             f"overflow={np.asarray(diags.overflow).tolist()} "
             f"rebinned={np.asarray(diags.rebinned).tolist()} "

@@ -83,6 +83,7 @@ def build_sim(args):
         cfg = apply_settings(cfg, settings)
         extras["settings"] = settings
         args.init = name
+    extras["case"] = args.init
     if args.init == "evrard-cooling":
         from sphexa_tpu.init.evrard_cooling import init_evrard_cooling
         state, box, cfg, ex = init_evrard_cooling(args.n, cfg, dt0=args.dt0)
@@ -205,8 +206,20 @@ def main(argv=None):
             if "settings" in extras:  # provenance (settings.hpp:45)
                 writer.write_file_attrs(extras["settings"])
 
-    from sphexa_tpu.observables import conserved_quantities, format_constants_line
-    const_f = open(args.constants, "a") if args.constants else None
+    from sphexa_tpu.observables import conserved_quantities
+    from sphexa_tpu.observables.factory import make_observables
+
+    # settings-keyed observable selection (reference:
+    # observables/factory.hpp:48-66) — the case name acts as its own
+    # settings key, exactly like the reference's checkpoint attributes
+    obs = make_observables(extras.get("case"), extras.get("settings"))
+    const_f = None
+    if args.constants:
+        write_header = not (os.path.exists(args.constants)
+                            and os.path.getsize(args.constants) > 0)
+        const_f = open(args.constants, "a")
+        if write_header:
+            const_f.write(obs.header() + "\n")
 
     viz = None
     if args.viz_every:
@@ -272,9 +285,7 @@ def main(argv=None):
 
         q = conserved_quantities(state.p, cfg, egrav=float(diag.egrav))
         if const_f:
-            const_f.write(format_constants_line(
-                int(state.iteration) - 1, float(diag.ttot), float(diag.dt), q)
-                + "\n")
+            const_f.write(obs.line(state, diag, cfg, box) + "\n")
             const_f.flush()
 
         if not args.quiet:
