@@ -30,8 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--sim-time", type=float, default=None,
                    help="stop when simulation time reached")
     p.add_argument("--prop", default="ve",
-                   choices=["ve", "std", "ve-pallas", "ve-bdt", "nbody",
-                            "turbulence-ve", "std-cooling"],
+                   choices=["ve", "std", "ve-pallas", "ve-tiered", "ve-bdt",
+                            "nbody", "turbulence-ve", "std-cooling"],
                    help="propagator choice (reference: --prop)")
     p.add_argument("-w", "--output-every", type=int, default=0,
                    help="write output every N iterations (0 = never)")
@@ -98,8 +98,31 @@ def build_sim(args):
     return state, box, cfg, extras
 
 
-def make_stepper(args, box, cfg, h_max, n, extras=None):
+def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
     extras = extras or {}
+    if args.prop == "ve-tiered":
+        # adaptive-resolution path for clustered density (the focused-
+        # octree role): h-tier grids + audited theta-band frames
+        import jax
+
+        from sphexa_tpu.propagator.ve_tiered import (
+            audit_tiers, choose_tiers, make_ve_step_pallas_tiered)
+        assert state is not None, "ve-tiered needs the current state"
+        p = state.p
+        alive = np.asarray(p.alive)
+        tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive)
+        v = audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive)
+        if v:
+            raise RuntimeError(
+                f"tier band audit: {v} excluded particles inside an "
+                f"in-tier 2h support (raise theta)")
+        if not args.quiet:
+            print("# tiers: " + "; ".join(
+                f"h[{t.h_lo:.3g},{t.h_hi:.3g}) n={t.grid.n} "
+                f"cap={t.grid.cap}" for t in tiers))
+        interpret = jax.devices()[0].platform != "tpu"
+        return make_ve_step_pallas_tiered(box, tiers, cfg,
+                                          interpret=interpret), tiers
     if args.prop == "std-cooling":
         from sphexa_tpu.neighbors import CellGrid, choose_level
         from sphexa_tpu.physics.cooling import CoolingParams
@@ -191,7 +214,8 @@ def main(argv=None):
     alive = np.asarray(state.p.alive)
     n_active = int(alive.sum())
     h_max = float(np.max(np.asarray(state.p.h)[alive]))
-    step_fn, grid = make_stepper(args, box, cfg, h_max, n_active, extras)
+    step_fn, grid = make_stepper(args, box, cfg, h_max, n_active, extras,
+                                 state=state)
 
     writer = None
     if args.output_every:
@@ -250,7 +274,7 @@ def main(argv=None):
         if new_h_max > h_max * 1.25:
             h_max = new_h_max
             step_fn, grid = make_stepper(args, box, cfg, h_max, n_active,
-                                         extras)
+                                         extras, state=state)
             if not args.quiet:
                 print(f"# re-gridded for h_max={h_max:.4g}: {grid}")
 
@@ -278,7 +302,7 @@ def main(argv=None):
                     min(box.ymin, b[2] - pad), max(box.ymax, b[3] + pad),
                     min(box.zmin, b[4] - pad), max(box.zmax, b[5] + pad))
                 step_fn, grid = make_stepper(args, box, cfg, h_max,
-                                             n_active, extras)
+                                             n_active, extras, state=state)
                 if not args.quiet:
                     print(f"# box expanded to [{box.xmin:.3g},{box.xmax:.3g}]"
                           f"^3-ish; re-gridded")
@@ -311,7 +335,7 @@ def main(argv=None):
                     ngpad=max(cfg.ngpad, 2 * int(diag.max_nc)),
                     cell_cap=max(cfg.cell_cap, 2 * int(diag.max_cell_count)))
                 step_fn, grid = make_stepper(args, box, cfg, h_max,
-                                             n_active, extras)
+                                             n_active, extras, state=state)
                 print(f"# re-gridded with larger caps: ngpad={cfg.ngpad} "
                       f"cell_cap={cfg.cell_cap}", file=sys.stderr)
             else:

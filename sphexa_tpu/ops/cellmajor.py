@@ -157,10 +157,10 @@ def choose_cap_and_grid(box: Box, h_eff: float, n_global: int, xs, ys, zs,
 
     L = min(box.lx, box.ly, box.lz)
     n_corr = max(2, int(math.floor(L / (2.0 * h_eff * 1.05))))
-    if n_corr % 2:
-        n_corr -= 1
     best = None
-    for n in range(n_corr, 1, -2):
+    # odd n is legal too (cap 128 tiles with z=3 when npz is odd); the
+    # cost metric naturally prefers even-n cap-64 grids when they fit
+    for n in range(n_corr, 1, -1):
         g0 = CMGrid(n=n)
         need = max(cap_min, max_cell_count(g0, box, xs, ys, zs) + headroom)
         cap = int(np.ceil(need / 32) * 32)

@@ -1,0 +1,433 @@
+"""Multi-tier cell-major VE step for clustered density contrast — the
+TPU redesign of the reference's adaptive-resolution role (cstone
+focused octree, focus/octree_focus_mpi.hpp:51; tree rebalance,
+tree/csarray.hpp:433).
+
+The uniform cell-major grid needs cell edge >= 2*h_max, so a density
+contrast of C packs ~C cells of particles into one slot cap (Evrard-30
+needed CAP 416, whose Mosaic compile takes tens of minutes). Instead,
+particles are partitioned into h-TIERS with data-driven boundaries:
+
+  - tier t owns i-particles with h in [h_lo_t, h_hi_t); its grid has
+    cell edge >= 2*h_hi_t*slack, so the standard 27-stencil Pallas
+    engine (ops/pallas_ve.py) is exact for tier-t i's.
+  - each tier's grid spans only the SUBBOX around its own particles
+    (bbox + a 2*edge margin), so fine tiers zoom onto the dense core
+    instead of gridding the whole box — the focus-tree zoom, on dense
+    arrays.
+  - tier t's FRAME (the j-candidates binned into its grid) holds every
+    subbox particle with h_j >= h_lo_t / theta: coarser particles are
+    always present (sparse everywhere, so they never inflate the cap);
+    fine particles from deeper tiers are excluded by the theta-band.
+    The band rests on SPH's h-continuity (the nc->h controller keeps
+    neighbor h-ratios near 1); it is NOT assumed blindly —
+    `audit_tiers` verifies exactly (host-side, at tier construction
+    and at every re-grid) that no excluded particle lies inside any
+    in-tier particle's 2h support, and the run fail-stops on violation
+    in the same spirit as the cell-cap overflow handling (main.py).
+  - per step every tier runs the SAME five pair stages; per-particle
+    outputs are gathered from the tier that owns the particle's h.
+
+Every tier keeps CAP <= cap_max (<= 128), so Mosaic compiles stay flat
+and the dense core streams fine-grained windows instead of paying
+CAP^2 overcompute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.ops.cellmajor import (CMGrid, build_layout,
+                                      choose_cap_and_grid, from_cm,
+                                      interior_mask, to_cm)
+from sphexa_tpu.ops.pallas_ve import PallasVE
+from sphexa_tpu.sfc.box import Box, Boundary
+
+SLACK = 1.05
+
+
+@dataclasses.dataclass(frozen=True)
+class TierSpec:
+    """One h-tier: i-particles with h in [h_lo, h_hi) run on `grid`
+    over `sub` (an open-boundary zoom Box); the frame holds subbox
+    particles with h >= cutoff (= h_lo / theta)."""
+    h_lo: float
+    h_hi: float
+    cutoff: float
+    grid: CMGrid
+    sub: Box
+
+
+def tier_support_bound(tier: TierSpec) -> float:
+    """Largest h the tier grid's 27-stencil can serve (edge/2/slack)."""
+    g, b = tier.grid, tier.sub
+    edge = min(b.lx / g.nx, b.ly / g.n, b.lz / g.nz)
+    return edge / (2.0 * SLACK)
+
+
+def _subbox(box: Box, xs, ys, zs, margin: float) -> Box:
+    """Cubified open-boundary bbox + margin, clipped to the global box
+    (zooming past a periodic face is not supported — tiering targets
+    the open-boundary collapse problems)."""
+    lo = np.array([xs.min() - margin, ys.min() - margin, zs.min() - margin])
+    hi = np.array([xs.max() + margin, ys.max() + margin, zs.max() + margin])
+    c = 0.5 * (lo + hi)
+    half = 0.5 * float((hi - lo).max())
+    lo, hi = c - half, c + half
+    glo = np.array([box.xmin, box.ymin, box.zmin])
+    ghi = np.array([box.xmax, box.ymax, box.zmax])
+    lo, hi = np.maximum(lo, glo), np.minimum(hi, ghi)
+    return Box(lo[0], hi[0], lo[1], hi[1], lo[2], hi[2],
+               bx=Boundary.open, by=Boundary.open, bz=Boundary.open)
+
+
+def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
+                 theta: float = 1.5, max_tiers: int = 4,
+                 n_candidates: int = 16):
+    """Greedy top-down tier construction from the realized h
+    distribution: the coarsest tier takes h_hi = h_max and stretches
+    h_lo as deep as the cap budget allows; the remainder recurses on
+    its own (smaller) subbox. Returns list[TierSpec], coarsest first;
+    a single entry means a uniform grid fits (use the plain engine).
+    The theta band must be validated by `audit_tiers` before use."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    h = np.asarray(h, np.float64)
+    if alive is not None:
+        keep = np.asarray(alive)
+        x, y, z, h = x[keep], y[keep], z[keep], h[keep]
+    h_min, h_max = float(h.min()), float(h.max())
+
+    def fit(h_hi: float, h_lo: float):
+        """(grid, sub) for tier [h_lo, h_hi) or None if cap > cap_max."""
+        sel = (h >= h_lo) & (h < h_hi)
+        if not sel.any():
+            return None
+        sub = _subbox(box, x[sel], y[sel], z[sel],
+                      margin=2.0 * 2.0 * h_hi * SLACK)
+        inbox = ((x >= sub.xmin) & (x <= sub.xmax) & (y >= sub.ymin)
+                 & (y <= sub.ymax) & (z >= sub.zmin) & (z <= sub.zmax))
+        frame = inbox & (h >= h_lo / theta)
+        try:
+            cap, grid = choose_cap_and_grid(
+                sub, h_hi, int(frame.sum()),
+                x[frame], y[frame], z[frame], cap_min=32, cap_max=cap_max)
+        except ValueError:
+            return None
+        return grid, sub
+
+    tiers = []
+    h_hi = h_max * 1.0001
+    while len(tiers) < max_tiers:
+        cands = np.geomspace(max(h_min * 0.999, 1e-12), h_hi, n_candidates)
+        best = None
+        for h_lo in cands:                      # prefer the deepest feasible
+            r = fit(h_hi, float(h_lo))
+            if r is not None:
+                best = (float(h_lo), r)
+                break
+        if best is None:
+            raise ValueError(
+                f"no tier with cap <= {cap_max} fits below h_hi={h_hi:.4g} "
+                f"(raise cap_max or theta)")
+        h_lo, (grid, sub) = best
+        if h_lo > 0.9 * h_hi and len(tiers) > 0:
+            # thin-shaving stall: each tier removes <10% of the h range,
+            # so max_tiers would burn without covering the contrast
+            raise ValueError(
+                f"tiering stalls at h_hi={h_hi:.4g} (feasible band too "
+                f"thin; raise cap_max or theta)")
+        if h_lo <= h_min * 1.001 or len(tiers) == max_tiers - 1:
+            h_lo = 0.0
+        if h_lo == 0.0 and (r := fit(h_hi, 0.0)) is None:
+            raise ValueError(
+                f"final tier [0, {h_hi:.4g}) exceeds cap {cap_max} "
+                f"(needs more than {max_tiers} tiers)")
+        elif h_lo == 0.0:
+            grid, sub = r
+        tiers.append(TierSpec(h_lo=h_lo, h_hi=h_hi,
+                              cutoff=(h_lo / theta if h_lo > 0 else 0.0),
+                              grid=grid, sub=sub))
+        if h_lo == 0.0:
+            return tiers
+        h_hi = h_lo
+    raise ValueError(f"more than {max_tiers} tiers needed")
+
+
+def audit_tiers(tiers, box: Box, x, y, z, h, alive=None,
+                chunk: int = 8192) -> int:
+    """Exact host-side frame-completeness audit: counts (excluded j,
+    in-tier i) pairs with d(i, j) < 2 h_i — particles a tier frame
+    dropped (theta-band or outside the subbox) that the physics
+    actually needs. Zero means every tier pass streamed complete
+    candidate sets. Vectorized cell-bucket scan, ~N_excluded * 27 * cap
+    per tier."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    h = np.asarray(h, np.float64)
+    if alive is not None:
+        keep = np.asarray(alive)
+        x, y, z, h = x[keep], y[keep], z[keep], h[keep]
+    violations = 0
+    per = np.array(box.periodic, bool)
+    L = np.array([box.lx, box.ly, box.lz])
+    for t in tiers:
+        sel_i = (h >= t.h_lo) & (h < t.h_hi)
+        sub = t.sub
+        inbox = ((x >= sub.xmin) & (x <= sub.xmax) & (y >= sub.ymin)
+                 & (y <= sub.ymax) & (z >= sub.zmin) & (z <= sub.zmax))
+        excl = ~inbox | (h < t.cutoff)
+        if not excl.any() or not sel_i.any():
+            continue
+        xi, yi, zi, hi = x[sel_i], y[sel_i], z[sel_i], h[sel_i]
+        # bin in-tier i's on a 2*h_hi grid over the GLOBAL box (excluded
+        # j's can sit outside the subbox); compare each excluded j
+        # against the 27 neighbor buckets
+        edge = 2.0 * float(hi.max()) * SLACK
+        nx = max(1, int(box.lx / edge))
+        ny = max(1, int(box.ly / edge))
+        nz = max(1, int(box.lz / edge))
+
+        def cellid(px, py, pz):
+            ix = np.clip(((px - box.xmin) / box.lx * nx).astype(int),
+                         0, nx - 1)
+            iy = np.clip(((py - box.ymin) / box.ly * ny).astype(int),
+                         0, ny - 1)
+            iz = np.clip(((pz - box.zmin) / box.lz * nz).astype(int),
+                         0, nz - 1)
+            return ix, iy, iz
+
+        cxi, cyi, czi = cellid(xi, yi, zi)
+        cid_i = (cxi * ny + cyi) * nz + czi
+        order = np.argsort(cid_i, kind="stable")
+        cid_s = cid_i[order]
+        starts = np.searchsorted(cid_s, np.arange(nx * ny * nz + 1))
+        xs, ys, zs, hs = xi[order], yi[order], zi[order], hi[order]
+        cap = int(np.max(starts[1:] - starts[:-1])) if len(cid_s) else 0
+
+        xj, yj, zj = x[excl], y[excl], z[excl]
+        for lo in range(0, len(xj), chunk):
+            sl = slice(lo, lo + chunk)
+            cxj, cyj, czj = cellid(xj[sl], yj[sl], zj[sl])
+            hit = np.zeros(cxj.shape, bool)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        qx, qy, qz = cxj + dx, cyj + dy, czj + dz
+                        if per[0]:
+                            qx %= nx
+                        if per[1]:
+                            qy %= ny
+                        if per[2]:
+                            qz %= nz
+                        ok = ((qx >= 0) & (qx < nx) & (qy >= 0) & (qy < ny)
+                              & (qz >= 0) & (qz < nz))
+                        qc = np.where(ok, (qx * ny + qy) * nz + qz, 0)
+                        s0 = starts[qc]
+                        cnt = starts[qc + 1] - s0
+                        for k in range(cap):
+                            take = ok & (k < cnt)
+                            if not take.any():
+                                continue
+                            idx = np.where(take,
+                                           s0 + np.minimum(k, cnt - 1), 0)
+                            ddx = xj[sl] - xs[idx]
+                            ddy = yj[sl] - ys[idx]
+                            ddz = zj[sl] - zs[idx]
+                            if per[0]:
+                                ddx -= np.round(ddx / L[0]) * L[0]
+                            if per[1]:
+                                ddy -= np.round(ddy / L[1]) * L[1]
+                            if per[2]:
+                                ddz -= np.round(ddz / L[2]) * L[2]
+                            d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                            hit |= take & (d2 < (2.0 * hs[idx]) ** 2)
+            violations += int(hit.sum())
+    return violations
+
+
+def make_ve_step_pallas_tiered(box: Box, tiers, cfg: SphConfig,
+                               interpret: bool = False):
+    """Particle-frame tiered VE step: same in/out contract as
+    make_ve_step_pallas, but each h-tier runs on its own zoom grid.
+
+    Stage intermediates CROSS tiers: a fine particle appearing as a
+    j-candidate in the coarse frame must carry the xm/kx/cij/divv/alpha
+    its OWNER tier computed (its own neighborhood is band-truncated in
+    the coarse frame) — exactly the reference's per-stage exchangeHalos
+    of intermediates (ve_hydro.hpp:132-205). So after every pair stage
+    the per-tier outputs are merged into the particle frame by owner
+    mask, and the next stage re-materializes its cm rows from the
+    merged frame (to_cm pulls ghosts through layout.src, so no
+    intra-frame ghost refresh is needed on this path).
+
+    Gravity is solved once on the particle frame. max_cell_count in the
+    diagnostics folds slot overflow + unowned particles + tier-bound h
+    clamps — any nonzero value is a fail-stop/re-tier signal."""
+    from sphexa_tpu.propagator.common import finish_step
+    from sphexa_tpu.propagator.ve_pallas import _add_gravity
+    from sphexa_tpu.sph.eos import eos_ve
+
+    engines = []
+    for t in tiers:
+        pve = PallasVE(t.grid, cfg, interpret=interpret)
+        engines.append((t, pve, interior_mask(t.grid),
+                        tier_support_bound(t)))
+
+    @jax.jit
+    def step(state):
+        ps = state.p
+        n = ps.n
+        h0 = ps.h
+
+        # ---- per-tier layouts + owner/frame masks (fixed per step) ----
+        layouts, bases, sels, valids = [], [], [], []
+        sel_sum = jnp.zeros_like(h0, dtype=bool)
+        overflow = 0
+        for ti, (t, pve, intmask, h_bound) in enumerate(engines):
+            sub = t.sub
+            inbox = ((ps.x >= sub.xmin) & (ps.x <= sub.xmax)
+                     & (ps.y >= sub.ymin) & (ps.y <= sub.ymax)
+                     & (ps.z >= sub.zmin) & (ps.z <= sub.zmax))
+            frame = ps.alive & inbox & (h0 >= t.cutoff)
+            # the coarsest tier owns everything above its h_lo: h may
+            # adapt past the IC-time h_max between re-tierings, and the
+            # grid-bound clamp below caps the growth it can serve
+            sel = ps.alive & (h0 >= t.h_lo)
+            if ti > 0:
+                sel = sel & (h0 < t.h_hi)
+            layout = build_layout(t.grid, sub, ps.x, ps.y, ps.z,
+                                  alive=frame)
+            layouts.append(layout)
+            bases.append(pve.base_rows(layout, ps.x, ps.y, ps.z, ps.h))
+            sels.append(sel)
+            valids.append(layout.valid & intmask)
+            sel_sum = sel_sum | sel
+            overflow = overflow + layout.overflow
+        unowned = jnp.sum(ps.alive & ~sel_sum)
+
+        def run_stage(fn):
+            """fn(ti, pve, base, cm) -> dict of cm outputs; returns the
+            owner-merged particle-frame dict."""
+            merged = None
+            for ti, (t, pve, intmask, h_bound) in enumerate(engines):
+                l = layouts[ti]
+                cm = lambda f, fill=0.0, l=l: to_cm(l, f, fill)
+                out = fn(ti, pve, bases[ti], cm)
+                pf = {k: from_cm(l, v, n, fill)
+                      for k, (v, fill) in out.items()}
+                if merged is None:
+                    merged = pf
+                else:
+                    merged = {k: jnp.where(sels[ti], pf[k], merged[k])
+                              for k in pf}
+            return merged
+
+        # ---- stage 1: fused nc / h-iteration / xmass ----
+        def s_xmass(ti, pve, base, cm):
+            xm, h_new, nc, nonconv = pve.xmass_h(base, cm(ps.m))
+            h_new = jnp.where(valids[ti], h_new, base[3])
+            return dict(xm=(xm, 1.0), h=(h_new, 1.0), nc=(nc, 0.0),
+                        nonconv=(nonconv, 0.0))
+
+        st1 = run_stage(s_xmass)
+        xm_pf, nc_pf, nonconv_pf = st1["xm"], st1["nc"], st1["nonconv"]
+        # owner clamp at the tier grid's support bound (count + clamp;
+        # re-tier at the host boundary, like main.py's re-grid)
+        h_pf = st1["h"]
+        clamped = 0
+        for ti, (t, pve, intmask, h_bound) in enumerate(engines):
+            clamped = clamped + jnp.sum(sels[ti] & (h_pf > h_bound))
+            h_pf = jnp.where(sels[ti], jnp.minimum(h_pf, h_bound), h_pf)
+        h_pf = jnp.where(ps.alive, h_pf, h0)
+        # rebuild base rows with the merged h (j-side h must be the
+        # owner-adapted value in every frame)
+        for ti in range(len(engines)):
+            hcm = to_cm(layouts[ti], h_pf, fill=1.0)
+            b = bases[ti]
+            bases[ti] = [b[0], b[1], b[2], hcm, b[4]]
+        nc_sph_pf = nc_pf + 1.0
+
+        # ---- stage 2: VE normalization kx + grad-h ----
+        st2 = run_stage(lambda ti, pve, base, cm: dict(
+            zip(("kx", "gradh"),
+                ((v, 1.0) for v in pve.gradh(base, cm(ps.m), cm(xm_pf))))))
+        kx_pf, gradh_pf = st2["kx"], st2["gradh"]
+
+        # ---- EOS: elementwise on the particle frame ----
+        rho_pf, p_pf, c_pf, prho_pf = eos_ve(ps.temp, ps.m, kx_pf, xm_pf,
+                                             gradh_pf, cfg.mui, cfg.gamma)
+        rho_pf = jnp.where(ps.alive, rho_pf, 1.0)
+        c_pf = jnp.where(ps.alive, c_pf, 1.0)
+        prho_pf = jnp.where(ps.alive, prho_pf, 0.0)
+
+        # ---- stage 3: IAD + divv/curlv ----
+        def s_iad(ti, pve, base, cm):
+            cij, divv, curlv, gradv = pve.iad_divv(
+                base, cm(kx_pf, 1.0), cm(xm_pf, 1.0), cm(ps.vx),
+                cm(ps.vy), cm(ps.vz))
+            out = {f"c{k}": (cij[k], 0.0) for k in range(6)}
+            out.update(divv=(divv, 0.0), curlv=(curlv, 0.0))
+            out.update({f"g{k}": (gradv[k], 0.0) for k in range(6)})
+            return out
+
+        st3 = run_stage(s_iad)
+        cij_pf = tuple(st3[f"c{k}"] for k in range(6))
+        divv_pf, curlv_pf = st3["divv"], st3["curlv"]
+        gradv_pf = tuple(st3[f"g{k}"] for k in range(6))
+
+        # ---- stage 4: AV switches ----
+        def s_av(ti, pve, base, cm):
+            alpha = pve.av_switches(
+                base, cm(c_pf, 1.0), cm(kx_pf, 1.0), cm(xm_pf, 1.0),
+                cm(divv_pf), cm(ps.vx), cm(ps.vy), cm(ps.vz),
+                tuple(cm(c6) for c6 in cij_pf), cm(ps.alpha), state.dt)
+            alpha = jnp.where(valids[ti], alpha,
+                              to_cm(layouts[ti], ps.alpha))
+            return dict(alpha=(alpha, 0.0))
+
+        alpha_pf = run_stage(s_av)["alpha"]
+        alpha_pf = jnp.where(ps.alive, alpha_pf, ps.alpha)
+
+        # ---- stage 5: momentum + energy ----
+        def s_mom(ti, pve, base, cm):
+            kw = {}
+            if cfg.av_clean:
+                eta = jnp.cbrt(32.0 * jnp.pi / 3.0
+                               / jnp.maximum(cm(nc_sph_pf, 1.0), 1.0))
+                kw = dict(gradv=tuple(cm(g) for g in gradv_pf),
+                          eta_crit_cm=eta)
+            ax, ay, az, du, mvs = pve.momentum(
+                base, cm(ps.vx), cm(ps.vy), cm(ps.vz), cm(c_pf, 1.0),
+                cm(prho_pf), cm(rho_pf, 1.0), cm(xm_pf, 1.0),
+                cm(alpha_pf), cm(ps.m), tuple(cm(c6) for c6 in cij_pf),
+                **kw)
+            return dict(ax=(ax, 0.0), ay=(ay, 0.0), az=(az, 0.0),
+                        du=(du, 0.0), mvs=(mvs, 0.0))
+
+        st5 = run_stage(s_mom)
+
+        merged = dict(ax=st5["ax"], ay=st5["ay"], az=st5["az"],
+                      du=st5["du"], maxvsignal=st5["mvs"])
+        merged, egrav, nf_trunc = _add_gravity(
+            merged, ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg)
+
+        ps2 = ps.replace(h=h_pf, alpha=alpha_pf)
+        max_nc = jnp.max(jnp.where(ps.alive, nc_sph_pf - 1.0, 0.0))
+        new_state, diag = finish_step(
+            state, ps2, merged["ax"], merged["ay"], merged["az"],
+            merged["du"], merged["maxvsignal"], c_pf,
+            divv_pf, nc_sph_pf, box, cfg,
+            max_nc=max_nc.astype(jnp.int32),
+            max_cell_count=(overflow + unowned + clamped).astype(jnp.int32),
+            egrav=egrav, nf_truncated=nf_trunc)
+        return new_state, diag
+
+    return step

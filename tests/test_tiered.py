@@ -1,0 +1,114 @@
+"""Two-tier (h-band) cell-major engine for clustered density contrast
+(the TPU stand-in for the reference's adaptive focused octree,
+focus/octree_focus_mpi.hpp:51). Checks: tier construction keeps caps
+bounded on Evrard's 1/r profile; the theta-band exclusion audit is
+clean; and the tiered step reproduces the XLA gather path."""
+
+import numpy as np
+import pytest
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.init.evrard import init_evrard
+from sphexa_tpu.propagator.ve_tiered import (audit_tiers, choose_tiers,
+                                             make_ve_step_pallas_tiered,
+                                             tier_support_bound)
+
+
+def _evrard(side):
+    cfg = SphConfig(chunk=512, cell_cap=512, ngpad=256, gravG=0.0)
+    state, box, cfg = init_evrard(side, cfg, dt0=1e-4)
+    cfg = cfg.replace(gravG=0.0)
+    return state, box, cfg
+
+
+def test_choose_tiers_bounds_caps():
+    state, box, cfg = _evrard(20)
+    p = state.p
+    alive = np.asarray(p.alive)
+    tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128)
+    assert len(tiers) >= 2, "Evrard contrast should force multiple tiers"
+    h = np.asarray(p.h)[alive]
+    for t in tiers:
+        assert t.grid.cap <= 128
+        # the tier's grid must serve its own h range
+        assert min(t.h_hi, h.max()) <= tier_support_bound(t) * 1.0001
+    # coverage: every h belongs to exactly one tier
+    owners = np.zeros(h.shape, int)
+    for t in tiers:
+        owners += ((h >= t.h_lo) & (h < t.h_hi)).astype(int)
+    assert (owners == 1).all()
+
+
+def test_band_audit_clean_on_evrard():
+    state, box, cfg = _evrard(20)
+    p = state.p
+    alive = np.asarray(p.alive)
+    tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128)
+    v = audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive)
+    assert v == 0, f"{v} excluded particles inside an in-tier 2h support"
+
+
+def test_band_audit_catches_violation():
+    """Force an impossible band (theta tiny -> frames drop true
+    neighbors) and check the audit reports it — the fail-stop works."""
+    state, box, cfg = _evrard(20)
+    p = state.p
+    alive = np.asarray(p.alive)
+    tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128)
+    if len(tiers) < 2:
+        pytest.skip("needs >= 2 tiers")
+    import dataclasses
+    bad = [dataclasses.replace(t, cutoff=t.h_lo * 1.5) if t.cutoff > 0 else t
+           for t in tiers]
+    assert audit_tiers(bad, box, p.x, p.y, p.z, p.h, alive=alive) > 0
+
+
+@pytest.mark.slow
+def test_tiered_step_matches_uniform_pallas():
+    """The tiered step must reproduce the uniform deep-CAP Pallas
+    result (identical kernels; tiering only changes the candidate
+    streaming) per particle, and the XLA path at the energy level (the
+    r2 clustered-density gate tolerance — per-particle XLA parity on
+    Evrard is limited by h-controller differences on the open-boundary
+    edge shell, see test_pallas_evrard_clustered_density)."""
+    from sphexa_tpu.neighbors import CellGrid, choose_level
+    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
+    from sphexa_tpu.propagator.ve import make_ve_step
+    from sphexa_tpu.propagator.ve_pallas import make_ve_step_pallas
+
+    state, box, cfg = _evrard(20)
+    p = state.p
+    alive = np.asarray(p.alive)
+    h_arr = np.asarray(p.h)[alive]
+    tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128)
+    assert len(tiers) >= 2
+    assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
+
+    cap_u, grid_u = choose_cap_and_grid(
+        box, float(h_arr.max()), int(alive.sum()),
+        np.asarray(p.x)[alive], np.asarray(p.y)[alive],
+        np.asarray(p.z)[alive], cap_min=32, cap_max=1024)
+    assert cap_u > 128, "uniform cap must exceed the tiered budget here"
+    step_u = make_ve_step_pallas(box, grid_u, cfg, interpret=True)
+    step_x = make_ve_step(box, CellGrid(choose_level(box, h_arr.max()
+                                                     * 1.25)), cfg)
+    step_t = make_ve_step_pallas_tiered(box, tiers, cfg, interpret=True)
+
+    su, st, sx = state, state, state
+    for _ in range(2):
+        su, du = step_u(su)
+        st, dt = step_t(st)
+        sx, dx = step_x(sx)
+
+    assert int(dt.max_cell_count) == 0   # no overflow / unowned / clamped
+    np.testing.assert_allclose(float(dt.dt), float(du.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(dt.eint), float(dx.eint), rtol=1e-5)
+    np.testing.assert_allclose(float(dt.ecin), float(du.ecin), rtol=1e-3,
+                               atol=1e-10)
+
+    a = np.asarray(su.p.vx)[alive]
+    b = np.asarray(st.p.vx)[alive]
+    vscale = max(np.abs(a).max(), 1e-12)
+    assert np.abs(b - a).max() / vscale < 2e-3
+    np.testing.assert_allclose(np.asarray(st.p.h)[alive],
+                               np.asarray(su.p.h)[alive], rtol=1e-4)
