@@ -91,13 +91,27 @@ def main():
         # block-time-step mode: cycles of gated substeps; throughput
         # counts ACTIVE particle updates (the individual-timestep
         # accounting of ve_hydro_bdt.hpp) — inactive rungs cost ~no
-        # compute via the pl.when supercell gates
+        # compute via the pl.when supercell gates.
+        # SPHEXA_BENCH_EVOLVE=N first evolves the IC N steps with the
+        # global-dt engine: at t=0 the Sedov rungs are degenerate (all
+        # particles courant-limited alike) and BDT only pays once the
+        # shock has developed a dt hierarchy (VERDICT r2 item 8).
         import numpy as np
 
         from sphexa_tpu.propagator.ve_bdt import BdtVE
+        from sphexa_tpu.propagator.ve_pallas import ResidentVE
 
         h_max = float(np.max(np.asarray(state.p.h)[np.asarray(state.p.alive)]))
         cap, grid = _pick_cap_grid(state, box, h_max * 1.2, n)
+        evolve = int(os.environ.get("SPHEXA_BENCH_EVOLVE", 0))
+        if evolve:
+            pre = ResidentVE(box, grid, cfg)
+            rst = pre.bind(state)
+            rst, prediags = pre.steps(rst, evolve)
+            assert int(prediags.overflow[-1]) == 0, "overflow during evolve"
+            state = pre.unbind(rst, state.p.n)
+            print(f"# evolved {evolve} steps to t={float(state.ttot):.4g} "
+                  f"before BDT binding", file=__import__('sys').stderr)
         eng = BdtVE(box, grid, cfg)
         bst = eng.bind_bdt(state)
         bst, diags = eng.run_cycle(bst)   # warmup cycle (compiles)
@@ -118,6 +132,7 @@ def main():
             "value": pups, "unit": "particles/s",
             "vs_baseline": pups / BASELINE_PUPS,
         }))
+        _append_history(pups, side, "tpu", case=f"{case}-bdt")
         return
     if on_tpu and case == "evrard":
         # clustered density: the tiered engine (audited h-band zoom

@@ -691,6 +691,21 @@ def fmm_gravity_sharded(x, y, z, m, alive, box: Box, G: float,
     up = compact_band(alive & (leaf_d >= hi - reach))
     band_overflow = down[5] + up[5]
 
+    # ring-coverage fail-stop: the +-1 exchange is only complete when
+    # every rank whose occupied extent intersects my [lo-reach,
+    # hi+reach] IS a +-1 neighbor. Count-balanced decompositions of
+    # clustered data can make central slabs thinner than the reach
+    # (then particles 2+ ranks away are true near-field partners) —
+    # that is silently wrong physics, so it must trip the counter;
+    # the fix is a deeper fc.level (see min_level_for_bands).
+    lo_all = jax.lax.all_gather(lo, axis)
+    hi_all = jax.lax.all_gather(hi, axis)
+    ranks = jnp.arange(n_ranks)
+    needs = (hi_all >= lo - reach) & (lo_all <= hi + reach)
+    ring_violation = jnp.sum(needs & (jnp.abs(ranks - me) > 1)
+                             & (hi_all >= lo_all))
+    band_overflow = band_overflow + ring_violation
+
     perm_up = [(i, (i + 1) % n_ranks) for i in range(n_ranks)]
     perm_dn = [(i, (i - 1) % n_ranks) for i in range(n_ranks)]
 
@@ -716,7 +731,7 @@ def fmm_gravity_sharded(x, y, z, m, alive, box: Box, G: float,
 
     return (G * (ax_far + ax_nf[:cap]), G * (ay_far + ay_nf[:cap]),
             G * (az_far + az_nf[:cap]), G * (pot_far + pot_nf[:cap]),
-            nf_trunc, band_overflow)
+            jax.lax.psum(nf_trunc, axis), jax.lax.psum(band_overflow, axis))
 
 
 def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096,

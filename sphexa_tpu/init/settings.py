@@ -61,6 +61,8 @@ def parse_init_spec(spec: str):
     head, sep, tail = spec.partition(":")
     if head.endswith(".h5"):
         return ("checkpoint", head, int(tail) if tail else -1)
+    if head.endswith((".txt", ".asc", ".dat")):
+        return ("ascii", head, int(tail) if tail else -1)
     if sep:
         return ("case", head, tail)
     return ("case", head, None)

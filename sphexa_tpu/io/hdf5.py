@@ -41,7 +41,8 @@ class HDF5Writer:
         self._file = h5py.File(path, "a")
 
     def write_step(self, state: SimState, cfg: SphConfig, box: Box,
-                   fields: dict | None = None, turb_state: dict | None = None):
+                   fields: dict | None = None, turb_state: dict | None = None,
+                   bdt_state: dict | None = None):
         """Write one output step. `fields` may add derived columns
         (rho, p, ...) beyond the conserved set. turb_state persists the
         turbulence OU phases + RNG state (reference checkpoints them,
@@ -66,6 +67,11 @@ class HDF5Writer:
                              data=np.asarray(turb_state["phases"]))
             g.attrs["turbulence_rng_state"] = json.dumps(
                 turb_state["rng_state"])
+        if bdt_state is not None:   # timestep.h:29-34 loadOrStore analog
+            for k, v in bdt_state["fields"].items():
+                g.create_dataset(k, data=np.asarray(v)[alive])
+            for k, v in bdt_state["attrs"].items():
+                g.attrs[k] = v
         self._file.flush()
         return step_idx
 
@@ -104,6 +110,22 @@ def save_checkpoint(path: str, state: SimState, cfg: SphConfig, box: Box,
     idx = w.write_step(state, cfg, box, extra_fields, turb_state=turb_state)
     w.close()
     return idx
+
+
+def load_bdt_state(path: str, step: int = -1):
+    """Restore block-time-step rung state from a dump, or None
+    (reference: sph/timestep.h:29-34 Timestep::loadOrStore)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        steps = sorted(k for k in f.keys() if k.startswith("Step#"))
+        g = f[steps[step]]
+        if "bdt_rung" not in g:
+            return None
+        return dict(rung=np.asarray(g["bdt_rung"]),
+                    dt_m1k=np.asarray(g["bdt_dt_m1k"]),
+                    dt_min=float(g.attrs["bdt_dt_min"]),
+                    num_rungs=int(g.attrs["bdt_num_rungs"]))
 
 
 def load_turbulence_state(path: str, step: int = -1):

@@ -31,10 +31,22 @@ def parse_args(argv=None):
                    help="stop when simulation time reached")
     p.add_argument("--prop", default="ve",
                    choices=["ve", "std", "ve-pallas", "ve-tiered", "ve-bdt",
-                            "nbody", "turbulence-ve", "std-cooling"],
+                            "nbody", "turbulence-ve", "turbulence-ve-bdt",
+                            "std-cooling"],
                    help="propagator choice (reference: --prop)")
-    p.add_argument("-w", "--output-every", type=int, default=0,
-                   help="write output every N iterations (0 = never)")
+    p.add_argument("-w", "--output-every", default="0",
+                   help="output frequency: integer = every N iterations, "
+                        "float = every dt of simulation time (reference "
+                        "isOutputStep/isOutputTime, sphexa.cpp:159-162); "
+                        "0 = never")
+    p.add_argument("--wextra", default="",
+                   help="comma list of extra output triggers: integer "
+                        "iteration numbers and/or float sim times "
+                        "(reference --wextra)")
+    p.add_argument("--duration", type=float, default=None,
+                   help="wall-clock limit in seconds: stop (and write a "
+                        "final output if writing is enabled) once "
+                        "exceeded (reference --duration, sphexa.cpp:156)")
     p.add_argument("-o", "--outfile", default="dump.sphexa.h5")
     p.add_argument("--ascii", action="store_true", help="ASCII output")
     p.add_argument("--constants", default="constants.txt",
@@ -70,13 +82,30 @@ def build_sim(args):
                                                     step=step)
             return state, box, cfg, extras
         state, box, cfg = load_checkpoint(path, cfg, step=step)
-        from sphexa_tpu.io.hdf5 import load_turbulence_state
+        from sphexa_tpu.io.hdf5 import load_bdt_state, load_turbulence_state
         try:
             ts = load_turbulence_state(path, step)
         except Exception:
             ts = None
         if ts is not None:
             extras["turb"] = ts
+        try:
+            bs = load_bdt_state(path, step)
+        except Exception:
+            bs = None
+        if bs is not None:
+            extras["bdt"] = bs
+        return state, box, cfg, extras
+    if kind == "ascii":
+        # ASCII restart (reference: io/ifile_io_ascii.cpp reader side);
+        # column dumps carry no integrator history — see
+        # io/ascii.load_ascii_checkpoint
+        from sphexa_tpu.io.ascii import load_ascii_checkpoint
+        state, box = load_ascii_checkpoint(name, cfg, step=extra,
+                                           dt0=args.dt0)
+        if box is None:
+            raise SystemExit("ASCII dump has no box header; cannot "
+                             "restart from a pre-box-format file")
         return state, box, cfg, extras
     if extra:  # 'case:settings.h5' override layering (settings.hpp:42)
         settings = load_settings_file(extra)
@@ -160,23 +189,48 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         import jax
         interpret = jax.devices()[0].platform != "tpu"
         return make_ve_step_pallas(box, grid, cfg, interpret=interpret), grid
-    if args.prop == "ve-bdt":
+    if args.prop in ("ve-bdt", "turbulence-ve-bdt"):
         import jax
         from sphexa_tpu.ops.cellmajor import choose_cm_grid
-        from sphexa_tpu.propagator.ve_bdt import BdtVE
+        from sphexa_tpu.propagator.ve_bdt import BdtVE, TurbBdtVE
         grid = choose_cm_grid(box, h_max * 1.25, n)
         interpret = jax.devices()[0].platform != "tpu"
-        bdt = BdtVE(box, grid, cfg, interpret=interpret)
+        if args.prop == "turbulence-ve-bdt":
+            # reference TurbVeBdtProp (turb_ve.hpp:114-118)
+            from sphexa_tpu.physics.turbulence import TurbulenceData
+            turb = TurbulenceData.create(verbose=not args.quiet)
+            if "turb" in extras:
+                turb.restore(extras["turb"])
+            bdt = TurbBdtVE(box, grid, cfg, turb=turb, interpret=interpret)
+        else:
+            bdt = BdtVE(box, grid, cfg, interpret=interpret)
+
+        bdt_restore = extras.get("bdt")
 
         class _BdtAdapter:
             """One __call__ = one full rung cycle (2^(nr-1) substeps)."""
 
             def __init__(self):
                 self.bst = None
+                self.bdt = bdt
+                if getattr(bdt, "turb", None) is not None:
+                    self.turb = bdt.turb
+
+            def checkpoint_state(self, n_capacity):
+                """Rung state for the writer (timestep.h:29-34 analog);
+                run_cycle always leaves substep at a cycle boundary."""
+                return bdt.checkpoint_rungs(self.bst, n_capacity)
 
             def __call__(self, state):
                 if self.bst is None:
                     self.bst = bdt.bind_bdt(state)
+                    if bdt_restore is not None:
+                        # restart: resume the checkpointed rung
+                        # assignment instead of re-deriving it
+                        self.bst = bdt.restore_rungs(
+                            self.bst, bdt_restore["rung"],
+                            bdt_restore["dt_m1k"],
+                            bdt_restore["dt_min"])
                 self.bst, diags = bdt.run_cycle(self.bst)
                 d = diags[-1]
                 out = bdt.unbind(self.bst.rv, state.p.n)
@@ -217,8 +271,49 @@ def main(argv=None):
     step_fn, grid = make_stepper(args, box, cfg, h_max, n_active, extras,
                                  state=state)
 
+    def _is_output_step(it: int, spec: str) -> bool:
+        """Integer specs trigger every N iterations
+        (reference: isOutputStep, io/arg_parser.hpp)."""
+        try:
+            v = int(spec)
+        except ValueError:
+            return False
+        return v > 0 and it % v == 0
+
+    def _is_output_time(t1: float, t2: float, spec: str) -> bool:
+        """Float specs trigger when a multiple of the interval falls in
+        (t1, t2] (reference: isOutputTime)."""
+        try:
+            int(spec)
+            return False
+        except ValueError:
+            pass
+        try:
+            f = float(spec)
+        except ValueError:
+            return False
+        import math
+        return f > 0 and math.floor(t2 / f) > math.floor(t1 / f + 1e-12)
+
+    def _is_extra_output(it: int, t1: float, t2: float) -> bool:
+        for tok in (args.wextra or "").split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            try:
+                if int(tok) == it:
+                    return True
+                continue
+            except ValueError:
+                pass
+            v = float(tok)
+            if t1 < v <= t2:
+                return True
+        return False
+
+    write_enabled = (args.output_every not in ("0", "") or bool(args.wextra))
     writer = None
-    if args.output_every:
+    if write_enabled:
         if args.ascii:
             from sphexa_tpu.io.ascii import AsciiWriter
             writer = AsciiWriter(args.outfile)
@@ -344,15 +439,31 @@ def main(argv=None):
                     f"(max_nc={int(diag.max_nc)}, "
                     f"max_cell={int(diag.max_cell_count)})")
 
-        if writer and (it + 1) % args.output_every == 0:
+        t_now = float(diag.ttot)
+        t_prev = t_now - float(diag.dt)
+        wall_exceeded = (args.duration is not None
+                         and time.perf_counter() - t_start > args.duration)
+        triggered = (_is_output_step(it + 1, args.output_every)
+                     or _is_output_time(t_prev, t_now, args.output_every)
+                     or _is_extra_output(it + 1, t_prev, t_now)
+                     or (wall_exceeded and write_enabled))
+        if writer and triggered:
             turb_state = None
-            if args.prop == "turbulence-ve" and hasattr(step_fn, "turb"):
+            if hasattr(step_fn, "turb"):
                 turb_state = step_fn.turb.checkpoint_state()
-            writer.write_step(state, cfg, box, turb_state=turb_state)
+            bdt_state = None
+            if hasattr(step_fn, "checkpoint_state"):
+                bdt_state = step_fn.checkpoint_state(state.p.n)
+            writer.write_step(state, cfg, box, turb_state=turb_state,
+                              bdt_state=bdt_state)
         if viz:
             viz.execute(state, box, int(state.iteration) - 1)
 
         if args.sim_time is not None and float(diag.ttot) >= args.sim_time:
+            break
+        if wall_exceeded:
+            if not args.quiet:
+                print(f"# wall-clock limit {args.duration}s reached")
             break
 
     if profiler_ctx:

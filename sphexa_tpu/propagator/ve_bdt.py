@@ -134,7 +134,7 @@ class BdtVE(ResidentVE):
                           self.grid.n_slots)
 
     # ---- one substep -------------------------------------------------------
-    def _substep(self, bst: BDTState):
+    def _substep(self, bst: BDTState, phases_real=None, phases_imag=None):
         cfg = self.cfg
         rv = bst.rv
         validint = rv.valid & self.intmask
@@ -158,6 +158,17 @@ class BdtVE(ResidentVE):
                            bst.c33), divv=bst.divv, alpha=rv.alpha,
                       ax=bst.axk, ay=bst.ayk, az=bst.azk, du=bst.duk),
             cfg=cfg)
+
+        if phases_real is not None:
+            # turbulence stirring on the active rungs (reference
+            # TurbVeBdtProp, turb_ve.hpp:114-118: driveTurbulence after
+            # the force step); committed with the kick acceleration
+            from sphexa_tpu.physics.turbulence import stir_accelerations
+            sax, say, saz = stir_accelerations(
+                rv.x, rv.y, rv.z, self._turb_modes, phases_real,
+                phases_imag, self._turb_amps, self._turb_norm)
+            out = dict(out, ax=out["ax"] + sax, ay=out["ay"] + say,
+                       az=out["az"] + saz)
 
         # per-slot freeze/commit (exact semantics; the kernel gate is the
         # compute-skip at supercell granularity)
@@ -263,6 +274,79 @@ class BdtVE(ResidentVE):
         diags = []
         for _ in range(1 << (self.num_rungs - 1)):
             bst, d = self.substep(bst)
+            diags.append(d)
+        return bst, diags
+
+    # ---- rung-state checkpointing (reference: sph/timestep.h:29-34
+    # loadOrStore persists the Timestep struct so a restarted BDT run
+    # resumes the SAME rung assignment instead of re-deriving it) ------
+    def checkpoint_rungs(self, bst: BDTState, n_capacity: int) -> dict:
+        """Particle-frame rung state. Call at a cycle boundary
+        (bst.substep == 0), where every slot sits at its kick point so
+        the kick state coincides with the checkpointed fields."""
+        assert int(bst.substep) == 0, \
+            "BDT checkpoints only at cycle boundaries (full sync)"
+        rv = bst.rv
+        validint = rv.valid & self.intmask
+        idx = jnp.where(validint, rv.gid, float(n_capacity)).astype(
+            jnp.int32)
+
+        def back(row, fill=0.0):
+            out = jnp.full((n_capacity,), fill, row.dtype)
+            return out.at[idx].set(jnp.where(validint, row, fill),
+                                   mode="drop")
+
+        return {"fields": {"bdt_rung": back(bst.rung),
+                           "bdt_dt_m1k": back(bst.dt_m1k)},
+                "attrs": {"bdt_dt_min": float(bst.dt_min),
+                          "bdt_num_rungs": self.num_rungs}}
+
+    def restore_rungs(self, bst: BDTState, rung_pf, dt_m1k_pf,
+                      dt_min: float) -> BDTState:
+        """Install checkpointed rung state into a freshly bound
+        BDTState (particle-frame arrays are alive-packed in the same
+        order bind() consumed)."""
+        rv = bst.rv
+        gid = jnp.where(rv.valid, rv.gid, 0.0).astype(jnp.int32)
+        rung_cm = jnp.asarray(rung_pf)[gid]
+        dt_m1k_cm = jnp.asarray(dt_m1k_pf)[gid]
+        validint = rv.valid & self.intmask
+        # re-harmonize per cell (slots may land in different cells than
+        # at save time after the rebind's fold)
+        rung_cm = self._cell_min(rung_cm, validint)
+        return bst.replace(rung=jnp.where(validint, rung_cm, 0.0),
+                           dt_m1k=jnp.where(validint, dt_m1k_cm,
+                                            jnp.float32(dt_min)),
+                           ticks=jnp.zeros_like(bst.ticks),
+                           dt_min=jnp.float32(dt_min),
+                           substep=jnp.int32(0))
+
+
+class TurbBdtVE(BdtVE):
+    """Turbulence-stirred block-time-step propagator (reference:
+    TurbVeBdtProp, main/src/propagator/turb_ve.hpp:114-118). The OU
+    noise advances on the host once per substep with the cycle base dt;
+    the projected phases enter the jitted substep as traced arguments
+    and the stirring acceleration is committed with the kick forces of
+    the active rungs."""
+
+    def __init__(self, box: Box, grid: CMGrid, cfg: SphConfig,
+                 turb=None, num_rungs: int = 4, interpret: bool = False,
+                 verbose: bool = False):
+        from sphexa_tpu.physics.turbulence import TurbulenceData
+        self.turb = turb or TurbulenceData.create(verbose=verbose)
+        self._turb_modes = jnp.asarray(self.turb.modes, jnp.float32)
+        self._turb_amps = jnp.asarray(self.turb.amplitudes, jnp.float32)
+        self._turb_norm = self.turb.sol_weight_norm
+        super().__init__(box, grid, cfg, num_rungs=num_rungs,
+                         interpret=interpret)
+
+    def run_cycle(self, bst: BDTState):
+        diags = []
+        for _ in range(1 << (self.num_rungs - 1)):
+            self.turb.update_noise(float(bst.dt_min))
+            pr, pi = self.turb.projected_phases()
+            bst, d = self.substep(bst, pr, pi)
             diags.append(d)
         return bst, diags
 

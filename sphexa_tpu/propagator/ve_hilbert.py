@@ -24,6 +24,7 @@ from sphexa_tpu.domain.hilbert import (AXIS, HilbertConfig, balance_splits,
 from sphexa_tpu.domain.slab import _pack
 from sphexa_tpu.neighbors import CellGrid, build_cell_list, build_neighbor_list
 from sphexa_tpu.sfc.box import Box
+from sphexa_tpu.propagator.ve_sharded import _sharded_gravity
 from sphexa_tpu.sph import hydro_ve
 from sphexa_tpu.sph import timestep as ts
 from sphexa_tpu.sph.eos import eos_ve, ideal_gas_cv
@@ -112,7 +113,7 @@ def _local_step(ps: Particles, dt_prev, box: Box, grid: CellGrid,
     egrav = jnp.float32(0.0)
     if cfg.gravG != 0.0:
         # cross-rank self-gravity (global_multipole.hpp:45 analog)
-        gax, gay, gaz, egrav = _sharded_gravity(ps, box, cfg, AXIS)
+        gax, gay, gaz, egrav, _govf = _sharded_gravity(ps, box, cfg, AXIS)
         # owned rows of the extended frame carry the gravity force
         gax_e = jnp.concatenate([gax, jnp.zeros((hc.ext - hc.cap,),
                                                 gax.dtype)])[cl.perm]
@@ -236,39 +237,3 @@ def distribute_hilbert(ps_host: dict, box: Box, hc: HilbertConfig,
     alive = jax.device_put(np.concatenate(alive_shards), sharding)
     return Particles(alive=alive, **fields)
 
-
-def _sharded_gravity(ps, box, cfg, axis: str):
-    """Self-gravity across the mesh: one all_gather of (x, y, z, m)
-    replicates the sources (16 MB/M particles — cheap on ICI), every
-    rank evaluates the solver on the full set and keeps its own rows.
-    This is the v1 analog of the reference's global-multipole exchange
-    (ryoanji/interface/global_multipole.hpp:45): same physics, trading
-    redundant upsweep/traversal FLOPs (grid-sized, small for the conv
-    FMM) for a single collective."""
-    import jax as _jax
-    import jax.numpy as _jnp
-
-    me = _jax.lax.axis_index(axis)
-    cap = ps.x.shape[0]
-    gx = _jax.lax.all_gather(ps.x, axis).reshape(-1)
-    gy = _jax.lax.all_gather(ps.y, axis).reshape(-1)
-    gz = _jax.lax.all_gather(ps.z, axis).reshape(-1)
-    gm = _jax.lax.all_gather(_jnp.where(ps.alive, ps.m, 0.0),
-                             axis).reshape(-1)
-    galive = _jax.lax.all_gather(ps.alive, axis).reshape(-1)
-
-    if cfg.gravity_solver == "fmm":
-        from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
-        g = fmm_gravity(gx, gy, gz, gm, galive, box, cfg.gravG,
-                        FmmConfig(level=cfg.fmm_level), eps=cfg.eps)
-    elif cfg.gravity_solver == "ewald":
-        from sphexa_tpu.gravity.ewald import ewald_gravity
-        g = ewald_gravity(gx, gy, gz, gm, galive, box, cfg.gravG,
-                          eps=cfg.eps)
-    else:
-        from sphexa_tpu.gravity.direct import direct_gravity
-        g = direct_gravity(gx, gy, gz, gm, galive, cfg.gravG, cfg.eps)
-
-    sl = lambda v: _jax.lax.dynamic_slice(v, (me * cap,), (cap,))
-    egrav_loc = 0.5 * _jnp.sum(_jnp.where(ps.alive, ps.m * sl(g.pot), 0.0))
-    return sl(g.ax), sl(g.ay), sl(g.az), _jax.lax.psum(egrav_loc, axis)

@@ -291,7 +291,9 @@ def make_ve_step_pallas_hilbert(box: Box, cd: ColDomain, cap_cell: int,
         ax_p, ay_p, az_p = back(out["ax"]), back(out["ay"]), back(out["az"])
         egrav = jnp.float32(0.0)
         if cfg.gravG != 0.0:
-            gax, gay, gaz, egrav = _sharded_gravity(ps, box, cfg, AXIS)
+            gax, gay, gaz, egrav, govf = _sharded_gravity(
+                ps, box, cfg, AXIS, dim=0)
+            lost_halo = lost_halo + govf
             pad = lambda v: jnp.concatenate([v, zero_h])
             ax_p = ax_p + pad(gax)
             ay_p = ay_p + pad(gay)

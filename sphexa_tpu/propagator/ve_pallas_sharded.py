@@ -166,7 +166,9 @@ def make_ve_step_pallas_sharded(box: Box, grid: CMGrid, cfg: SphConfig,
         ax_p, ay_p, az_p = back(out["ax"]), back(out["ay"]), back(out["az"])
         egrav = jnp.float32(0.0)
         if cfg.gravG != 0.0:
-            gax, gay, gaz, egrav = _sharded_gravity(ps, box, cfg, AXIS)
+            gax, gay, gaz, egrav, govf = _sharded_gravity(
+                ps, box, cfg, AXIS, dim=2)
+            lost = lost + govf
             ax_p, ay_p, az_p = ax_p + gax, ay_p + gay, az_p + gaz
 
         # ---- global dt (pmin = MPI_Allreduce MIN) ----

@@ -107,7 +107,8 @@ def _local_step(ps: Particles, dt_prev, dt_m1_prev, box: Box, grid: CellGrid,
     egrav = jnp.float32(0.0)
     if cfg.gravG != 0.0:
         # cross-rank self-gravity (global_multipole.hpp:45 analog)
-        gax, gay, gaz, egrav = _sharded_gravity(ps, box, cfg, AXIS)
+        gax, gay, gaz, egrav, govf = _sharded_gravity(ps, box, cfg, AXIS,
+                                                      dim=2)
         pad = jnp.zeros((2 * sc.halo_cap,), gax.dtype)
         me = me._replace(
             ax=me.ax + jnp.concatenate([gax, pad])[cl.perm],
@@ -155,6 +156,8 @@ def _local_step(ps: Particles, dt_prev, dt_m1_prev, box: Box, grid: CellGrid,
     eint = jax.lax.psum(jnp.sum(jnp.where(valid, exts.m * cv * temp, 0.0)),
                         AXIS)
     lost_tot = jax.lax.psum(lost, AXIS)
+    if cfg.gravG != 0.0:
+        lost_tot = lost_tot + govf   # gravity band/near-field fail-stop
     n_owned = jax.lax.psum(n_own, AXIS)
     max_nc = jax.lax.pmax(nl.max_nc, AXIS)
 
@@ -221,16 +224,38 @@ def distribute(ps_host: dict, box: Box, sc: SlabConfig, mesh: Mesh):
     return Particles(alive=alive, **fields)
 
 
-def _sharded_gravity(ps, box, cfg, axis: str):
-    """Self-gravity across the mesh: one all_gather of (x, y, z, m)
-    replicates the sources (16 MB/M particles — cheap on ICI), every
-    rank evaluates the solver on the full set and keeps its own rows.
-    This is the v1 analog of the reference's global-multipole exchange
-    (ryoanji/interface/global_multipole.hpp:45): same physics, trading
-    redundant upsweep/traversal FLOPs (grid-sized, small for the conv
-    FMM) for a single collective."""
+def _sharded_gravity(ps, box, cfg, axis: str, dim: int | None = None):
+    """Self-gravity across the mesh. Returns (ax, ay, az, egrav, ovf);
+    `ovf` is a psum'd fail-stop counter (near-field truncation + band
+    overflow) that must stay 0.
+
+    With `dim` set (1-D spatial decomposition along that axis: z-slabs
+    or x-column ranges) and the FMM solver, the HIERARCHICAL exchange
+    runs (gravity/fmm.fmm_gravity_sharded): one psum of the dense leaf
+    moment grid (~320 KB) + ppermute of the +-1 neighbor near-field
+    bands — the computeGlobalMultipoles analog
+    (ryoanji/interface/global_multipole.hpp:45-66), with per-device
+    memory independent of global N and rank count.
+
+    Otherwise (direct/ewald solvers, or non-axis-aligned domains) the
+    v1 replicated-source path runs: one all_gather of (x, y, z, m)
+    (16 MB/M particles), every rank evaluates the full solver and keeps
+    its own rows — same physics, O(N)/device memory."""
     import jax as _jax
     import jax.numpy as _jnp
+
+    if cfg.gravity_solver == "fmm" and dim is not None:
+        from sphexa_tpu.gravity.fmm import (FmmConfig, fmm_gravity_sharded,
+                                            min_level_for_bands)
+        n_ranks = _jax.lax.psum(1, axis)
+        fc = FmmConfig(level=max(cfg.fmm_level,
+                                 min_level_for_bands(n_ranks)))
+        ax, ay, az, pot, nf_trunc, band_ovf = fmm_gravity_sharded(
+            ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg.gravG, fc,
+            cfg.eps, axis, dim=dim)
+        egrav_loc = 0.5 * _jnp.sum(_jnp.where(ps.alive, ps.m * pot, 0.0))
+        return (ax, ay, az, _jax.lax.psum(egrav_loc, axis),
+                nf_trunc + band_ovf)
 
     me = _jax.lax.axis_index(axis)
     cap = ps.x.shape[0]
@@ -241,10 +266,12 @@ def _sharded_gravity(ps, box, cfg, axis: str):
                              axis).reshape(-1)
     galive = _jax.lax.all_gather(ps.alive, axis).reshape(-1)
 
+    ovf = jnp.int32(0)
     if cfg.gravity_solver == "fmm":
         from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
         g = fmm_gravity(gx, gy, gz, gm, galive, box, cfg.gravG,
                         FmmConfig(level=cfg.fmm_level), eps=cfg.eps)
+        ovf = g.nf_truncated
     elif cfg.gravity_solver == "ewald":
         from sphexa_tpu.gravity.ewald import ewald_gravity
         g = ewald_gravity(gx, gy, gz, gm, galive, box, cfg.gravG,
@@ -255,4 +282,5 @@ def _sharded_gravity(ps, box, cfg, axis: str):
 
     sl = lambda v: _jax.lax.dynamic_slice(v, (me * cap,), (cap,))
     egrav_loc = 0.5 * _jnp.sum(_jnp.where(ps.alive, ps.m * sl(g.pot), 0.0))
-    return sl(g.ax), sl(g.ay), sl(g.az), _jax.lax.psum(egrav_loc, axis)
+    return (sl(g.ax), sl(g.ay), sl(g.az), _jax.lax.psum(egrav_loc, axis),
+            ovf)

@@ -51,7 +51,8 @@ def test_cli_end_to_end(tmp_path):
     main(["--init", "sedov", "-n", "10", "-s", "3", "--dt0", "2e-4",
           "-w", "2", "-o", out, "--constants", consts, "--quiet"])
     assert os.path.exists(out)
-    lines = open(consts).read().strip().splitlines()
+    lines = [ln for ln in open(consts).read().strip().splitlines()
+             if not ln.startswith("#")]   # skip the observables header
     assert len(lines) == 3
     cols = lines[-1].split()
     assert len(cols) == 9
@@ -99,3 +100,72 @@ def test_split_restart(tmp_path):
                    x2).all()
     # positions stay in the box
     assert x2.min() >= box.xmin and x2.max() <= box.xmax
+
+
+def test_ascii_roundtrip_and_restart(tmp_path):
+    """ASCII writer -> reader -> CLI restart (reference:
+    io/ifile_io_ascii.cpp both directions)."""
+    from sphexa_tpu.io.ascii import AsciiReader, AsciiWriter, \
+        load_ascii_checkpoint
+
+    cfg = SphConfig()
+    state, box, cfg = init_sedov(6, cfg, dt0=1e-4)
+    path = str(tmp_path / "dump.txt")
+    w = AsciiWriter(path)
+    w.write_step(state, cfg, box)
+    w.write_step(state.replace(iteration=state.iteration + 1), cfg, box)
+
+    r = AsciiReader(path)
+    assert r.num_steps() == 2
+    fields, attrs = r.read_step(-1)
+    assert attrs["iteration"] == int(state.iteration) + 1
+    np.testing.assert_allclose(fields["x"],
+                               np.asarray(state.p.x)[np.asarray(state.p.alive)],
+                               rtol=1e-6)
+
+    st2, box2 = load_ascii_checkpoint(path, cfg, dt0=1e-4)
+    assert box2 == box
+    np.testing.assert_allclose(np.asarray(st2.p.temp),
+                               fields["temp"], rtol=1e-6)
+
+    # CLI restart from the ASCII dump
+    from sphexa_tpu.main import main
+    main(["--init", path, "-s", "1", "--dt0", "1e-6", "--quiet",
+          "--constants", str(tmp_path / "c.txt")])
+
+
+def test_output_triggers_time_and_wextra(tmp_path):
+    """Float -w = sim-time-interval outputs; --wextra fires at given
+    steps/times (reference: isOutputTime/isExtraOutputStep,
+    sphexa.cpp:159-162)."""
+    from sphexa_tpu.io.hdf5 import HDF5Reader
+    from sphexa_tpu.main import main
+
+    out = str(tmp_path / "o.h5")
+    # dt0=1e-4 with growth cap 1.1: 5 steps cover ~6.1e-4 of sim time;
+    # a 2e-4 interval must trigger >= 2 time-based outputs
+    main(["--init", "sedov", "-n", "6", "-s", "5", "--dt0", "1e-4",
+          "-w", "0.0002", "-o", out, "--quiet",
+          "--constants", str(tmp_path / "c1.txt")])
+    r = HDF5Reader(out)
+    assert 2 <= r.num_steps() <= 4
+    r.close()
+
+    out2 = str(tmp_path / "o2.h5")
+    main(["--init", "sedov", "-n", "6", "-s", "4", "--dt0", "1e-4",
+          "--wextra", "2,3", "-o", out2, "--quiet",
+          "--constants", str(tmp_path / "c2.txt")])
+    r = HDF5Reader(out2)
+    assert r.num_steps() == 2
+    r.close()
+
+
+def test_wall_clock_stop(tmp_path):
+    """--duration 0 stops after the first iteration (reference:
+    sphexa.cpp:156 isWallClockReached)."""
+    from sphexa_tpu.main import main
+
+    st = main(["--init", "sedov", "-n", "6", "-s", "50", "--dt0", "1e-5",
+               "--duration", "0", "--quiet",
+               "--constants", str(tmp_path / "c.txt")])
+    assert int(st.iteration) <= 3
