@@ -1,0 +1,133 @@
+"""TPU-scale Sedov physics gate (VERDICT r2 item 10; reference
+acceptance: main/src/analytical_solutions/compare_solutions.py:85
+computeL1Error at production sizes).
+
+Runs Sedov side^3 on the production resident Pallas engine to a target
+simulation time, computes the radial density profile, and writes the
+L1 error vs the exact self-similar solution to
+artifacts/SEDOV_L1_<side>.json. Run on the real chip:
+
+    python scripts/sedov_gate.py [side] [t_end]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_rho(eng, state, box, grid, cfg):
+    """VE density rho = kx m / xm from the Pallas xmass+gradh stages on
+    a fresh layout of the given particle state."""
+    from sphexa_tpu.ops.cellmajor import build_layout, from_cm, to_cm
+
+    ps = state.p
+    layout = build_layout(grid, box, ps.x, ps.y, ps.z, alive=ps.alive)
+    pve = eng.pve
+    base = pve.base_rows(layout, ps.x, ps.y, ps.z, ps.h)
+    m_cm = to_cm(layout, ps.m)
+    xm, h_new, _nc, _nv = pve.xmass_h(base, m_cm)
+    # ghost-correct xm/h via a particle-frame round trip
+    xm_pf = from_cm(layout, xm, ps.n, 1.0)
+    h_pf = from_cm(layout, h_new, ps.n, 1.0)
+    base = [base[0], base[1], base[2], to_cm(layout, h_pf, 1.0), base[4]]
+    kx, _gradh = pve.gradh(base, m_cm, to_cm(layout, xm_pf, 1.0))
+    kx_pf = from_cm(layout, kx, ps.n, 1.0)
+    return np.asarray(kx_pf * ps.m / xm_pf)
+
+
+def main():
+    from sphexa_tpu.config import SphConfig
+    from sphexa_tpu.init.sedov import init_sedov
+    from sphexa_tpu.observables.radial import (l1_error, radial_profile,
+                                               shock_radius_from_density)
+    from sphexa_tpu.observables.sedov_solution import (sedov_profile,
+                                                       shock_radius)
+    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
+    from sphexa_tpu.propagator.ve_pallas import ResidentVE
+
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
+    cfg = SphConfig()
+    state, box, cfg = init_sedov(side, cfg, dt0=1e-5)
+    n = side ** 3
+    headroom = 8
+    t0 = time.perf_counter()
+    steps_done = 0
+
+    while float(state.ttot) < t_end:
+        alive = np.asarray(state.p.alive)
+        h_eff = float(np.max(np.asarray(state.p.h)[alive])) * 1.2
+        cap, grid = choose_cap_and_grid(
+            box, h_eff, n, np.asarray(state.p.x)[alive],
+            np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
+            headroom=headroom)
+        print(f"# engine: cap={cap} grid={grid} t={float(state.ttot):.5f}",
+              flush=True)
+        eng = ResidentVE(box, grid, cfg)
+        rst = eng.bind(state)
+        overflowed = False
+        while float(rst.ttot) < t_end:
+            rst, diags = eng.steps(rst, 20)
+            steps_done += 20
+            ovf = int(diags.overflow[-1])
+            print(f"#   t={float(rst.ttot):.5f} dt={float(rst.dt):.3e} "
+                  f"ovf={ovf} steps={steps_done} "
+                  f"wall={time.perf_counter() - t0:.0f}s", flush=True)
+            if ovf:
+                # re-grid with more headroom from the last good frame
+                # (main.py's fail-stop + retry semantics)
+                state = eng.unbind(rst, n)
+                headroom *= 2
+                overflowed = True
+                break
+        if not overflowed:
+            state = eng.unbind(rst, n)
+            break
+
+    t_fin = float(state.ttot)
+    rho = compute_rho(eng, state, box, grid, cfg)
+    alive = np.asarray(state.p.alive)
+    centers, rho_sim, counts = radial_profile(
+        state.p.x, state.p.y, state.p.z, jnp.asarray(rho), nbins=64,
+        rmax=0.45)
+    rho_ana, _, _ = sedov_profile(centers, t_fin, E=1.0, rho0=1.0,
+                                  gamma=cfg.gamma)
+    ok = counts > 10
+    err = float(l1_error(rho_sim[ok], rho_ana[ok]))
+    rs_meas, rho_pk = shock_radius_from_density(
+        state.p.x, state.p.y, state.p.z, jnp.asarray(rho), nbins=96,
+        rmax=0.45)
+    rs_exp = float(shock_radius(t_fin, 1.0, 1.0, cfg.gamma))
+
+    out = {
+        "side": side, "n": n, "t_end": t_fin, "steps": steps_done,
+        "l1_rho": err, "nbins": 64,
+        "shock_radius_measured": float(rs_meas),
+        "shock_radius_expected": rs_exp,
+        "rho_peak": float(rho_pk),
+        "platform": jax.devices()[0].platform,
+        "wall_s": time.perf_counter() - t0,
+    }
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts"), exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", f"SEDOV_L1_{side}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    # the production-scale gate: substantially tighter than the 24^3
+    # test tolerance (0.35); shock smearing at 100^3 is ~2-3 h wide
+    assert err < 0.2, f"L1 density error {err} at side {side}"
+
+
+if __name__ == "__main__":
+    main()

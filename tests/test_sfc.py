@@ -57,3 +57,52 @@ def test_hilbert_full_coverage():
     x, y, z = hilbert_decode(keys)
     lin = (np.asarray(x).astype(np.int64) * 16 + np.asarray(y)) * 16 + np.asarray(z)
     assert len(np.unique(lin)) == 8 ** 4
+
+
+def test_hilbert64_roundtrip_and_order():
+    """Level-20 (hi, lo) pair codec: encode/decode inversion, curve
+    continuity, and lexicographic consistency with the 30-bit codec on
+    shared prefixes (the reference's KeyType=uint64 role,
+    sph/types.hpp:39-46)."""
+    import numpy as np
+
+    from sphexa_tpu.sfc.hilbert import hilbert_encode
+    from sphexa_tpu.sfc.hilbert64 import (hilbert_decode64, hilbert_encode64,
+                                          key64_less, sort_by_key64)
+
+    rng = np.random.default_rng(2)
+    n = 4096
+    side = 1 << 20
+    ix = jnp.asarray(rng.integers(0, side, n, dtype=np.uint32))
+    iy = jnp.asarray(rng.integers(0, side, n, dtype=np.uint32))
+    iz = jnp.asarray(rng.integers(0, side, n, dtype=np.uint32))
+    hi, lo = hilbert_encode64(ix, iy, iz)
+    jx, jy, jz = hilbert_decode64(hi, lo)
+    np.testing.assert_array_equal(np.asarray(jx), np.asarray(ix))
+    np.testing.assert_array_equal(np.asarray(jy), np.asarray(iy))
+    np.testing.assert_array_equal(np.asarray(jz), np.asarray(iz))
+
+    # hi plane == the level-10 key of the coarse coords (prefix property)
+    hi10 = hilbert_encode(ix >> 10, iy >> 10, iz >> 10)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi10))
+
+    # Hilbert continuity: consecutive keys are unit-distance neighbors.
+    # Walk keys 0..N-1 by decoding; each step moves exactly one axis by 1
+    N = 1 << 12
+    ks = jnp.arange(N, dtype=jnp.uint32)
+    hi_w = jnp.zeros(N, jnp.uint32)
+    wx, wy, wz = hilbert_decode64(hi_w, ks)
+    d = (np.abs(np.diff(np.asarray(wx).astype(int)))
+         + np.abs(np.diff(np.asarray(wy).astype(int)))
+         + np.abs(np.diff(np.asarray(wz).astype(int))))
+    assert (d == 1).all()
+
+    # two-plane radix sort == lexicographic (hi, lo) order
+    perm, hs, ls = sort_by_key64(hi, lo, hi, lo)
+    hs, ls = np.asarray(hs), np.asarray(ls)
+    lex = np.lexsort((np.asarray(lo), np.asarray(hi)))
+    np.testing.assert_array_equal(np.asarray(perm), lex)
+    less = key64_less(jnp.asarray(hs[:-1]), jnp.asarray(ls[:-1]),
+                      jnp.asarray(hs[1:]), jnp.asarray(ls[1:]))
+    eq = (hs[:-1] == hs[1:]) & (ls[:-1] == ls[1:])
+    assert (np.asarray(less) | eq).all()
