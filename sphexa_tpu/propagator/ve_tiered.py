@@ -195,6 +195,15 @@ def audit_tiers(tiers, box: Box, x, y, z, h, alive=None,
         ny = max(1, int(box.ly / edge))
         nz = max(1, int(box.lz / edge))
 
+        # native fast path (csrc/hostgrid.c via ctypes): the Python
+        # bucket scan below is its exact reference implementation
+        from sphexa_tpu.util.native import band_audit_native
+        v = band_audit_native(xi, yi, zi, hi, x[excl], y[excl], z[excl],
+                              box, nx, ny, nz)
+        if v is not None:
+            violations += v
+            continue
+
         def cellid(px, py, pz):
             ix = np.clip(((px - box.xmin) / box.lx * nx).astype(int),
                          0, nx - 1)

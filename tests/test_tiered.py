@@ -112,3 +112,35 @@ def test_tiered_step_matches_uniform_pallas():
     assert np.abs(b - a).max() / vscale < 2e-3
     np.testing.assert_allclose(np.asarray(st.p.h)[alive],
                                np.asarray(su.p.h)[alive], rtol=1e-4)
+
+
+def test_native_audit_matches_python():
+    """csrc/hostgrid.c band audit == the numpy reference scan, on a
+    case engineered to contain real violations."""
+    from sphexa_tpu.util.native import band_audit_native
+
+    state, box, cfg = _evrard(16)
+    p = state.p
+    alive = np.asarray(p.alive)
+    x, y, z, h = (np.asarray(v)[alive].astype(np.float64)
+                  for v in (p.x, p.y, p.z, p.h))
+    med = np.median(h)
+    sel_i = h >= med
+    excl = h < med * 0.98          # overlaps supports -> violations
+    edge = 2.0 * h[sel_i].max() * 1.05
+    nx = max(1, int(box.lx / edge))
+    ny = max(1, int(box.ly / edge))
+    nz = max(1, int(box.lz / edge))
+    v_nat = band_audit_native(x[sel_i], y[sel_i], z[sel_i], h[sel_i],
+                              x[excl], y[excl], z[excl], box, nx, ny, nz)
+    if v_nat is None:
+        pytest.skip("no C compiler on this host")
+
+    # numpy reference: brute force (sizes are small here)
+    dx = x[excl][:, None] - x[sel_i][None, :]
+    dy = y[excl][:, None] - y[sel_i][None, :]
+    dz = z[excl][:, None] - z[sel_i][None, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    hit = (d2 < (2.0 * h[sel_i][None, :]) ** 2).any(axis=1)
+    assert v_nat == int(hit.sum())
+    assert v_nat > 0
