@@ -128,6 +128,10 @@ def legal_zgroup(npz: int, cap: int) -> int:
 def max_cell_count(grid: CMGrid, box: Box, xs, ys, zs) -> int:
     """Host-side: the largest per-cell particle count when binning the
     given (alive) positions into `grid` — the minimum viable slot cap."""
+    from sphexa_tpu.util.native import max_cell_count_native
+    r = max_cell_count_native(xs, ys, zs, box, grid.nx, grid.n, grid.nz)
+    if r is not None:
+        return r
     ix = np.clip(((np.asarray(xs) - box.xmin) / box.lx * grid.nx).astype(int),
                  0, grid.nx - 1)
     iy = np.clip(((np.asarray(ys) - box.ymin) / box.ly * grid.n).astype(int),
