@@ -21,6 +21,12 @@ CONSERVED_FIELDS = ["x", "y", "z", "x_m1", "y_m1", "z_m1", "vx", "vy", "vz",
                     "temp", "h", "m", "alpha", "du_m1"]
 
 
+def _scalar(v):
+    """Attr value -> python scalar (accepts both plain scalars and the
+    H5Part length-1 array convention)."""
+    return np.asarray(v).ravel()[0]
+
+
 def _attrs_from_state(state: SimState, cfg: SphConfig, n_global: int):
     return dict(iteration=int(state.iteration), time=float(state.ttot),
                 minDt=float(state.dt), minDt_m1=float(state.dt_m1),
@@ -53,7 +59,10 @@ class HDF5Writer:
         step_idx = len([k for k in self._file.keys() if k.startswith("Step#")])
         g = self._file.create_group(f"Step#{step_idx}")
         for k, v in _attrs_from_state(state, cfg, n).items():
-            g.attrs[k] = v
+            # H5Part convention: step attributes are length-1 arrays
+            # (the reference's compare_*.py indexes attrs["time"][0],
+            # compare_solutions.py:64)
+            g.attrs[k] = np.atleast_1d(v)
         g.attrs["box"] = [box.xmin, box.xmax, box.ymin, box.ymax,
                           box.zmin, box.zmax]
         g.attrs["boundary"] = [box.bx.value, box.by.value, box.bz.value]
@@ -124,8 +133,8 @@ def load_bdt_state(path: str, step: int = -1):
             return None
         return dict(rung=np.asarray(g["bdt_rung"]),
                     dt_m1k=np.asarray(g["bdt_dt_m1k"]),
-                    dt_min=float(g.attrs["bdt_dt_min"]),
-                    num_rungs=int(g.attrs["bdt_num_rungs"]))
+                    dt_min=float(_scalar(g.attrs["bdt_dt_min"])),
+                    num_rungs=int(_scalar(g.attrs["bdt_num_rungs"])))
 
 
 def load_turbulence_state(path: str, step: int = -1):
@@ -152,20 +161,23 @@ def load_checkpoint(path: str, cfg: SphConfig, step: int = -1,
     n = len(fields["x"])
     kw = {k: fields[k] for k in CONSERVED_FIELDS if k in fields}
     ps = make_particles(capacity or n, n, **kw)
-    state = make_state(ps, dt0=float(attrs["minDt"]),
-                       ttot=float(attrs["time"]))
-    state = state.replace(dt_m1=np.float32(attrs["minDt_m1"]),
-                          iteration=np.int32(attrs["iteration"]))
+    state = make_state(ps, dt0=float(_scalar(attrs["minDt"])),
+                       ttot=float(_scalar(attrs["time"])))
+    state = state.replace(dt_m1=np.float32(_scalar(attrs["minDt_m1"])),
+                          iteration=np.int32(_scalar(attrs["iteration"])))
 
     b = attrs["box"]
     bd = [Boundary(int(v)) for v in attrs["boundary"]]
     box = Box(float(b[0]), float(b[1]), float(b[2]), float(b[3]),
               float(b[4]), float(b[5]), bd[0], bd[1], bd[2])
     m = np.asarray(fields["m"]) if "m" in fields else np.ones(1)
-    cfg = cfg.replace(ng0=int(attrs["ng0"]), ngmax=int(attrs["ngmax"]),
-                      gamma=float(attrs["gamma"]), mui=float(attrs["muiConst"]),
-                      gravG=float(attrs["gravConstant"]),
-                      kcour=float(attrs["Kcour"]), krho=float(attrs["Krho"]),
+    cfg = cfg.replace(ng0=int(_scalar(attrs["ng0"])),
+                      ngmax=int(_scalar(attrs["ngmax"])),
+                      gamma=float(_scalar(attrs["gamma"])),
+                      mui=float(_scalar(attrs["muiConst"])),
+                      gravG=float(_scalar(attrs["gravConstant"])),
+                      kcour=float(_scalar(attrs["Kcour"])),
+                      krho=float(_scalar(attrs["Krho"])),
                       uniform_mass=bool(m.min() == m.max()))
     return state, box, cfg
 

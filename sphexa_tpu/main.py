@@ -454,8 +454,15 @@ def main(argv=None):
             bdt_state = None
             if hasattr(step_fn, "checkpoint_state"):
                 bdt_state = step_fn.checkpoint_state(state.p.n)
-            writer.write_step(state, cfg, box, turb_state=turb_state,
-                              bdt_state=bdt_state)
+            # derived output columns (rho, p) so the reference's
+            # compare_*.py comparators read our dumps directly
+            out_fields = {}
+            if getattr(diag, "rho", None) is not None:
+                out_fields["rho"] = diag.rho
+            if getattr(diag, "p", None) is not None:
+                out_fields["p"] = diag.p
+            writer.write_step(state, cfg, box, fields=out_fields or None,
+                              turb_state=turb_state, bdt_state=bdt_state)
         if viz:
             viz.execute(state, box, int(state.iteration) - 1)
 

@@ -37,6 +37,9 @@ class StepDiagnostics(NamedTuple):
     nf_truncated: jnp.ndarray = 0   # FMM near-field slots beyond leaf_cap
                                     # (silently dropped pairs — fail-stop,
                                     # see gravity/fmm.FmmGravity)
+    rho: jnp.ndarray = None      # per-particle density/pressure of the
+    p: jnp.ndarray = None        # force step (output columns for the
+                                 # reference's compare_*.py tooling)
 
 
 def compute_energies(ps: Particles, cfg: SphConfig):
@@ -51,7 +54,8 @@ def compute_energies(ps: Particles, cfg: SphConfig):
 
 def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
                 c, divv, nc_sph, box: Box, cfg: SphConfig,
-                max_nc, max_cell_count, egrav=0.0, nf_truncated=0):
+                max_nc, max_cell_count, egrav=0.0, nf_truncated=0,
+                rho=None, p=None):
     """Timestep + Press-2 integration + AB2 energy + h controller + diag.
     `ps` must carry the force-step-updated h/alpha."""
     dt_courant = ts.courant_timestep(maxvsignal, ps.h, c, ps.alive, cfg.kcour)
@@ -92,6 +96,7 @@ def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
                  / jnp.maximum(jnp.sum(ps.alive), 1)).astype(jnp.float32),
         max_nc=max_nc, max_cell_count=max_cell_count,
         nf_truncated=jnp.int32(nf_truncated),
+        rho=rho, p=p,
         maxvsignal=jnp.max(jnp.where(ps.alive, maxvsignal, 0.0)))
 
     new_state = SimState(p=ps, ttot=state.ttot + dt, dt=dt, dt_m1=dt_m1,

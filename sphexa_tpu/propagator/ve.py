@@ -101,6 +101,7 @@ def make_ve_step(box: Box, grid: CellGrid, cfg: SphConfig):
                            aux["nc_sph"], box, cfg,
                            max_nc=aux["max_nc"],
                            max_cell_count=aux["max_cell_count"],
-                           egrav=egrav, nf_truncated=nf_trunc)
+                           egrav=egrav, nf_truncated=nf_trunc,
+                           rho=aux["rho"], p=aux["p"])
 
     return step

@@ -188,7 +188,8 @@ def make_ve_step_pallas(box: Box, grid: CMGrid, cfg: SphConfig,
             back(out["divv"]), back(out["nc_sph"], 1.0), box, cfg,
             max_nc=max_nc.astype(jnp.int32),
             max_cell_count=layout.overflow.astype(jnp.int32),
-            egrav=egrav, nf_truncated=nf_trunc)
+            egrav=egrav, nf_truncated=nf_trunc,
+            rho=back(out["rho"], 1.0), p=back(out["p"]))
         return new_state, diag
 
     return step

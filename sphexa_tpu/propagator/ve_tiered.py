@@ -436,7 +436,7 @@ def make_ve_step_pallas_tiered(box: Box, tiers, cfg: SphConfig,
             divv_pf, nc_sph_pf, box, cfg,
             max_nc=max_nc.astype(jnp.int32),
             max_cell_count=(overflow + unowned + clamped).astype(jnp.int32),
-            egrav=egrav, nf_truncated=nf_trunc)
+            egrav=egrav, nf_truncated=nf_trunc, rho=rho_pf, p=p_pf)
         return new_state, diag
 
     return step
