@@ -18,11 +18,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sphexa_tpu.config import INDEX_DTYPE, SphConfig
-from sphexa_tpu.domain.hilbert import (AXIS, HilbertConfig, balance_splits,
-                                       exchange_halos, hilbert_keys, migrate,
-                                       refresh_halo_fields)
+from sphexa_tpu.domain.hilbert import AXIS, HilbertConfig, hilbert_keys
 from sphexa_tpu.domain.slab import _pack
-from sphexa_tpu.neighbors import CellGrid, build_cell_list, build_neighbor_list
+from sphexa_tpu.neighbors import CellGrid
 from sphexa_tpu.sfc.box import Box
 from sphexa_tpu.propagator.ve_sharded import _sharded_gravity
 from sphexa_tpu.sph import hydro_ve
@@ -51,37 +49,16 @@ def _local_step(ps: Particles, dt_prev, box: Box, grid: CellGrid,
                 cfg: SphConfig, hc: HilbertConfig):
     """One full step on this device's shard. Runs inside shard_map."""
     # ---- domain sync (reference Domain::sync, domain.hpp:196) ----
-    keys = hilbert_keys(box, ps.x, ps.y, ps.z)
-    splits = balance_splits(keys, ps.alive, hc)
-    ps, lost_mig, n_own0 = migrate(ps, box, splits, hc)
-    imbalance = jax.lax.pmax(n_own0, AXIS).astype(jnp.float32) \
-        * hc.n_ranks / jnp.maximum(
-            jax.lax.psum(n_own0, AXIS).astype(jnp.float32), 1.0)
-
-    h_max = jax.lax.pmax(jnp.max(jnp.where(ps.alive, ps.h, 0.0)), AXIS)
+    from sphexa_tpu.domain.facade import Domain
+    sr = Domain(box, grid, cfg, hc).sync(ps)
+    ps = sr.ps
+    exts, owned, nl, refresh = sr.exts, sr.owned, sr.nl, sr.refresh
+    h_max = sr.h_max
+    imbalance, n_own0 = sr.imbalance, sr.n_owned
     r_halo = 2.0 * h_max * 1.3  # slack for in-step h growth
 
-    ext, maps = exchange_halos(ps, box, hc)
-    owned_ext = jnp.concatenate([
-        ps.alive, jnp.zeros((hc.n_ranks * hc.halo_cap,), bool)])
-
-    # ---- cell sort over the extended frame ----
-    cl = build_cell_list(grid, box, ext.x, ext.y, ext.z, alive=ext.alive)
-    exts = ext.permute(cl.perm)
-    owned = owned_ext[cl.perm]
-    inv_perm = jnp.zeros((hc.ext,), INDEX_DTYPE).at[cl.perm].set(
-        jnp.arange(hc.ext, dtype=INDEX_DTYPE))
-
-    nl = build_neighbor_list(grid, box, cl, exts.x, exts.y, exts.z, exts.h,
-                             cfg, adapt_h=True, alive=exts.alive)
-    h = jnp.where(owned, nl.h, exts.h)
-    (h,) = refresh_halo_fields((h,), maps, hc, inv_perm=inv_perm)
-    exts = exts.replace(h=h)
-
-    x, y, z = exts.x, exts.y, exts.z
+    x, y, z, h = exts.x, exts.y, exts.z, exts.h
     idx, nc = nl.idx, nl.nc
-    refresh = functools.partial(refresh_halo_fields, maps=maps, hc=hc,
-                                inv_perm=inv_perm)
 
     # ---- pair stages with reference-placed halo refreshes ----
     xm = hydro_ve.compute_xmass(box, x, y, z, h, exts.m, idx, nc, cfg)
@@ -116,11 +93,11 @@ def _local_step(ps: Particles, dt_prev, box: Box, grid: CellGrid,
         gax, gay, gaz, egrav, _govf = _sharded_gravity(ps, box, cfg, AXIS)
         # owned rows of the extended frame carry the gravity force
         gax_e = jnp.concatenate([gax, jnp.zeros((hc.ext - hc.cap,),
-                                                gax.dtype)])[cl.perm]
+                                                gax.dtype)])[sr.perm]
         gay_e = jnp.concatenate([gay, jnp.zeros((hc.ext - hc.cap,),
-                                                gay.dtype)])[cl.perm]
+                                                gay.dtype)])[sr.perm]
         gaz_e = jnp.concatenate([gaz, jnp.zeros((hc.ext - hc.cap,),
-                                                gaz.dtype)])[cl.perm]
+                                                gaz.dtype)])[sr.perm]
         ax_g = ax_g + gax_e
         ay_g = ay_g + gay_e
         az_g = az_g + gaz_e
@@ -163,7 +140,7 @@ def _local_step(ps: Particles, dt_prev, box: Box, grid: CellGrid,
         valid, exts.m * (vxn ** 2 + vyn ** 2 + vzn ** 2), 0.0)), AXIS)
     eint = jax.lax.psum(jnp.sum(jnp.where(valid, exts.m * cv * temp, 0.0)),
                         AXIS)
-    lost_tot = jax.lax.psum(lost_mig + maps.send_lost, AXIS)
+    lost_tot = jax.lax.psum(sr.lost, AXIS)
     n_owned = jax.lax.psum(n_own, AXIS)
     max_nc = jax.lax.pmax(nl.max_nc, AXIS)
 
