@@ -59,6 +59,11 @@ def parse_args(argv=None):
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="abort on the first NaN-producing op with its "
+                        "location (jax_debug_nans) — the runtime "
+                        "sanitizer analog of the reference's "
+                        "-fsanitize CI builds (sanitize.yml)")
     p.add_argument("--viz-every", type=int, default=0,
                    help="render a PNG slice every N iterations (in-situ "
                         "viz hook; 0 = off)")
@@ -263,6 +268,9 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     state, box, cfg, extras = build_sim(args)
 
     alive = np.asarray(state.p.alive)

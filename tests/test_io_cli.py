@@ -169,3 +169,18 @@ def test_wall_clock_stop(tmp_path):
                "--duration", "0", "--quiet",
                "--constants", str(tmp_path / "c.txt")])
     assert int(st.iteration) <= 3
+
+
+def test_debug_nans_flag(tmp_path):
+    """--debug-nans (the -fsanitize CI analog) must not fire on a
+    healthy run."""
+    import jax
+
+    from sphexa_tpu.main import main
+
+    try:
+        main(["--init", "sedov", "-n", "6", "-s", "2", "--dt0", "1e-5",
+              "--debug-nans", "--quiet",
+              "--constants", str(tmp_path / "c.txt")])
+    finally:
+        jax.config.update("jax_debug_nans", False)
