@@ -23,6 +23,42 @@ from sphexa_tpu.state import make_particles, make_state
 
 _CACHE_DIR = os.path.expanduser("~/.cache/sphexa-glass")
 
+# user-supplied glass template (reference: the --glass CLI option
+# pointing at a pre-relaxed 50^3 block file, sphexa.cpp:82)
+_TEMPLATE_OVERRIDE = None   # (x, y, z, side)
+
+
+def set_glass_template(path: str | None):
+    """Install an external glass template for all subsequent tilings.
+    Accepts HDF5 (datasets x, y, z — the reference's 50c.h5 layout) or
+    .npz with x/y/z arrays; positions are normalized to [0, 1)^3.
+    Pass None to clear."""
+    global _TEMPLATE_OVERRIDE
+    if path is None:
+        _TEMPLATE_OVERRIDE = None
+        return
+    if path.endswith(".npz"):
+        d = np.load(path)
+        x, y, z = (np.asarray(d[k], np.float64) for k in ("x", "y", "z"))
+    else:
+        import h5py
+        with h5py.File(path, "r") as f:
+            g = f["Step#0"] if "Step#0" in f else f
+            x = np.asarray(g["x"], np.float64)
+            y = np.asarray(g["y"], np.float64)
+            z = np.asarray(g["z"], np.float64)
+
+    def norm(v):
+        lo, hi = v.min(), v.max()
+        n = round(len(v) ** (1.0 / 3.0))
+        span = (hi - lo) * (n + 1.0) / max(n, 1)   # open upper edge
+        return (v - lo) / max(span, 1e-30)
+
+    side = round(len(x) ** (1.0 / 3.0))
+    if side ** 3 != len(x):
+        raise ValueError(f"glass template must be cubic; got N={len(x)}")
+    _TEMPLATE_OVERRIDE = (norm(x), norm(y), norm(z), side)
+
 
 def relax_glass_block(side: int, steps: int = 80, seed: int = 42,
                       jitter: float = 0.35, cache: bool = True,
@@ -82,7 +118,10 @@ def glass_cuboid(lo, hi, spacing: float, template_side: int = 24,
     rounded like the reference's, so each tile is the template scaled
     (possibly anisotropically for thin dimensions — the reference
     squeezes its block the same way). Returns (x, y, z)."""
-    tx, ty, tz = relax_glass_block(template_side, seed=seed)
+    if _TEMPLATE_OVERRIDE is not None:
+        tx, ty, tz, template_side = _TEMPLATE_OVERRIDE
+    else:
+        tx, ty, tz = relax_glass_block(template_side, seed=seed)
     lo = np.asarray(lo, float)
     ext = np.asarray(hi, float) - lo
     block = template_side * spacing

@@ -59,6 +59,11 @@ def parse_args(argv=None):
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings")
+    p.add_argument("--glass", default=None,
+                   help="pre-relaxed glass template file (HDF5 with "
+                        "x/y/z or .npz) used by glass-tiled ICs "
+                        "(reference --glass, sphexa.cpp:82); default: "
+                        "self-relaxed cached template")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first NaN-producing op with its "
                         "location (jax_debug_nans) — the runtime "
@@ -271,6 +276,9 @@ def main(argv=None):
     if args.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
+    if args.glass:
+        from sphexa_tpu.init.glass import set_glass_template
+        set_glass_template(args.glass)
     state, box, cfg, extras = build_sim(args)
 
     alive = np.asarray(state.p.alive)

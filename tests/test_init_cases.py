@@ -112,3 +112,28 @@ def test_glass_cuboid_tiling():
     # a z-extent far below one template block must be rejected
     with _pytest.raises(ValueError):
         glass_cuboid((0, 0, 0), (1, 1, 0.0625), spacing, template_side=24)
+
+
+def test_glass_template_override(tmp_path):
+    """--glass template file (reference sphexa.cpp:82): an external
+    block is normalized and tiled by glass_cuboid."""
+    import numpy as np
+
+    from sphexa_tpu.init.glass import glass_cuboid, set_glass_template
+
+    rng = np.random.default_rng(0)
+    side = 6
+    g = (np.arange(side) + 0.5) / side
+    gx, gy, gz = np.meshgrid(g, g, g, indexing="ij")
+    jit = rng.uniform(-0.03, 0.03, size=(3,) + gx.shape)
+    path = str(tmp_path / "glass.npz")
+    np.savez(path, x=(gx + jit[0]).ravel(), y=(gy + jit[1]).ravel(),
+             z=(gz + jit[2]).ravel())
+    try:
+        set_glass_template(path)
+        x, y, z = glass_cuboid((0, 0, 0), (1.0, 1.0, 1.0), spacing=1 / 12)
+        # 2x2x2 tiles of the 6^3 template
+        assert len(x) == 8 * side ** 3
+        assert 0.0 <= x.min() and x.max() < 1.0
+    finally:
+        set_glass_template(None)
