@@ -178,6 +178,19 @@ def main():
         assert int(diags.max_cell_count[-1]) == 0, (
             "tiered overflow/unowned/clamped: "
             f"{np.asarray(diags.max_cell_count).tolist()}")
+        # physics gate: the bench barely advances t, so the density must
+        # still track the analytic IC law rho = M / (2 pi R^2 r)
+        # (evrard_solution.py digitizes the later-time PPM profiles)
+        alive = np.asarray(state.p.alive)
+        r = np.sqrt(np.asarray(state.p.x) ** 2 + np.asarray(state.p.y) ** 2
+                    + np.asarray(state.p.z) ** 2)[alive]
+        rho = np.asarray(diags.rho[-1])[alive]
+        sel = (r > 0.05) & (r < 0.9)    # away from center smearing + edge
+        rho_ana = 1.0 / (2.0 * np.pi * np.maximum(r[sel], 1e-6))
+        l1 = float(np.mean(np.abs(rho[sel] - rho_ana) / rho_ana))
+        print(f"# evrard L1(rho vs 1/(2 pi r)) = {l1:.4f}",
+              file=__import__('sys').stderr)
+        assert l1 < 0.15, f"evrard density profile off: L1={l1}"
     elif on_tpu:
         import numpy as np
 

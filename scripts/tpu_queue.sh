@@ -1,0 +1,44 @@
+#!/bin/bash
+# Waits for the tunneled TPU backend to come back, then runs the
+# round's pending chip jobs sequentially. Logs to artifacts/tpu_queue.log.
+cd "$(dirname "$0")/.."
+mkdir -p artifacts
+LOG=artifacts/tpu_queue.log
+echo "=== tpu_queue start $(date -u) ===" >> "$LOG"
+
+probe() {
+    timeout 90 python - <<'EOF' >/dev/null 2>&1
+import jax
+assert jax.devices()[0].platform == "tpu"
+import jax.numpy as jnp
+assert float(jnp.sum(jnp.ones(8))) == 8.0
+EOF
+}
+
+for i in $(seq 1 200); do
+    if probe; then
+        echo "TPU back at $(date -u) (probe $i)" >> "$LOG"
+        break
+    fi
+    sleep 60
+done
+if ! probe; then
+    echo "TPU never came back" >> "$LOG"
+    exit 1
+fi
+
+echo "--- job 1: sedov bench sanity ---" >> "$LOG"
+timeout 900 python bench.py >> "$LOG" 2>&1
+
+echo "--- job 2: sedov L1 gate (side 100) ---" >> "$LOG"
+timeout 3600 python scripts/sedov_gate.py 100 0.02 >> "$LOG" 2>&1
+
+echo "--- job 3: BDT evolved bench ---" >> "$LOG"
+SPHEXA_BENCH_PROP=ve-bdt SPHEXA_BENCH_EVOLVE=80 timeout 2400 \
+    python bench.py >> "$LOG" 2>&1
+
+echo "--- job 4: evrard-50 tiered bench ---" >> "$LOG"
+SPHEXA_BENCH_CASE=evrard SPHEXA_BENCH_SIDE=50 timeout 3600 \
+    python bench.py >> "$LOG" 2>&1
+
+echo "=== tpu_queue done $(date -u) ===" >> "$LOG"
