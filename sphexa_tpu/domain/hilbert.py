@@ -25,6 +25,19 @@ Unlike the round-1 fixed-width slab ring (domain/slab.py), ranges adapt
 to the density field (imbalance bounded by one histogram bin) and halo
 exchange is all-neighbor, not just +-1 ring.
 
+On peer pruning (reference findPeersMac, traversal/peers.hpp:63): the
+reference prunes MPI peers because point-to-point lanes cost per-pair
+setup and the octree walk makes the peer set cheap to compute. On TPU
+the equivalent primitive IS `all_to_all` — XLA schedules it as an ICI
+collective whose cost is dominated by the BYTES moved, and ranks that
+have nothing for each other contribute zero-filled (compressible)
+slices. The genuinely scaling-relevant quantity is the per-destination
+buffer: migration moves O(surface drift) rows and halos O(surface)
+rows to O(1) spatial neighbors regardless of D, so mig_cap/halo_cap
+stay constant as D grows while the buffer is mig_cap * D. Past ~64
+ranks the right fix is hierarchical meshes (slab-of-hilbert-domains,
+one all_to_all per sub-axis), not MPI-style peer lists.
+
 All functions here run *inside* shard_map over AXIS.
 """
 
