@@ -59,6 +59,11 @@ def parse_args(argv=None):
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings")
+    p.add_argument("-f", "--fields", default="rho,p",
+                   help="comma list of DERIVED columns to add to each "
+                        "output step beyond the conserved set "
+                        "(available: rho, p; reference -f outputFields, "
+                        "sphexa.cpp:86)")
     p.add_argument("--glass", default=None,
                    help="pre-relaxed glass template file (HDF5 with "
                         "x/y/z or .npz) used by glass-tiled ICs "
@@ -470,13 +475,15 @@ def main(argv=None):
             bdt_state = None
             if hasattr(step_fn, "checkpoint_state"):
                 bdt_state = step_fn.checkpoint_state(state.p.n)
-            # derived output columns (rho, p) so the reference's
+            # derived output columns (-f) so the reference's
             # compare_*.py comparators read our dumps directly
+            wanted = {t.strip() for t in args.fields.split(",") if t.strip()}
             out_fields = {}
-            if getattr(diag, "rho", None) is not None:
-                out_fields["rho"] = diag.rho
-            if getattr(diag, "p", None) is not None:
-                out_fields["p"] = diag.p
+            for name in wanted:
+                v = getattr(diag, name, None)
+                if v is not None and hasattr(v, "shape") \
+                        and getattr(v, "ndim", 0) == 1:
+                    out_fields[name] = v
             writer.write_step(state, cfg, box, fields=out_fields or None,
                               turb_state=turb_state, bdt_state=bdt_state)
         if viz:
