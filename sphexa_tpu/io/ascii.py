@@ -95,9 +95,17 @@ def load_ascii_checkpoint(path: str, cfg, step: int = -1,
     kw = {k: v for k, v in fields.items()
           if k in ("x", "y", "z", "vx", "vy", "vz", "h", "temp", "m")}
     kw.setdefault("m", np.full(n, 1.0 / n, np.float32))
+    dt = np.float32(dt0 or 1e-6)
+    # Press-2 carries velocity in the displacement history (x_m1 holds
+    # the last step's dx; positions.hpp:77-90 derives v_half from it),
+    # so zero _m1 would silently zero velocities. Reconstruct first
+    # order from v — the reference's scripts/add_m1.py workflow.
+    for a in ("x", "y", "z"):
+        kw[f"{a}_m1"] = np.asarray(kw.get(f"v{a}", np.zeros(n)),
+                                   np.float32) * dt
     ps = make_particles(n, n, alpha=np.full(n, cfg.alphamin, np.float32),
                         **kw)
-    state = make_state(ps, dt0=dt0 or 1e-6, ttot=attrs["time"])
+    state = make_state(ps, dt0=float(dt), ttot=attrs["time"])
     state = state.replace(iteration=np.int32(attrs["iteration"]))
     box = None
     if "box" in attrs:

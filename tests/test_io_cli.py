@@ -184,3 +184,30 @@ def test_debug_nans_flag(tmp_path):
               "--constants", str(tmp_path / "c.txt")])
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_ascii_restart_preserves_velocity(tmp_path):
+    """Press-2 carries v in the displacement history: the ASCII restart
+    must reconstruct x_m1 = v dt (add_m1.py analog) or velocities would
+    silently zero on the first step."""
+    import jax.numpy as jnp
+
+    from sphexa_tpu.io.ascii import AsciiWriter, load_ascii_checkpoint
+    from sphexa_tpu.neighbors import CellGrid, choose_level
+    from sphexa_tpu.propagator.ve import make_ve_step
+
+    cfg = SphConfig()
+    state, box, cfg = init_sedov(6, cfg, dt0=1e-4)
+    # give particles a visible bulk velocity
+    ps = state.p.replace(vx=jnp.full_like(state.p.vx, 0.3),
+                         x_m1=jnp.full_like(state.p.x_m1, 0.3 * 1e-4))
+    state = state.replace(p=ps)
+    path = str(tmp_path / "d.txt")
+    AsciiWriter(path).write_step(state, cfg, box)
+
+    st2, box2 = load_ascii_checkpoint(path, cfg, dt0=1e-4)
+    step = make_ve_step(box2, CellGrid(choose_level(
+        box2, float(np.asarray(st2.p.h).max()) * 1.3)), cfg)
+    st3, _ = step(st2)
+    vx = np.asarray(st3.p.vx)[np.asarray(st3.p.alive)]
+    assert abs(np.median(vx) - 0.3) < 0.05, np.median(vx)
