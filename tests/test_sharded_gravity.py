@@ -57,8 +57,8 @@ def test_hilbert_gravity_matches_single():
 
 @pytest.mark.multichip
 @pytest.mark.slow
-@pytest.mark.parametrize("D,level", [(2, 0), (8, 5)])
-def test_fmm_sharded_matches_single(D, level):
+@pytest.mark.parametrize("D,level,dim", [(2, 0, 2), (2, 0, 0), (8, 5, 2)])
+def test_fmm_sharded_matches_single(D, level, dim):
     """Hierarchical multi-chip FMM (psum'd moment grid + ppermute
     near-field bands, gravity/fmm.fmm_gravity_sharded — the
     computeGlobalMultipoles analog, global_multipole.hpp:45) must
@@ -93,8 +93,9 @@ def test_fmm_sharded_matches_single(D, level):
                      jnp.ones(n, bool), box, 1.0, fc, eps=0.02)
     assert int(g1.nf_truncated) == 0
 
-    # shard by z-slab: sort by z, split into D caps with dead padding
-    order = np.argsort(pos[:, 2], kind="stable")
+    # shard by 1-D slab along `dim` (z-slabs and x-column ranges are
+    # the two production decompositions): sort, split into D caps
+    order = np.argsort(pos[:, dim], kind="stable")
     cap = (n + D - 1) // D + 7   # uneven split exercises the padding
     xs, ys, zs, ms, al = [], [], [], [], []
     splits = np.array_split(order, D)
@@ -110,7 +111,7 @@ def test_fmm_sharded_matches_single(D, level):
     mesh = Mesh(np.array(jax.devices()[:D]), ("gz",))
     f = shard_map(
         lambda x, y, z, mm, a: fmm_gravity_sharded(
-            x, y, z, mm, a, box, 1.0, fc, 0.02, "gz", dim=2),
+            x, y, z, mm, a, box, 1.0, fc, 0.02, "gz", dim=dim),
         mesh=mesh,
         in_specs=(P("gz"),) * 5,
         out_specs=(P("gz"), P("gz"), P("gz"), P("gz"), P(), P()))
