@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -6,7 +6,6 @@ back to the output file attributes for provenance."""
 
 from __future__ import annotations
 
-import dataclasses
 
 from sphexa_tpu.config import SphConfig
 

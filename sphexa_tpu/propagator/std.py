@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.neighbors import CellGrid, build_cell_list, build_neighbor_list

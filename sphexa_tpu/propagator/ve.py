@@ -15,7 +15,6 @@ exchanges. The Pallas cell-major fast path lives in ve_pallas.py.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.neighbors import CellGrid, build_cell_list, build_neighbor_list

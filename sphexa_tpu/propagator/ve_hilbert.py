@@ -10,7 +10,6 @@ of round 1's fixed-width slab ring.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -22,7 +22,6 @@ gradh -> [kx, gradh] -> EOS (elementwise, ghost-correct by construction)
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -22,15 +22,14 @@ as the grid itself.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from sphexa_tpu.config import INDEX_DTYPE, SphConfig
+from sphexa_tpu.config import SphConfig
 from sphexa_tpu.domain.slab import AXIS, SlabConfig, migrate
 from sphexa_tpu.propagator.ve_sharded import _sharded_gravity
 from sphexa_tpu.ops.cellmajor import (CMGrid, _cell_coords_all, build_layout,

@@ -15,7 +15,6 @@ is kept for parity experiments (SphConfig.use_kernel_table).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax.numpy as jnp
 import numpy as np
