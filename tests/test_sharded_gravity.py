@@ -63,10 +63,14 @@ def test_fmm_sharded_matches_single(D, level, dim):
     near-field bands, gravity/fmm.fmm_gravity_sharded — the
     computeGlobalMultipoles analog, global_multipole.hpp:45) must
     reproduce the single-device conv-FMM bit-for-bit up to fp32
-    reduction order, with per-device memory independent of N. The
-    8-rank case needs level 5 so count-balanced slabs of the clustered
-    cloud stay wider than the near-field reach (the ring-violation
-    counter fail-stops otherwise)."""
+    reduction order, with per-device memory independent of N.
+
+    Decomposition mirrors production: FIXED-WIDTH slabs (domain/slab.py
+    bins by position), which satisfy the +-1-ring condition at
+    min_level_for_bands by construction. Count-balanced slabs of a
+    clustered cloud can be thinner than the near-field reach — the
+    dedicated ring-violation test below pins the fail-stop for that
+    case."""
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
@@ -93,12 +97,15 @@ def test_fmm_sharded_matches_single(D, level, dim):
                      jnp.ones(n, bool), box, 1.0, fc, eps=0.02)
     assert int(g1.nf_truncated) == 0
 
-    # shard by 1-D slab along `dim` (z-slabs and x-column ranges are
-    # the two production decompositions): sort, split into D caps
-    order = np.argsort(pos[:, dim], kind="stable")
-    cap = (n + D - 1) // D + 7   # uneven split exercises the padding
+    # fixed-width slabs along `dim` (the production slab binning);
+    # unequal counts exercise the per-rank padding
+    coord = pos[:, dim]
+    edges = np.linspace(-1.0, 1.0, D + 1)
+    slab = np.clip(np.searchsorted(edges, coord, side="right") - 1,
+                   0, D - 1)
+    splits = [np.flatnonzero(slab == k) for k in range(D)]
+    cap = max(len(s_) for s_ in splits) + 7
     xs, ys, zs, ms, al = [], [], [], [], []
-    splits = np.array_split(order, D)
     for sel in splits:
         pad = cap - len(sel)
         xs.append(np.concatenate([pos[sel, 0], np.zeros(pad, np.float32)]))
@@ -132,3 +139,45 @@ def test_fmm_sharded_matches_single(D, level, dim):
         scale = np.abs(ref_np).max()
         np.testing.assert_allclose(got_np, ref_np, atol=2e-5 * scale,
                                    rtol=2e-4)
+
+
+@pytest.mark.multichip
+@pytest.mark.slow
+def test_fmm_band_ring_violation_failstop():
+    """Count-balanced slabs of a clustered cloud get thinner than the
+    near-field reach — the +-1 band exchange is then incomplete and
+    MUST trip the ring-violation counter (silent wrong forces are the
+    failure mode the counter exists for)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity_sharded
+    from sphexa_tpu.sfc.box import Box, Boundary
+
+    rng = np.random.default_rng(7)
+    n = 1600
+    r = rng.random(n) ** 1.5 * 0.8 + 1e-3
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pos = (u.T * r).T.astype(np.float32)
+    m = np.full(n, 1.0 / n, np.float32)
+    box = Box.cube(-1.0, 1.0, Boundary.open)
+    D = 8
+    fc = FmmConfig(level=4, leaf_cap=512)   # reach L/8 >> central slabs
+
+    order = np.argsort(pos[:, 2], kind="stable")
+    cap = n // D
+    sl = order[: cap * D].reshape(D, cap)
+    mesh = Mesh(np.array(jax.devices()[:D]), ("gz",))
+    f = shard_map(
+        lambda x, y, z, mm, a: fmm_gravity_sharded(
+            x, y, z, mm, a, box, 1.0, fc, 0.02, "gz", dim=2),
+        mesh=mesh, in_specs=(P("gz"),) * 5,
+        out_specs=(P("gz"),) * 4 + (P(), P()))
+    *_, band_ovf = f(
+        jnp.asarray(pos[sl.ravel(), 0]), jnp.asarray(pos[sl.ravel(), 1]),
+        jnp.asarray(pos[sl.ravel(), 2]), jnp.asarray(m[sl.ravel()]),
+        jnp.ones(cap * D, bool))
+    assert int(band_ovf) > 0, \
+        "thin count-balanced slabs must trip the ring-violation counter"
