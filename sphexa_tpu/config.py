@@ -98,6 +98,11 @@ class SphConfig:
     # kept for future MXU-heavier geometries (it wins when windows are
     # misaligned: 148 vs 160 ms on 192-lane windows).
     mxu_momentum: bool = False
+    gravity_rings: int = 1    # near-field band hops for the sharded FMM
+                              # (fixed-width slabs need 1; count-balanced
+                              # clustered domains may need 2-3 — the
+                              # ring-violation counter fail-stops when
+                              # insufficient)
 
     # neighbor-engine shape parameters (static!)
     cell_cap: int = 64        # max particles per search cell

@@ -623,7 +623,8 @@ def min_level_for_bands(n_ranks: int, extent_frac: float = 1.0,
 
 def fmm_gravity_sharded(x, y, z, m, alive, box: Box, G: float,
                         fc: FmmConfig, eps: float, axis: str,
-                        dim: int = 2, band_cap: int = 0):
+                        dim: int = 2, band_cap: int = 0,
+                        rings: int = 1):
     """Hierarchical multi-chip FMM, called INSIDE shard_map over a 1-D
     spatial decomposition along `dim` (z-slabs / x-column ranges). The
     reference analog is computeGlobalMultipoles
@@ -636,10 +637,13 @@ def fmm_gravity_sharded(x, y, z, m, alive, box: Box, G: float,
         L2L downsweep is dense, grid-sized and cheap, so every rank
         runs it redundantly; L2P evaluates local particles only.
       - near field: P2P pairs reach (min_sep - 1) leaf cells, so each
-        rank needs only the boundary BANDS of its +-1 neighbors along
-        `dim` (choose fc.level >= min_level_for_bands so bands fit in
-        one slab). Bands are compacted to `band_cap` slots and moved
-        with two ppermutes — per-device memory stays O(local + bands),
+        rank needs only the boundary BANDS of its +-`rings` neighbors
+        along `dim` (fixed-width slabs satisfy rings=1 at
+        fc.level >= min_level_for_bands; count-balanced slabs of
+        clustered fields may need rings=2-3 — the extents are ordered
+        along dim, so the SAME edge band serves every hop). Bands are
+        compacted to `band_cap` slots and moved with 2*rings ppermutes
+        — per-device memory stays O(local + rings * bands),
         independent of the global N and rank count (the VERDICT r2
         item on the replicated-source O(N)/device dead end).
 
@@ -690,23 +694,21 @@ def fmm_gravity_sharded(x, y, z, m, alive, box: Box, G: float,
     up = compact_band(alive & (leaf_d >= hi - reach))
     band_overflow = down[5] + up[5]
 
-    # ring-coverage fail-stop: the +-1 exchange is only complete when
-    # every rank whose occupied extent intersects my [lo-reach,
-    # hi+reach] IS a +-1 neighbor. Count-balanced decompositions of
-    # clustered data can make central slabs thinner than the reach
-    # (then particles 2+ ranks away are true near-field partners) —
-    # that is silently wrong physics, so it must trip the counter;
-    # the fix is a deeper fc.level (see min_level_for_bands).
+    # ring-coverage fail-stop: the +-rings exchange is only complete
+    # when every rank whose occupied extent intersects my [lo-reach,
+    # hi+reach] is within `rings` hops. Count-balanced decompositions
+    # of clustered data can make central slabs thinner than the reach
+    # (then particles rings+1 ranks away are true near-field partners)
+    # — that is silently wrong physics, so it must trip the counter;
+    # the fixes are a deeper fc.level (see min_level_for_bands) or
+    # more rings.
     lo_all = jax.lax.all_gather(lo, axis)
     hi_all = jax.lax.all_gather(hi, axis)
     ranks = jnp.arange(n_ranks)
     needs = (hi_all >= lo - reach) & (lo_all <= hi + reach)
-    ring_violation = jnp.sum(needs & (jnp.abs(ranks - me) > 1)
+    ring_violation = jnp.sum(needs & (jnp.abs(ranks - me) > rings)
                              & (hi_all >= lo_all))
     band_overflow = band_overflow + ring_violation
-
-    perm_up = [(i, (i + 1) % n_ranks) for i in range(n_ranks)]
-    perm_dn = [(i, (i - 1) % n_ranks) for i in range(n_ranks)]
 
     def shift(band, perm, edge_rank_invalid):
         out = [jax.lax.ppermute(v, axis, perm) for v in band[:5]]
@@ -714,15 +716,21 @@ def fmm_gravity_sharded(x, y, z, m, alive, box: Box, G: float,
         out[4] = out[4] & jnp.logical_not(edge_rank_invalid)
         return out
 
-    from_below = shift(up, perm_up, me == 0)        # rank me-1's top band
-    from_above = shift(down, perm_dn, me == n_ranks - 1)
+    # the extents are ordered along dim, so rank me-j's top band
+    # contains everything it owns within reach of ANY rank above it —
+    # one band definition serves every hop (see docstring)
+    recv = []
+    for j in range(1, rings + 1):
+        perm_up_j = [(i, (i + j) % n_ranks) for i in range(n_ranks)]
+        perm_dn_j = [(i, (i - j) % n_ranks) for i in range(n_ranks)]
+        recv.append(shift(up, perm_up_j, me < j))            # from me-j
+        recv.append(shift(down, perm_dn_j, me >= n_ranks - j))  # me+j
 
-    ux = jnp.concatenate([x, from_below[0], from_above[0]])
-    uy = jnp.concatenate([y, from_below[1], from_above[1]])
-    uz = jnp.concatenate([z, from_below[2], from_above[2]])
-    um = jnp.concatenate([mm, jnp.where(from_below[4], from_below[3], 0.0),
-                          jnp.where(from_above[4], from_above[3], 0.0)])
-    ualive = jnp.concatenate([alive, from_below[4], from_above[4]])
+    ux = jnp.concatenate([x] + [b[0] for b in recv])
+    uy = jnp.concatenate([y] + [b[1] for b in recv])
+    uz = jnp.concatenate([z] + [b[2] for b in recv])
+    um = jnp.concatenate([mm] + [jnp.where(b[4], b[3], 0.0) for b in recv])
+    ualive = jnp.concatenate([alive] + [b[4] for b in recv])
     ucid = _leaf_binning(fc, box, ux, uy, uz, ualive)
 
     ax_nf, ay_nf, az_nf, pot_nf, nf_trunc = _p2p(

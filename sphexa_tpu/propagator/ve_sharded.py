@@ -252,7 +252,7 @@ def _sharded_gravity(ps, box, cfg, axis: str, dim: int | None = None):
                                  min_level_for_bands(n_ranks)))
         ax, ay, az, pot, nf_trunc, band_ovf = fmm_gravity_sharded(
             ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg.gravG, fc,
-            cfg.eps, axis, dim=dim)
+            cfg.eps, axis, dim=dim, rings=cfg.gravity_rings)
         egrav_loc = 0.5 * _jnp.sum(_jnp.where(ps.alive, ps.m * pot, 0.0))
         return (ax, ay, az, _jax.lax.psum(egrav_loc, axis),
                 nf_trunc + band_ovf)

@@ -181,3 +181,64 @@ def test_fmm_band_ring_violation_failstop():
         jnp.ones(cap * D, bool))
     assert int(band_ovf) > 0, \
         "thin count-balanced slabs must trip the ring-violation counter"
+
+
+@pytest.mark.multichip
+@pytest.mark.slow
+def test_fmm_rings_recover_thin_slabs():
+    """Multi-hop band exchange: a dense central cluster squeezes three
+    count-balanced slabs inside one near-field reach, so +-1 rings are
+    incomplete (the violation counter fires) but rings=4 — computed
+    host-side from the leaf-quantized extents of THIS configuration —
+    restores exact equivalence with the single-device solver (ordered
+    extents => one edge band serves every hop)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity, \
+        fmm_gravity_sharded
+    from sphexa_tpu.sfc.box import Box, Boundary
+
+    rng = np.random.default_rng(3)
+    D, n_uni, n_cl = 8, 1000, 600
+    z = np.concatenate([rng.uniform(-0.95, 0.95, n_uni),
+                        rng.uniform(-0.02, 0.02, n_cl)]).astype(np.float32)
+    xy = rng.uniform(-0.95, 0.95, (n_uni + n_cl, 2)).astype(np.float32)
+    n = len(z)
+    m = np.full(n, 1.0 / n, np.float32)
+    box = Box.cube(-1.0, 1.0, Boundary.open)
+    fc = FmmConfig(level=4, leaf_cap=512)
+
+    g1 = fmm_gravity(jnp.asarray(xy[:, 0]), jnp.asarray(xy[:, 1]),
+                     jnp.asarray(z), jnp.asarray(m),
+                     jnp.ones(n, bool), box, 1.0, fc, eps=0.02)
+    assert int(g1.nf_truncated) == 0
+
+    order = np.argsort(z, kind="stable")
+    cap = n // D
+    sl = order[: cap * D].reshape(D, cap)
+    mesh = Mesh(np.array(jax.devices()[:D]), ("gz",))
+
+    def run(rings):
+        f = shard_map(
+            lambda x, y, zz, mm, a: fmm_gravity_sharded(
+                x, y, zz, mm, a, box, 1.0, fc, 0.02, "gz", dim=2,
+                rings=rings),
+            mesh=mesh, in_specs=(P("gz"),) * 5,
+            out_specs=(P("gz"),) * 4 + (P(), P()))
+        return f(jnp.asarray(xy[sl.ravel(), 0]),
+                 jnp.asarray(xy[sl.ravel(), 1]),
+                 jnp.asarray(z[sl.ravel()]), jnp.asarray(m[sl.ravel()]),
+                 jnp.ones(cap * D, bool))
+
+    # rings=1 is incomplete here and MUST say so
+    *_, bovf1 = run(1)
+    assert int(bovf1) > 0
+
+    ax, ay, az, pot, nft, bovf = run(4)
+    assert int(nft) == 0 and int(bovf) == 0, (int(nft), int(bovf))
+    ref = np.asarray(g1.ax)[sl.ravel()]
+    got = np.asarray(ax)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=2e-4)
