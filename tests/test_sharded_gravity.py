@@ -73,7 +73,7 @@ def test_fmm_sharded_matches_single(D, level, dim):
     case."""
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from sphexa_tpu.gravity.fmm import (FmmConfig, fmm_gravity,
                                         fmm_gravity_sharded,
