@@ -60,7 +60,22 @@ def _pick_cap_grid(state, box, h_eff, n):
 
 def main():
     small = os.environ.get("SPHEXA_BENCH_SMALL")
-    on_tpu = jax.devices()[0].platform == "tpu"
+    # CPU-forcing for verification runs while the TPU tunnel is down
+    # (backend init HANGS when the tunnel half-dies; JAX_PLATFORMS is
+    # ignored once the plugin registers, so use the config override)
+    plat = os.environ.get("SPHEXA_PLATFORM")
+    if plat:
+        os.environ.pop("JAX_PLATFORMS", None)
+        jax.config.update("jax_platforms", plat)
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception as e:  # backend init failure (e.g. TPU tunnel down)
+        print(json.dumps({
+            "metric": "particle_updates_per_sec", "value": 0, "unit": "pups",
+            "vs_baseline": 0.0,
+            "error": f"backend init failed: {type(e).__name__}: {str(e)[:300]}",
+        }))
+        raise SystemExit(1)
     side = (30 if small else 100) if on_tpu else 20
     side = int(os.environ.get("SPHEXA_BENCH_SIDE", side))
     warmup = 2

@@ -15,7 +15,7 @@ assert float(jnp.sum(jnp.ones(8))) == 8.0
 EOF
 }
 
-for i in $(seq 1 200); do
+for i in $(seq 1 680); do
     if probe; then
         echo "TPU back at $(date -u) (probe $i)" >> "$LOG"
         break

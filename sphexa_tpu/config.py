@@ -103,6 +103,12 @@ class SphConfig:
                               # clustered domains may need 2-3 — the
                               # ring-violation counter fail-stops when
                               # insufficient)
+    gravity_band_cap: int = 0  # boundary-band slots/rank for the generic
+                               # sharded FMM (0 = cap, always complete);
+                               # size from fmm.estimate_band_cap for the
+                               # O(local + R*band) LET economy — the
+                               # band-overflow counter fail-stops when
+                               # too small
 
     # neighbor-engine shape parameters (static!)
     cell_cap: int = 64        # max particles per search cell

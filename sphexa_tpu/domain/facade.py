@@ -62,9 +62,20 @@ class Domain:
     def sync(self, ps: Particles, adapt_h: bool = True) -> SyncResult:
         box, grid, cfg, hc = self.box, self.grid, self.cfg, self.hc
 
-        keys = hilbert_keys(box, ps.x, ps.y, ps.z)
-        splits = balance_splits(keys, ps.alive, hc)
-        ps, lost_mig, n_own0 = migrate(ps, box, splits, hc)
+        if hc.key64:
+            # level-20 keys: exact 60-bit quantile boundaries
+            # (types.hpp:39-46 KeyType=uint64 analog)
+            from sphexa_tpu.domain.hilbert import (balance_splits64,
+                                                   owner_of64)
+            from sphexa_tpu.sfc.hilbert64 import keys64_from_positions
+            hi, lo = keys64_from_positions(box, ps.x, ps.y, ps.z)
+            s_hi, s_lo = balance_splits64(hi, lo, ps.alive, hc)
+            owner = owner_of64(hi, lo, s_hi, s_lo)
+            ps, lost_mig, n_own0 = migrate(ps, box, None, hc, owner=owner)
+        else:
+            keys = hilbert_keys(box, ps.x, ps.y, ps.z)
+            splits = balance_splits(keys, ps.alive, hc)
+            ps, lost_mig, n_own0 = migrate(ps, box, splits, hc)
         imbalance = jax.lax.pmax(n_own0, AXIS).astype(jnp.float32) \
             * hc.n_ranks / jnp.maximum(
                 jax.lax.psum(n_own0, AXIS).astype(jnp.float32), 1.0)

@@ -69,6 +69,10 @@ class HilbertConfig:
     coarse: int = 16       # coarse halo-discovery grid cells per dim
     dilate: int = 1        # halo dilation radius in coarse cells; halo
                            # completeness needs dilate * cell_edge >= r_halo
+    key64: bool = False    # level-20 (hi, lo)-uint32 keys + MSD radix
+                           # select splits (the KeyType=uint64 analog,
+                           # types.hpp:39-46) — keeps balance when
+                           # clusters alias whole 30-bit key cells
 
     @property
     def ext(self) -> int:
@@ -112,6 +116,71 @@ def owner_of(keys, splits):
     """Rank owning each key (searchsorted over the split boundaries)."""
     return (jnp.searchsorted(splits[1:-1], keys, side="right")
             ).astype(INDEX_DTYPE)
+
+
+def balance_splits64(hi, lo, alive, hc: HilbertConfig):
+    """Level-20 (60-bit) quantile splits by MSD radix select — the
+    KeyType=uint64 singleRangeSfcSplit analog (reference:
+    sph/include/sph/types.hpp:39-46, domaindecomp.hpp) without 64-bit
+    integer lanes: six psum'd 10-bit-window histogram passes narrow
+    every cut to an EXACT 60-bit boundary, so balance error is bounded
+    by the largest exact-key tie instead of a histogram bin. This is
+    what keeps clustered fields balanced past the 1024^3 resolution of
+    the 30-bit keys (beyond it, whole clusters alias to one 30-bit key
+    and no 30-bit split can separate them).
+
+    Returns (splits_hi, splits_lo): [D - 1] inner boundaries; rank d
+    owns keys in [split_{d-1}, split_d) lexicographically."""
+    D = hc.n_ranks
+    ncut = D - 1
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    total = jax.lax.psum(n_alive, AXIS)
+    remaining = (total * jnp.arange(1, D, dtype=jnp.int32)) // D
+
+    windows = [((hi >> 20) & 1023).astype(jnp.int32),
+               ((hi >> 10) & 1023).astype(jnp.int32),
+               (hi & 1023).astype(jnp.int32),
+               ((lo >> 20) & 1023).astype(jnp.int32),
+               ((lo >> 10) & 1023).astype(jnp.int32),
+               (lo & 1023).astype(jnp.int32)]
+    pm = jnp.broadcast_to(alive[:, None], (alive.shape[0], ncut))
+    decided = []
+    for w in windows:
+        hists = []
+        for c in range(ncut):
+            hists.append(jnp.zeros((1024,), jnp.float32).at[w].add(
+                jnp.where(pm[:, c], 1.0, 0.0), mode="drop"))
+        hist = jax.lax.psum(jnp.stack(hists), AXIS)       # [ncut, 1024]
+        cum = jnp.cumsum(hist, axis=1)
+        rem_f = remaining.astype(jnp.float32)
+        # bin HOLDING the remaining'th key (0-indexed) of the subset:
+        # cum[b-1] <= rem < cum[b]; the assembled boundary is then the
+        # exact 60-bit value of that key (ties go right, undershoot
+        # bounded by the tie-group size)
+        binsel = jnp.sum((cum <= rem_f[:, None] + 0.5).astype(jnp.int32),
+                         axis=1)
+        binsel = jnp.minimum(binsel, 1023)
+        below = jnp.where(binsel > 0,
+                          jnp.take_along_axis(
+                              cum, jnp.maximum(binsel - 1, 0)[:, None],
+                              axis=1)[:, 0], 0.0)
+        remaining = remaining - below.astype(jnp.int32)
+        decided.append(binsel)
+        pm = pm & (w[:, None] == binsel[None, :])
+    d = [x.astype(jnp.uint32) for x in decided]
+    splits_hi = (d[0] << 20) | (d[1] << 10) | d[2]
+    splits_lo = (d[3] << 20) | (d[4] << 10) | d[5]
+    return splits_hi, splits_lo
+
+
+def owner_of64(hi, lo, splits_hi, splits_lo):
+    """Rank owning each (hi, lo) key: lexicographic comparison against
+    the D-1 inner boundaries (keys equal to a boundary go right, the
+    owner_of side='right' convention)."""
+    from sphexa_tpu.sfc.hilbert64 import key64_less
+    ge = ~key64_less(hi[:, None], lo[:, None],
+                     splits_hi[None, :], splits_lo[None, :])
+    return jnp.sum(ge.astype(INDEX_DTYPE), axis=1)
 
 
 def _all2all(x):

@@ -106,21 +106,32 @@ class HaloMaps(NamedTuple):
     halo_right_valid: jnp.ndarray  # [H]
 
 
-def migrate(ps: Particles, box: Box, sc: SlabConfig):
+def migrate(ps: Particles, box: Box, sc: SlabConfig, extras=None):
     """Move owned particles whose z left my slab to the adjacent device.
 
-    Returns (particles, lost) where lost counts particles that needed to
-    move more than one slab or overflowed capacity (diagnostic; should
-    be 0 in a healthy run).
+    `extras`: optional tuple of additional per-particle payload columns
+    (e.g. the BDT kick interval, global ids) that travel with the rows
+    — the analog of the reference's exchangeParticles moving every
+    registered field (domaindecomp_mpi.hpp:86).
+
+    Returns (particles, lost), or (particles, extras_out, lost) when
+    extras are given; lost counts particles that needed to move more
+    than one slab or overflowed capacity (diagnostic; should be 0 in a
+    healthy run).
     """
     me = jax.lax.axis_index(AXIS)
     tgt = slab_of(box, sc, ps.z)
     stay = ps.alive & (tgt == me)
     go_r = ps.alive & (tgt == ((me + 1) % sc.n_slabs))
     go_l = ps.alive & (tgt == ((me - 1) % sc.n_slabs))
+    if sc.n_slabs == 2:
+        # both directions reach the same (only) neighbor: a mover must
+        # travel exactly once (cf. the same guard in exchange_halos)
+        go_l = go_l & ~go_r
     lost_far = jnp.sum(ps.alive & ~(stay | go_r | go_l))
 
-    fields = [getattr(ps, f) for f in _FIELDS[:-1]]
+    n_std = len(_FIELDS) - 1
+    fields = [getattr(ps, f) for f in _FIELDS[:-1]] + list(extras or ())
 
     buf_r, n_r = _pack(go_r, fields, sc.mig_cap)
     buf_l, n_l = _pack(go_l, fields, sc.mig_cap)
@@ -152,10 +163,14 @@ def migrate(ps: Particles, box: Box, sc: SlabConfig):
     n_own = jnp.minimum(n_own, sc.cap)
     alive = jnp.arange(sc.cap, dtype=INDEX_DTYPE) < n_own
 
-    ps = Particles(alive=alive, **dict(zip(_FIELDS[:-1], new_fields)))
+    ps = Particles(alive=alive,
+                   **dict(zip(_FIELDS[:-1], new_fields[:n_std])))
     # keep padding geometry benign
     ps = ps.replace(h=jnp.where(alive, ps.h, 1.0))
-    return ps, lost_far + lost_cap + lost_ovf
+    lost = lost_far + lost_cap + lost_ovf
+    if extras is None:
+        return ps, lost
+    return ps, tuple(new_fields[n_std:]), lost
 
 
 def exchange_halos(ps: Particles, box: Box, sc: SlabConfig, r_halo):

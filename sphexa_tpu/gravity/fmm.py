@@ -611,6 +611,29 @@ def _l2p(local, co, cid, box: Box, fc: FmmConfig):
     return pot_far, ax_far, ay_far, az_far
 
 
+MOMENT_PSUM_BYTE_CAP = 64 << 20   # hard scale guard (see DESIGN.md):
+# the sharded far field psums a dense [NCH_M, 8^level] fp32 stack =
+# 20 * 4 * 8^level bytes (level 4: 320 KB, 5: 2.5 MB, 6: 20 MB,
+# 7: 160 MB). Level 7+ is a pod-scale dead end for the dense design —
+# fail hard instead of silently choking ICI.
+
+
+def moment_grid_bytes(level: int) -> int:
+    """Bytes psum'd per rank by the sharded far field."""
+    return NCH_M * (8 ** level) * 4
+
+
+def _check_psum_budget(fc: FmmConfig):
+    b = moment_grid_bytes(fc.level)
+    if b > MOMENT_PSUM_BYTE_CAP:
+        raise ValueError(
+            f"sharded FMM level {fc.level} psums {b / 2**20:.0f} MB of "
+            f"dense moments per rank (> {MOMENT_PSUM_BYTE_CAP / 2**20:.0f}"
+            " MB cap); the dense moment-grid design stops paying past "
+            "level 6 — shard the grid or lower the level (DESIGN.md: "
+            "hierarchical-FMM scale ceiling)")
+
+
 def min_level_for_bands(n_ranks: int, extent_frac: float = 1.0,
                         min_sep: int = 3) -> int:
     """Smallest FMM level whose near-field reach (min_sep - 1 leaf
@@ -650,6 +673,7 @@ def fmm_gravity_sharded(x, y, z, m, alive, box: Box, G: float,
     Returns (ax, ay, az, pot, nf_trunc, band_overflow) for the local
     rows; the caller psums egrav and fail-stops on the overflow
     counters."""
+    _check_psum_budget(fc)
     me = jax.lax.axis_index(axis)
     n_ranks = jax.lax.psum(1, axis)
     cap = x.shape[0]
@@ -741,11 +765,158 @@ def fmm_gravity_sharded(x, y, z, m, alive, box: Box, G: float,
             jax.lax.psum(nf_trunc, axis), jax.lax.psum(band_overflow, axis))
 
 
+def _occupancy_dilated(cid, alive, n: int, reach: int):
+    """[n^3] int32 occupancy of `cid`, max-pool dilated by `reach` cells
+    (Chebyshev metric) — cell c is marked iff some occupied cell lies
+    within the (2*reach+1)^3 window around c."""
+    n_leaf = n ** 3
+    ones = jnp.where(alive, 1, 0).astype(jnp.int32)
+    occ = jax.ops.segment_sum(ones, cid, num_segments=n_leaf + 1)[:n_leaf]
+    occ = jnp.minimum(occ, 1)
+    d = jax.lax.reduce_window(
+        occ.reshape(n, n, n), jnp.int32(0), jax.lax.max,
+        (2 * reach + 1,) * 3, (1, 1, 1),
+        [(reach, reach)] * 3)
+    return occ, d.reshape(n_leaf)
+
+
+def fmm_gravity_sharded_generic(x, y, z, m, alive, box: Box, G: float,
+                                fc: FmmConfig, eps: float, axis: str,
+                                band_cap: int = 0):
+    """Hierarchical multi-chip FMM for ARBITRARY domain decompositions
+    (Hilbert key ranges, blocks, anything) — the fully general analog of
+    the reference's focus-tree LET exchange (computeGlobalMultipoles,
+    ryoanji/interface/global_multipole.hpp:45-66), replacing the former
+    replicated all_gather-every-source path (O(N)/device).
+
+      - far field: identical to fmm_gravity_sharded — each rank P2Ms
+        its OWN particles, ONE psum of the dense [20, 8^level] moment
+        stack, redundant downsweep, local L2P.
+      - near field (boundary-band LET): a rank's particle is needed by
+        some OTHER rank iff its leaf cell is within the P2P reach
+        (min_sep - 1 cells, Chebyshev) of a cell occupied by that rank.
+        Each rank builds the global other-rank occupancy grid (one
+        psum of an [8^level] byte map), dilates it by the reach
+        (max-pool), and compacts exactly the particles under the
+        dilated mask into `band_cap` slots; ONE all_gather moves only
+        these boundary bands. Received volume scales with the global
+        SURFACE area of the decomposition, not its volume — the LET
+        economy, valid for any domain shape (no ring/ordering
+        assumption, so no ring-violation mode exists here).
+
+    Fail-stops: band overflow (band bigger than band_cap) and
+    near-field truncation are returned as psum'd counters; callers must
+    treat nonzero as fatal (silent force errors otherwise).
+
+    Returns (ax, ay, az, pot, nf_trunc, band_overflow) for local rows.
+    """
+    _check_psum_budget(fc)
+    me = jax.lax.axis_index(axis)
+    n_ranks = jax.lax.psum(1, axis)
+    cap = x.shape[0]
+    if band_cap <= 0 or band_cap > cap:
+        band_cap = cap   # a band can never exceed the local rows
+    n = 1 << fc.level
+    n_leaf = n ** 3
+    mm = jnp.where(alive, m, 0.0)
+    cid = _leaf_binning(fc, box, x, y, z, alive)
+    co = _box_centered(box, x, y, z)
+
+    # ---- far field: psum'd moment grid + redundant downsweep ----
+    mom = jax.lax.psum(_raw_leaf_moments(co, mm, cid, n), axis)
+    local = _far_field(mom, box, fc)
+    pot_far, ax_far, ay_far, az_far = _l2p(local, co, cid, box, fc)
+
+    # ---- near field: occupancy-dilation boundary bands ----
+    reach = fc.min_sep - 1
+    occ_me, dil_me = _occupancy_dilated(cid, alive, n, reach)
+    occ_all = jax.lax.psum(occ_me, axis)
+    occ_other = jnp.minimum(occ_all - occ_me, 1)
+    dil_other = jax.lax.reduce_window(
+        occ_other.reshape(n, n, n), jnp.int32(0), jax.lax.max,
+        (2 * reach + 1,) * 3, (1, 1, 1), [(reach, reach)] * 3
+    ).reshape(n_leaf)
+
+    cid_c = jnp.minimum(cid, n_leaf - 1)
+    band_mask = alive & (dil_other[cid_c] > 0)
+    key = jnp.where(band_mask, 0, 1).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    cnt = jnp.sum(band_mask)
+    idx = order[:band_cap]
+    sel = jnp.arange(band_cap) < jnp.minimum(cnt, band_cap)
+    band_overflow = jnp.maximum(cnt - band_cap, 0).astype(jnp.int32)
+
+    bx = jax.lax.all_gather(x[idx], axis)            # [R, band_cap]
+    by = jax.lax.all_gather(y[idx], axis)
+    bz = jax.lax.all_gather(z[idx], axis)
+    bm = jax.lax.all_gather(jnp.where(sel, mm[idx], 0.0), axis)
+    bsel = jax.lax.all_gather(sel, axis)
+    # my own band rows are already in the local arrays
+    bsel = bsel & (jnp.arange(n_ranks) != me)[:, None]
+
+    ux = jnp.concatenate([x, bx.reshape(-1)])
+    uy = jnp.concatenate([y, by.reshape(-1)])
+    uz = jnp.concatenate([z, bz.reshape(-1)])
+    um = jnp.concatenate([mm, jnp.where(bsel, bm, 0.0).reshape(-1)])
+    ualive = jnp.concatenate([alive, bsel.reshape(-1)])
+    ucid = _leaf_binning(fc, box, ux, uy, uz, ualive)
+
+    # only cells within reach of MY occupied cells are gathered from;
+    # remote band rows parked elsewhere may legally overflow leaf_cap
+    ax_nf, ay_nf, az_nf, pot_nf, nf_trunc = _p2p(
+        ux, uy, uz, um, ucid, n, fc.leaf_cap, eps, reach=reach,
+        trunc_mask=dil_me > 0)
+
+    return (G * (ax_far + ax_nf[:cap]), G * (ay_far + ay_nf[:cap]),
+            G * (az_far + az_nf[:cap]), G * (pot_far + pot_nf[:cap]),
+            jax.lax.psum(nf_trunc, axis), jax.lax.psum(band_overflow, axis))
+
+
+def estimate_band_cap(rank_cells: list, level: int, min_sep: int = 3,
+                      margin: float = 1.5, align: int = 128) -> int:
+    """Host-side band_cap sizing from MEASURED band occupancy (numpy).
+
+    `rank_cells`: per-rank arrays of occupied leaf-cell ids (the initial
+    distribution's binning at `level`). For each rank, counts particles
+    whose cell lies within the P2P reach of any cell occupied by another
+    rank, and returns the padded maximum. The in-graph band-overflow
+    fail-stop still guards drift past the margin at runtime."""
+    n = 1 << level
+    reach = min_sep - 1
+    occ = np.zeros((len(rank_cells), n, n, n), bool)
+    for r, cells in enumerate(rank_cells):
+        c = np.asarray(cells)
+        occ[r].reshape(-1)[np.unique(c[(c >= 0) & (c < n ** 3)])] = True
+    worst = 0
+    for r, cells in enumerate(rank_cells):
+        other = occ[[i for i in range(len(occ)) if i != r]].any(0)
+        # dilate `other` by reach (Chebyshev) via shifted ORs
+        dil = np.zeros_like(other)
+        for dx in range(-reach, reach + 1):
+            for dy in range(-reach, reach + 1):
+                for dz in range(-reach, reach + 1):
+                    src = other[
+                        max(0, -dx):n - max(0, dx),
+                        max(0, -dy):n - max(0, dy),
+                        max(0, -dz):n - max(0, dz)]
+                    dil[max(0, dx):n - max(0, -dx),
+                        max(0, dy):n - max(0, -dy),
+                        max(0, dz):n - max(0, -dz)] |= src
+        c = np.asarray(cells)
+        c = c[(c >= 0) & (c < n ** 3)]
+        worst = max(worst, int(dil.reshape(-1)[c].sum()))
+    cap = int(np.ceil(worst * margin / align) * align)
+    return max(cap, align)
+
+
 def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096,
-         reach: int = 1):
+         reach: int = 1, trunc_mask=None):
     """Near-field direct sum: for each particle, all particles in the
     (2*reach+1)^3 surrounding leaf cells (open boundaries: out-of-range
-    cells empty)."""
+    cells empty). `trunc_mask` ([n^3] bool, optional) restricts the
+    overflow fail-stop counter to cells actually gathered from — the
+    sharded generic-domain path parks remote band rows in cells far
+    from every local target, where overflow is harmless."""
     N = x.shape[0]
     n_leaf = n ** 3
     order = jnp.argsort(cid).astype(INDEX_DTYPE)
@@ -757,8 +928,10 @@ def _p2p(x, y, z, m, cid, n: int, cap: int, eps: float, chunk: int = 4096,
     # `cap` particles loses its tail from every neighbor's candidate
     # gather below (the jnp.minimum clamp) — count the dropped slots
     leaf_cnt = cell_start[1:] - cell_start[:-1]
-    nf_trunc = jnp.sum(jnp.maximum(
-        leaf_cnt.astype(jnp.int32) - cap, 0)).astype(jnp.int32)
+    over = jnp.maximum(leaf_cnt.astype(jnp.int32) - cap, 0)
+    if trunc_mask is not None:
+        over = jnp.where(trunc_mask, over, 0)
+    nf_trunc = jnp.sum(over).astype(jnp.int32)
     xs, ys, zs, ms = x[order], y[order], z[order], m[order]
     cs = cid_sorted
 

@@ -32,8 +32,12 @@ def parse_args(argv=None):
     p.add_argument("--prop", default="ve",
                    choices=["ve", "std", "ve-pallas", "ve-tiered", "ve-bdt",
                             "nbody", "turbulence-ve", "turbulence-ve-bdt",
-                            "std-cooling"],
-                   help="propagator choice (reference: --prop)")
+                            "std-cooling", "ve-hilbert", "ve-pallas-sharded"],
+                   help="propagator choice (reference: --prop); ve-hilbert "
+                        "and ve-pallas-sharded run multi-chip over ALL "
+                        "attached devices (the mpiexec-equivalent paths; "
+                        "for tests set SPHEXA_PLATFORM=cpu "
+                        "SPHEXA_NUM_DEVICES=8)")
     p.add_argument("-w", "--output-every", default="0",
                    help="output frequency: integer = every N iterations, "
                         "float = every dt of simulation time (reference "
@@ -144,6 +148,13 @@ def build_sim(args):
 
 def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
     extras = extras or {}
+    if args.prop in ("ve-hilbert", "ve-pallas-sharded"):
+        # multi-chip over every attached device (sphexa.cpp under
+        # mpiexec -np N); the adapter owns distribution + fail-stops
+        from sphexa_tpu.propagator.multichip import MultiChipAdapter
+        adapter = MultiChipAdapter(args.prop, box, cfg, state, h_max,
+                                   quiet=args.quiet)
+        return adapter, adapter.grid
     if args.prop == "ve-tiered":
         # adaptive-resolution path for clustered density (the focused-
         # octree role): h-tier grids + audited theta-band frames
@@ -278,6 +289,19 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # virtual-device overrides, applied BEFORE backend init (the
+    # JAX_PLATFORMS env var is ignored once the TPU plugin registers,
+    # so tests drive the multi-chip props with SPHEXA_PLATFORM=cpu
+    # SPHEXA_NUM_DEVICES=8)
+    plat = os.environ.get("SPHEXA_PLATFORM")
+    ndev = os.environ.get("SPHEXA_NUM_DEVICES")
+    if plat or ndev:
+        import jax
+        os.environ.pop("JAX_PLATFORMS", None)
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        if ndev:
+            jax.config.update("jax_num_cpu_devices", int(ndev))
     if args.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)

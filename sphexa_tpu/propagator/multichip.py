@@ -1,0 +1,208 @@
+"""CLI multi-chip adapter: build the device mesh from jax.devices()
+and drive the sharded propagators from the front end —
+
+    python -m sphexa_tpu.main --init evrard -n 20 --prop ve-hilbert
+
+is the analog of the reference's `mpiexec -np N sphexa ...`
+(reference: main/src/sphexa/sphexa.cpp:66-194, whose main() is
+inherently multi-rank). The adapter owns the host->device initial
+distribution, keeps the state sharded between steps, and maps the
+sharded diagnostics onto the surface the main loop expects.
+
+Virtual-device testing: set SPHEXA_PLATFORM=cpu and
+SPHEXA_NUM_DEVICES=8 in the environment (read by main.py BEFORE
+backend init — the JAX_PLATFORMS env var is ignored once the TPU
+plugin registers, so the config-level override is required).
+
+Capacity sizing is measured, not guessed: per-rank counts of the
+actual initial distribution set cap (x1.7 margin), and with the FMM
+solver the gravity band_cap comes from fmm.estimate_band_cap on the
+realized leaf occupancy. All overflows remain runtime fail-stops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sphexa_tpu.config import SphConfig, round_up
+from sphexa_tpu.sfc.box import Box
+from sphexa_tpu.state import SimState, _FIELDS
+
+MULTICHIP_PROPS = ("ve-hilbert", "ve-pallas-sharded")
+
+
+class _MCDiag:
+    """Minimal diag surface for the main loop (ipropagator.hpp:100)."""
+
+    nc_mean = 0.0
+    max_cell_count = 0
+    h_nonconv = None
+    bounds = None           # open-box growth: single-chip-only for now
+    maxvsignal = 0.0
+
+    def __init__(self, d):
+        self.dt, self.ttot = d.dt, d.ttot
+        self.etot, self.ecin, self.eint = d.etot, d.ecin, d.eint
+        self.egrav = float(d.etot) - float(d.ecin) - float(d.eint)
+        self.h_max = d.h_max
+        self.max_nc = d.max_nc
+        self.raw = d
+
+
+def _host_fields(ps):
+    """Alive rows of a (possibly sharded, padded) Particles pytree as
+    host numpy arrays."""
+    alive = np.asarray(ps.alive)
+    return {f: np.asarray(getattr(ps, f))[alive] for f in _FIELDS[:-1]}
+
+
+class MultiChipAdapter:
+    def __init__(self, prop: str, box: Box, cfg: SphConfig,
+                 state: SimState, h_max: float, quiet: bool = True):
+        import jax
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices())
+        D = len(devices)
+        if D < 2:
+            raise SystemExit(
+                f"--prop {prop} needs >= 2 devices (got {D}); for tests "
+                "set SPHEXA_PLATFORM=cpu SPHEXA_NUM_DEVICES=8")
+        self.prop, self.box, self.cfg, self.D = prop, box, cfg, D
+        host = _host_fields(state.p)
+        self.n_global = len(host["x"])
+        n_per = self.n_global / D
+
+        if prop == "ve-hilbert":
+            from sphexa_tpu.domain.hilbert import (AXIS, HilbertConfig,
+                                                   hilbert_keys)
+            from sphexa_tpu.neighbors import CellGrid, choose_level
+            from sphexa_tpu.propagator.ve_hilbert import (
+                distribute_hilbert, make_ve_step_hilbert)
+            import jax.numpy as jnp
+
+            cap = round_up(int(n_per * 1.7) + 128, 8)
+            hc = HilbertConfig(
+                n_ranks=D, cap=cap,
+                halo_cap=round_up(int(n_per) + 128, 8),
+                mig_cap=round_up(max(int(n_per * 0.5), 256), 8),
+                coarse=8, dilate=3)
+
+            if cfg.gravG != 0.0 and cfg.gravity_solver == "fmm" \
+                    and cfg.gravity_band_cap == 0:
+                # measured band sizing for the generic hierarchical FMM
+                from sphexa_tpu.gravity.fmm import estimate_band_cap
+                keys = np.asarray(hilbert_keys(
+                    box, jnp.asarray(host["x"]), jnp.asarray(host["y"]),
+                    jnp.asarray(host["z"])))
+                order = np.argsort(keys, kind="stable")
+                bounds = [int(round(self.n_global * d / D))
+                          for d in range(D + 1)]
+                nn = 1 << cfg.fmm_level
+                g = np.stack([
+                    np.clip(((host[c] - lo) / ln * nn).astype(np.int64),
+                            0, nn - 1)
+                    for c, lo, ln in (("x", box.xmin, box.lx),
+                                      ("y", box.ymin, box.ly),
+                                      ("z", box.zmin, box.lz))], 1)
+                cells = (g[:, 0] * nn + g[:, 1]) * nn + g[:, 2]
+                rank_cells = [cells[order[bounds[d]:bounds[d + 1]]]
+                              for d in range(D)]
+                bc = estimate_band_cap(rank_cells, cfg.fmm_level)
+                cfg = self.cfg = cfg.replace(gravity_band_cap=min(bc, cap))
+                if not quiet:
+                    print(f"# gravity band_cap={cfg.gravity_band_cap} "
+                          f"(measured, cap={cap})")
+
+            mesh = Mesh(devices, (AXIS,))
+            grid = CellGrid(choose_level(box, h_max * 1.3))
+            self.grid = grid
+            ps = distribute_hilbert(host, box, hc, mesh)
+            self._step = make_ve_step_hilbert(box, grid, cfg, hc, mesh)
+        elif prop == "ve-pallas-sharded":
+            from sphexa_tpu.domain.slab import AXIS, SlabConfig
+            from sphexa_tpu.ops.cellmajor import CMGrid, choose_cm_grid
+            from sphexa_tpu.propagator.ve_pallas_sharded import (
+                make_ve_step_pallas_sharded)
+            from sphexa_tpu.propagator.ve_sharded import distribute
+
+            # halo-width constraint: a slab must be >= one 2h-wide cell
+            # for the one-plane z exchange to be complete; shrink the
+            # mesh when the problem is too small for every device
+            while D > 1 and box.lz / D < 2.0 * h_max * 1.05:
+                D //= 2
+            if D < 2:
+                raise SystemExit(
+                    f"slab width {box.lz:.4g}/D < 2*h_max "
+                    f"{2 * h_max:.4g} even at D=2: problem too small "
+                    "for the slab-sharded engine")
+            if D < len(devices) and not quiet:
+                print(f"# multichip: shrunk mesh to {D} devices "
+                      f"(slab halo-width constraint at h_max={h_max:.3g})")
+            devices = devices[:D]
+            self.D = D
+            n_per = self.n_global / D
+
+            # per-device local grid: n x n x nz_local; the z cell edge
+            # obeys the same >= 2 h bound
+            gref = choose_cm_grid(box, h_max * 1.25, self.n_global)
+            nz_local = max(gref.n // D, 1)
+            if box.lz / (D * nz_local) < 2.0 * h_max:
+                nz_local = max(int(box.lz / D / (2.0 * h_max * 1.05)), 1)
+            # slot cap from MEASURED cell occupancy (coarse grids at
+            # small N pack hundreds of particles per cell)
+            gx = np.clip(((host["x"] - box.xmin) / box.lx * gref.n)
+                         .astype(np.int64), 0, gref.n - 1)
+            gy = np.clip(((host["y"] - box.ymin) / box.ly * gref.n)
+                         .astype(np.int64), 0, gref.n - 1)
+            gz = np.clip(((host["z"] - box.zmin) / box.lz * D * nz_local)
+                         .astype(np.int64), 0, D * nz_local - 1)
+            cell = (gx * gref.n + gy) * (D * nz_local) + gz
+            max_occ = int(np.bincount(cell).max())
+            cap_cm = max(128, round_up(int(max_occ * 1.3) + 8, 128))
+            grid = CMGrid(n=gref.n, cap=cap_cm, nzi=nz_local)
+            self.grid = grid
+
+            # measured slab occupancy -> cap (clustered ICs imbalance)
+            slab = np.clip(((host["z"] - box.zmin) / (box.lz / D))
+                           .astype(np.int64), 0, D - 1)
+            max_cnt = int(np.bincount(slab, minlength=D).max())
+            sc = SlabConfig(
+                n_slabs=D, cap=round_up(int(max_cnt * 1.5) + 64, 8),
+                halo_cap=round_up(int(max_cnt * 0.6) + 64, 8),
+                mig_cap=round_up(max(int(n_per * 0.25), 128), 8))
+            mesh = Mesh(devices, (AXIS,))
+            interpret = devices[0].platform != "tpu"
+            ps = distribute(host, box, sc, mesh)
+            self._step = make_ve_step_pallas_sharded(
+                box, grid, cfg, sc, mesh, interpret=interpret)
+        else:
+            raise ValueError(f"unknown multi-chip propagator {prop}")
+
+        self._ps0 = ps
+        if not quiet:
+            print(f"# multichip: {prop} on {D} "
+                  f"{devices[0].platform} devices, grid={self.grid}")
+
+    def __call__(self, state: SimState):
+        if self._ps0 is not None:  # first call: swap in the distribution
+            state = SimState(p=self._ps0, ttot=state.ttot, dt=state.dt,
+                             dt_m1=state.dt_m1, iteration=state.iteration)
+            self._ps0 = None
+        state, d = self._step(state)
+        # fail-stops (reference throws on capacity/e exchange loss)
+        lost = int(d.lost)
+        if lost != 0:
+            raise RuntimeError(
+                f"multichip fail-stop: {lost} particles lost to "
+                "migration/halo/gravity-band overflow — raise the caps")
+        ovf = int(getattr(d, "overflow", 0))
+        if ovf != 0:
+            raise RuntimeError(
+                f"multichip fail-stop: {ovf} cell-major slot overflows")
+        n_owned = int(d.n_owned)
+        if n_owned != self.n_global:
+            raise RuntimeError(
+                f"conservation violation: {n_owned} owned vs "
+                f"{self.n_global} initial")
+        return state, _MCDiag(d)

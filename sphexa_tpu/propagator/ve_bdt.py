@@ -110,6 +110,19 @@ class BdtVE(ResidentVE):
         # and donating aliased buffers invalidates the survivors
         self.substep = jax.jit(self._substep)
 
+    # ---- global-reduction hooks: identity single-chip; the sharded
+    # subclass (ve_bdt_sharded.ShardedBdtVE) swaps in pmin/pmax/psum —
+    # the MPI_Allreduce points of the reference BDT propagator
+    # (ve_hydro_bdt.hpp:224-289 computeMinTimestep/rungs) ---------------
+    def _gmin(self, v):
+        return v
+
+    def _gmax(self, v):
+        return v
+
+    def _gsum(self, v):
+        return v
+
     # ---- state management -------------------------------------------------
     def bind_bdt(self, state: SimState) -> BDTState:
         rv = self.bind(state)
@@ -194,9 +207,10 @@ class BdtVE(ResidentVE):
         # BEFORE applying maxDt, ts_rungs.hpp:134-146); the growth clamp
         # and the global rho candidate only shrink the stepping base
         dt_i = ts_k_courant(out["maxvsignal"], h, out["c"], cfg.kcour)
-        dt_i_min = jnp.min(jnp.where(validint, dt_i, 1e30))
+        dt_i_min = self._gmin(jnp.min(jnp.where(validint, dt_i, 1e30)))
         from sphexa_tpu.sph import timestep as _ts
-        dt_rho = _ts.rho_timestep(out["divv"], validint, cfg.krho)
+        dt_rho = self._gmin(_ts.rho_timestep(out["divv"], validint,
+                                             cfg.krho))
         dt_min_new = jnp.minimum(jnp.minimum(dt_i_min, dt_rho),
                                  cfg.max_dt_increase * bst.dt_min)
         rung_new = jnp.clip(jnp.floor(jnp.log2(
@@ -238,7 +252,8 @@ class BdtVE(ResidentVE):
 
         # drift accounting + ghost refresh of the mutated rows
         disp2 = ((xn - rv.x) ** 2 + (yn - rv.y) ** 2 + (zn - rv.z) ** 2)
-        step_disp = jnp.sqrt(jnp.max(jnp.where(validint, disp2, 0.0)))
+        step_disp = self._gmax(
+            jnp.sqrt(jnp.max(jnp.where(validint, disp2, 0.0))))
         st = self.rf(12, xyz_rows=(0, 1, 2))(jnp.stack(
             [xn, yn, zn, h_new, vxn, vyn, vzn, temp_n, duk, dxn, dyn, dzn]))
         rv = rv.replace(
@@ -251,21 +266,24 @@ class BdtVE(ResidentVE):
 
         # ---- diagnostics ----
         cv = ideal_gas_cv(cfg.mui, cfg.gamma)
-        ecin = 0.5 * kahan_sum(jnp.where(
-            validint, rv.m * (rv.vx ** 2 + rv.vy ** 2 + rv.vz ** 2), 0.0))
-        eint = kahan_sum(jnp.where(validint, rv.m * cv * rv.temp, 0.0))
-        nvalid = jnp.maximum(jnp.sum(validint), 1).astype(jnp.float32)
+        ecin = self._gsum(0.5 * kahan_sum(jnp.where(
+            validint, rv.m * (rv.vx ** 2 + rv.vy ** 2 + rv.vz ** 2), 0.0)))
+        eint = self._gsum(kahan_sum(jnp.where(
+            validint, rv.m * cv * rv.temp, 0.0)))
+        nvalid = jnp.maximum(self._gsum(jnp.sum(validint)),
+                             1).astype(jnp.float32)
         # per-cell activity: a cell recomputes if any slot is active
         cell_act = (act_row.reshape(-1, self.grid.cap).max(axis=1))
         cell_occ = validint.reshape(-1, self.grid.cap).any(axis=1)
-        rung_hist = jnp.stack([
+        rung_hist = self._gsum(jnp.stack([
             jnp.sum(jnp.where(validint & (jnp.round(rung) == r), 1, 0))
-            for r in range(self.num_rungs)])
+            for r in range(self.num_rungs)]))
         diag = BDTDiag(
             dt=dt_min, ttot=rv.ttot, etot=ecin + eint, ecin=ecin, eint=eint,
-            active_frac=jnp.sum(act_row) / nvalid,
-            active_cell_frac=(jnp.sum(cell_act)
-                              / jnp.maximum(jnp.sum(cell_occ), 1)),
+            active_frac=self._gsum(jnp.sum(act_row)) / nvalid,
+            active_cell_frac=(self._gsum(jnp.sum(cell_act))
+                              / jnp.maximum(self._gsum(jnp.sum(cell_occ)),
+                                            1)),
             rung_hist=rung_hist, overflow=rv.overflow)
         return new_bst, diag
 

@@ -87,9 +87,12 @@ def _local_step(ps: Particles, dt_prev, box: Box, grid: CellGrid,
                                           kx, xm, alpha, idx, nc, cfg)
     ax_g, ay_g, az_g = me.ax, me.ay, me.az
     egrav = jnp.float32(0.0)
+    govf = jnp.int32(0)
     if cfg.gravG != 0.0:
-        # cross-rank self-gravity (global_multipole.hpp:45 analog)
-        gax, gay, gaz, egrav, _govf = _sharded_gravity(ps, box, cfg, AXIS)
+        # cross-rank self-gravity (global_multipole.hpp:45 analog);
+        # with the FMM solver this is the generic hierarchical path
+        # (occupancy-dilation boundary bands, O(local + R*band)/device)
+        gax, gay, gaz, egrav, govf = _sharded_gravity(ps, box, cfg, AXIS)
         # owned rows of the extended frame carry the gravity force
         gax_e = jnp.concatenate([gax, jnp.zeros((hc.ext - hc.cap,),
                                                 gax.dtype)])[sr.perm]
@@ -139,7 +142,7 @@ def _local_step(ps: Particles, dt_prev, box: Box, grid: CellGrid,
         valid, exts.m * (vxn ** 2 + vyn ** 2 + vzn ** 2), 0.0)), AXIS)
     eint = jax.lax.psum(jnp.sum(jnp.where(valid, exts.m * cv * temp, 0.0)),
                         AXIS)
-    lost_tot = jax.lax.psum(sr.lost, AXIS)
+    lost_tot = jax.lax.psum(sr.lost, AXIS) + govf  # govf already psum'd
     n_owned = jax.lax.psum(n_own, AXIS)
     max_nc = jax.lax.pmax(nl.max_nc, AXIS)
 

@@ -193,9 +193,12 @@ def make_ve_step_sharded(box: Box, grid: CellGrid, cfg: SphConfig,
     return jax.jit(fn)
 
 
-def distribute(ps_host: dict, box: Box, sc: SlabConfig, mesh: Mesh):
+def distribute(ps_host: dict, box: Box, sc: SlabConfig, mesh: Mesh,
+               extras: dict | None = None):
     """Host-side: bin particles into slabs by z, pad each slab to cap,
-    build globally-sharded Particles. ps_host maps field -> numpy array."""
+    build globally-sharded Particles. ps_host maps field -> numpy array.
+    `extras` (name -> array) are additional payload columns distributed
+    with the same binning; returned as a second dict when given."""
     import numpy as np
 
     z = np.asarray(ps_host["z"], np.float64)
@@ -203,15 +206,18 @@ def distribute(ps_host: dict, box: Box, sc: SlabConfig, mesh: Mesh):
     slab = np.clip(((z - box.zmin) / width).astype(np.int64), 0,
                    sc.n_slabs - 1)
 
-    shards = {f: [] for f in _FIELDS[:-1]}
+    cols = dict(ps_host)
+    cols.update(extras or {})
+    names = list(_FIELDS[:-1]) + list((extras or {}).keys())
+    shards = {f: [] for f in names}
     alive_shards = []
     for s in range(sc.n_slabs):
         sel = np.flatnonzero(slab == s)
         if len(sel) > sc.cap:
             raise ValueError(f"slab {s} holds {len(sel)} > cap {sc.cap}")
         pad = sc.cap - len(sel)
-        for f in _FIELDS[:-1]:
-            arr = np.asarray(ps_host[f], np.float32)[sel]
+        for f in names:
+            arr = np.asarray(cols[f], np.float32)[sel]
             fill = 1.0 if f == "h" else 0.0
             shards[f].append(np.concatenate([arr, np.full(pad, fill, np.float32)]))
         alive_shards.append(np.concatenate([np.ones(len(sel), bool),
@@ -219,9 +225,13 @@ def distribute(ps_host: dict, box: Box, sc: SlabConfig, mesh: Mesh):
 
     sharding = NamedSharding(mesh, P(AXIS))
     fields = {f: jax.device_put(np.concatenate(shards[f]), sharding)
-              for f in _FIELDS[:-1]}
+              for f in names}
     alive = jax.device_put(np.concatenate(alive_shards), sharding)
-    return Particles(alive=alive, **fields)
+    ps = Particles(alive=alive,
+                   **{f: fields[f] for f in _FIELDS[:-1]})
+    if extras is None:
+        return ps
+    return ps, {k: fields[k] for k in extras}
 
 
 def _sharded_gravity(ps, box, cfg, axis: str, dim: int | None = None):
@@ -237,10 +247,17 @@ def _sharded_gravity(ps, box, cfg, axis: str, dim: int | None = None):
     (ryoanji/interface/global_multipole.hpp:45-66), with per-device
     memory independent of global N and rank count.
 
-    Otherwise (direct/ewald solvers, or non-axis-aligned domains) the
-    v1 replicated-source path runs: one all_gather of (x, y, z, m)
-    (16 MB/M particles), every rank evaluates the full solver and keeps
-    its own rows — same physics, O(N)/device memory."""
+    With `dim=None` (generic domains: Hilbert key ranges, blocks) and
+    the FMM solver, the GENERAL hierarchical exchange runs
+    (fmm_gravity_sharded_generic): the same psum'd moment grid for the
+    far field plus occupancy-dilation boundary bands for the near field
+    — one all_gather of compacted surface bands, O(local + R * band)
+    per device instead of the former replicated O(N) path.
+
+    Otherwise (direct/ewald solvers) the v1 replicated-source path
+    runs: one all_gather of (x, y, z, m) (16 MB/M particles), every
+    rank evaluates the full solver and keeps its own rows — same
+    physics, O(N)/device memory."""
     import jax as _jax
     import jax.numpy as _jnp
 
@@ -257,6 +274,17 @@ def _sharded_gravity(ps, box, cfg, axis: str, dim: int | None = None):
         return (ax, ay, az, _jax.lax.psum(egrav_loc, axis),
                 nf_trunc + band_ovf)
 
+    if cfg.gravity_solver == "fmm":
+        from sphexa_tpu.gravity.fmm import (FmmConfig,
+                                            fmm_gravity_sharded_generic)
+        fc = FmmConfig(level=cfg.fmm_level)
+        ax, ay, az, pot, nf_trunc, band_ovf = fmm_gravity_sharded_generic(
+            ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg.gravG, fc,
+            cfg.eps, axis, band_cap=cfg.gravity_band_cap)
+        egrav_loc = 0.5 * _jnp.sum(_jnp.where(ps.alive, ps.m * pot, 0.0))
+        return (ax, ay, az, _jax.lax.psum(egrav_loc, axis),
+                nf_trunc + band_ovf)
+
     me = _jax.lax.axis_index(axis)
     cap = ps.x.shape[0]
     gx = _jax.lax.all_gather(ps.x, axis).reshape(-1)
@@ -267,12 +295,7 @@ def _sharded_gravity(ps, box, cfg, axis: str, dim: int | None = None):
     galive = _jax.lax.all_gather(ps.alive, axis).reshape(-1)
 
     ovf = jnp.int32(0)
-    if cfg.gravity_solver == "fmm":
-        from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
-        g = fmm_gravity(gx, gy, gz, gm, galive, box, cfg.gravG,
-                        FmmConfig(level=cfg.fmm_level), eps=cfg.eps)
-        ovf = g.nf_truncated
-    elif cfg.gravity_solver == "ewald":
+    if cfg.gravity_solver == "ewald":
         from sphexa_tpu.gravity.ewald import ewald_gravity
         g = ewald_gravity(gx, gy, gz, gm, galive, box, cfg.gravG,
                           eps=cfg.eps)

@@ -121,3 +121,72 @@ def test_hilbert_sharded_matches_single(n_devices, side):
     assert len(np.unique(j)) == len(j)
     vscale = max(np.abs(a["vx"]).max(), 1e-12)
     assert np.abs(b["vx"] - a["vx"][j]).max() / vscale < 2e-3
+
+
+@pytest.mark.multichip
+def test_balance_splits64_beats_30bit_aliasing():
+    """Level-20 keys in the domain (reference: KeyType=uint64,
+    types.hpp:39-46): when a cluster is tighter than one level-10 key
+    cell (box/1024 per dim), ALL its particles alias to a single 30-bit
+    key and no 30-bit split can separate them — the 64-bit MSD
+    radix-select splits must keep balance anyway."""
+    from sphexa_tpu.domain.hilbert import balance_splits64, owner_of64
+    from sphexa_tpu.sfc.hilbert64 import keys64_from_positions
+
+    rng = np.random.RandomState(3)
+    n, D = 32768, 4
+    # 75% of particles inside a ball FAR smaller than box/1024
+    tight = 1e-5
+    xa = np.concatenate([rng.rand(n // 4),
+                         0.37 + tight * rng.rand(3 * n // 4)])
+    ya = np.concatenate([rng.rand(n // 4),
+                         0.61 + tight * rng.rand(3 * n // 4)])
+    za = np.concatenate([rng.rand(n // 4),
+                         0.18 + tight * rng.rand(3 * n // 4)])
+    box = Box.cube(0.0, 1.0, Boundary.periodic)
+    hc = HilbertConfig(n_ranks=D, cap=n, halo_cap=16, mig_cap=16)
+    devices = np.array(jax.devices()[:D])
+    mesh = Mesh(devices, (AXIS,))
+
+    x = jnp.asarray(xa, jnp.float32)
+    y = jnp.asarray(ya, jnp.float32)
+    z = jnp.asarray(za, jnp.float32)
+
+    # 30-bit path: the cluster is one key -> hopeless imbalance
+    keys30 = hilbert_keys(box, x, y, z)
+    assert len(np.unique(np.asarray(keys30)[n // 4:])) <= 2, \
+        "test setup: cluster must alias 30-bit keys"
+
+    hi_all, lo_all = keys64_from_positions(box, x, y, z)
+    # fp32 positions quantize at ~box/2^24; the cluster spans multiple
+    # level-20 cells (box/2^20) but would still alias at level 10
+    assert len(np.unique(np.asarray(lo_all)[n // 4:])) > 16
+
+    def f(hi, lo, alive):
+        s_hi, s_lo = balance_splits64(hi[0], lo[0], alive[0], hc)
+        return s_hi[None], s_lo[None]
+
+    hi_sh = jax.device_put(hi_all.reshape(D, -1),
+                           NamedSharding(mesh, P(AXIS, None)))
+    lo_sh = jax.device_put(lo_all.reshape(D, -1),
+                           NamedSharding(mesh, P(AXIS, None)))
+    alive = jnp.ones_like(hi_sh, bool)
+    s_hi, s_lo = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXIS, None),) * 3,
+        out_specs=(P(AXIS, None), P(AXIS, None)),
+        check_vma=False))(hi_sh, lo_sh, alive)
+    s_hi = jnp.asarray(np.asarray(s_hi)[0])
+    s_lo = jnp.asarray(np.asarray(s_lo)[0])
+
+    owner = np.asarray(owner_of64(hi_all, lo_all, s_hi, s_lo))
+    counts = np.bincount(owner, minlength=D)
+    ideal = n / D
+    assert counts.max() / ideal < 1.10, counts
+    assert counts.min() / ideal > 0.90, counts
+
+    # the 30-bit path CANNOT balance this (pins the motivation)
+    splits30 = np.zeros(D + 1, np.int64)
+    ksort = np.sort(np.asarray(keys30).astype(np.int64))
+    # best possible contiguous-range split of the aliased keys
+    worst = max(np.bincount(ksort - ksort.min()).max(), 1)
+    assert worst / ideal > 2.0, "cluster should overload any 30-bit range"

@@ -141,6 +141,156 @@ def test_fmm_sharded_matches_single(D, level, dim):
                                    rtol=2e-4)
 
 
+def _hilbert_split(pos, m, box, D, extra_cap=7):
+    """Count-balanced Hilbert key-range partition (the production
+    generic-domain decomposition, domain/hilbert.py), padded per rank."""
+    import jax.numpy as jnp
+
+    from sphexa_tpu.domain.hilbert import hilbert_keys
+
+    keys = np.asarray(hilbert_keys(box, jnp.asarray(pos[:, 0]),
+                                   jnp.asarray(pos[:, 1]),
+                                   jnp.asarray(pos[:, 2])))
+    order = np.argsort(keys, kind="stable")
+    n = len(order)
+    bounds = [int(round(n * d / D)) for d in range(D + 1)]
+    splits = [order[bounds[d]:bounds[d + 1]] for d in range(D)]
+    cap = max(len(s_) for s_ in splits) + extra_cap
+    cols = {k: [] for k in "xyzma"}
+    for sel in splits:
+        pad = cap - len(sel)
+        cols["x"].append(np.concatenate([pos[sel, 0],
+                                         np.zeros(pad, np.float32)]))
+        cols["y"].append(np.concatenate([pos[sel, 1],
+                                         np.zeros(pad, np.float32)]))
+        cols["z"].append(np.concatenate([pos[sel, 2],
+                                         np.zeros(pad, np.float32)]))
+        cols["m"].append(np.concatenate([m[sel], np.zeros(pad, np.float32)]))
+        cols["a"].append(np.concatenate([np.ones(len(sel), bool),
+                                         np.zeros(pad, bool)]))
+    return splits, cap, {k: np.concatenate(v) for k, v in cols.items()}
+
+
+@pytest.mark.multichip
+@pytest.mark.slow
+@pytest.mark.medium
+@pytest.mark.parametrize("D", [2, 8])
+def test_fmm_generic_domain_matches_single(D):
+    """Generic-domain hierarchical FMM (occupancy-dilation boundary
+    bands, fmm.fmm_gravity_sharded_generic — the any-shape LET analog of
+    global_multipole.hpp:45) must reproduce the single-device conv-FMM
+    on a count-balanced HILBERT decomposition of a clustered cloud —
+    exactly the configuration whose thin central ranges defeat the
+    1-D ring exchange (test_fmm_band_ring_violation_failstop). band_cap
+    comes from the host-side measured-occupancy estimator
+    (fmm.estimate_band_cap), exercising the production sizing path."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sphexa_tpu.gravity.fmm import (FmmConfig, estimate_band_cap,
+                                        fmm_gravity,
+                                        fmm_gravity_sharded_generic)
+    from sphexa_tpu.sfc.box import Box, Boundary
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    r = rng.random(n) ** 1.5 * 0.8 + 1e-3
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pos = (u.T * r).T.astype(np.float32)
+    m = rng.random(n).astype(np.float32) * (1.0 / n)
+    box = Box.cube(-1.0, 1.0, Boundary.open)
+    fc = FmmConfig(level=4, leaf_cap=512)
+
+    g1 = fmm_gravity(jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+                     jnp.asarray(pos[:, 2]), jnp.asarray(m),
+                     jnp.ones(n, bool), box, 1.0, fc, eps=0.02)
+    assert int(g1.nf_truncated) == 0
+
+    splits, cap, cols = _hilbert_split(pos, m, box, D)
+
+    # host-side band sizing from the realized leaf occupancy
+    nn = 1 << fc.level
+    def cells(sel):
+        g = np.clip(((pos[sel] + 1.0) / 2.0 * nn).astype(np.int64), 0,
+                    nn - 1)
+        return (g[:, 0] * nn + g[:, 1]) * nn + g[:, 2]
+    band_cap = estimate_band_cap([cells(s_) for s_ in splits], fc.level,
+                                 fc.min_sep)
+    assert band_cap < D * cap, "estimator must beat the O(N) fallback"
+
+    mesh = Mesh(np.array(jax.devices()[:D]), ("gd",))
+    f = shard_map(
+        lambda x, y, z, mm, a: fmm_gravity_sharded_generic(
+            x, y, z, mm, a, box, 1.0, fc, 0.02, "gd", band_cap=band_cap),
+        mesh=mesh, in_specs=(P("gd"),) * 5,
+        out_specs=(P("gd"),) * 4 + (P(), P()))
+    ax, ay, az, pot, nf_trunc, band_ovf = f(
+        jnp.asarray(cols["x"]), jnp.asarray(cols["y"]),
+        jnp.asarray(cols["z"]), jnp.asarray(cols["m"]),
+        jnp.asarray(cols["a"]))
+    assert int(nf_trunc) == 0 and int(band_ovf) == 0
+
+    inv = np.concatenate([np.arange(len(sel)) + k * cap
+                          for k, sel in enumerate(splits)])
+    back = np.argsort(np.concatenate(splits), kind="stable")
+    for got, ref in ((ax, g1.ax), (ay, g1.ay), (az, g1.az), (pot, g1.pot)):
+        got_np = np.asarray(got)[inv][back]
+        ref_np = np.asarray(ref)
+        scale = np.abs(ref_np).max()
+        np.testing.assert_allclose(got_np, ref_np, atol=2e-5 * scale,
+                                   rtol=2e-4)
+
+
+@pytest.mark.multichip
+@pytest.mark.slow
+def test_fmm_generic_band_overflow_failstop():
+    """An undersized band_cap must trip the overflow counter (silent
+    missing near-field sources are the failure mode it exists for)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sphexa_tpu.gravity.fmm import (FmmConfig,
+                                        fmm_gravity_sharded_generic)
+    from sphexa_tpu.sfc.box import Box, Boundary
+
+    rng = np.random.default_rng(5)
+    n = 800
+    pos = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    m = np.full(n, 1.0 / n, np.float32)
+    box = Box.cube(-1.0, 1.0, Boundary.open)
+    fc = FmmConfig(level=3, leaf_cap=512)
+    D = 4
+    splits, cap, cols = _hilbert_split(pos, m, box, D)
+
+    mesh = Mesh(np.array(jax.devices()[:D]), ("gd",))
+    f = shard_map(
+        lambda x, y, z, mm, a: fmm_gravity_sharded_generic(
+            x, y, z, mm, a, box, 1.0, fc, 0.02, "gd", band_cap=8),
+        mesh=mesh, in_specs=(P("gd"),) * 5,
+        out_specs=(P("gd"),) * 4 + (P(), P()))
+    *_, band_ovf = f(
+        jnp.asarray(cols["x"]), jnp.asarray(cols["y"]),
+        jnp.asarray(cols["z"]), jnp.asarray(cols["m"]),
+        jnp.asarray(cols["a"]))
+    assert int(band_ovf) > 0
+
+
+def test_fmm_psum_budget_guard():
+    """The dense sharded far field stops paying past level 6 (160 MB of
+    psum'd moments at level 7); the guard must fail loudly at trace
+    time instead (DESIGN.md: hierarchical-FMM scale ceiling)."""
+    from sphexa_tpu.gravity.fmm import (FmmConfig, _check_psum_budget,
+                                        moment_grid_bytes)
+
+    _check_psum_budget(FmmConfig(level=6))
+    assert moment_grid_bytes(4) == 20 * 4096 * 4
+    with pytest.raises(ValueError, match="scale ceiling"):
+        _check_psum_budget(FmmConfig(level=7))
+
+
 @pytest.mark.multichip
 @pytest.mark.slow
 def test_fmm_band_ring_violation_failstop():
