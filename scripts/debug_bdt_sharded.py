@@ -1,4 +1,10 @@
 """Debug: compare single-chip vs sharded BDT substep-0 outputs per gid."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -39,10 +45,30 @@ print("dt1:", float(d1.dt), " dtN:", float(dN.dt))
 print("eint:", float(d1.eint), float(dN.eint))
 print("ecin:", float(d1.ecin), float(dN.ecin))
 
+# continue through two full cycles, comparing every substep
+for cyc in range(2):
+    for s in range(4):
+        if cyc == 0 and s == 0:
+            continue  # already done above
+        if s == 0:
+            bst1, _ = bdt1.resync(bst1)
+            bstN, lost = bdtN.resync(bstN)
+            print(f"resync lost={int(lost)}")
+        bst1, d1 = bdt1.substep(bst1)
+        bstN, dN = bdtN.substep(bstN)
+        h1 = np.asarray(d1.rung_hist)
+        hN = np.asarray(dN.rung_hist)
+        print(f"cyc {cyc} sub {s}: hist1={h1} histN={hN} "
+              f"af1={float(d1.active_frac):.4f} afN={float(dN.active_frac):.4f} "
+              f"ecin {float(d1.ecin):.6e} {float(dN.ecin):.6e} "
+              f"{'MATCH' if (h1 == hN).all() else 'DIVERGE'}")
+
 
 def by_gid(bst, eng, fields):
     rv = bst.rv
-    validint = np.asarray(rv.valid & eng.intmask)
+    im = np.asarray(eng.intmask)
+    im = np.tile(im, len(np.asarray(rv.valid)) // len(im))
+    validint = np.asarray(rv.valid) & im
     gid = np.asarray(rv.gid)[validint].astype(np.int64)
     out = {}
     for name in fields:

@@ -32,11 +32,12 @@ def parse_args(argv=None):
     p.add_argument("--prop", default="ve",
                    choices=["ve", "std", "ve-pallas", "ve-tiered", "ve-bdt",
                             "nbody", "turbulence-ve", "turbulence-ve-bdt",
-                            "std-cooling", "ve-hilbert", "ve-pallas-sharded"],
-                   help="propagator choice (reference: --prop); ve-hilbert "
-                        "and ve-pallas-sharded run multi-chip over ALL "
-                        "attached devices (the mpiexec-equivalent paths; "
-                        "for tests set SPHEXA_PLATFORM=cpu "
+                            "std-cooling", "ve-hilbert", "ve-pallas-sharded",
+                            "ve-bdt-sharded"],
+                   help="propagator choice (reference: --prop); ve-hilbert, "
+                        "ve-pallas-sharded and ve-bdt-sharded run multi-chip "
+                        "over ALL attached devices (the mpiexec-equivalent "
+                        "paths; for tests set SPHEXA_PLATFORM=cpu "
                         "SPHEXA_NUM_DEVICES=8)")
     p.add_argument("-w", "--output-every", default="0",
                    help="output frequency: integer = every N iterations, "
@@ -148,7 +149,8 @@ def build_sim(args):
 
 def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
     extras = extras or {}
-    if args.prop in ("ve-hilbert", "ve-pallas-sharded"):
+    from sphexa_tpu.propagator.multichip import MULTICHIP_PROPS
+    if args.prop in MULTICHIP_PROPS:
         # multi-chip over every attached device (sphexa.cpp under
         # mpiexec -np N); the adapter owns distribution + fail-stops
         from sphexa_tpu.propagator.multichip import MultiChipAdapter

@@ -28,7 +28,7 @@ from sphexa_tpu.config import SphConfig, round_up
 from sphexa_tpu.sfc.box import Box
 from sphexa_tpu.state import SimState, _FIELDS
 
-MULTICHIP_PROPS = ("ve-hilbert", "ve-pallas-sharded")
+MULTICHIP_PROPS = ("ve-hilbert", "ve-pallas-sharded", "ve-bdt-sharded")
 
 
 class _MCDiag:
@@ -119,72 +119,131 @@ class MultiChipAdapter:
             self.grid = grid
             ps = distribute_hilbert(host, box, hc, mesh)
             self._step = make_ve_step_hilbert(box, grid, cfg, hc, mesh)
-        elif prop == "ve-pallas-sharded":
-            from sphexa_tpu.domain.slab import AXIS, SlabConfig
-            from sphexa_tpu.ops.cellmajor import CMGrid, choose_cm_grid
-            from sphexa_tpu.propagator.ve_pallas_sharded import (
-                make_ve_step_pallas_sharded)
-            from sphexa_tpu.propagator.ve_sharded import distribute
-
-            # halo-width constraint: a slab must be >= one 2h-wide cell
-            # for the one-plane z exchange to be complete; shrink the
-            # mesh when the problem is too small for every device
-            while D > 1 and box.lz / D < 2.0 * h_max * 1.05:
-                D //= 2
-            if D < 2:
-                raise SystemExit(
-                    f"slab width {box.lz:.4g}/D < 2*h_max "
-                    f"{2 * h_max:.4g} even at D=2: problem too small "
-                    "for the slab-sharded engine")
-            if D < len(devices) and not quiet:
-                print(f"# multichip: shrunk mesh to {D} devices "
-                      f"(slab halo-width constraint at h_max={h_max:.3g})")
-            devices = devices[:D]
-            self.D = D
-            n_per = self.n_global / D
-
-            # per-device local grid: n x n x nz_local; the z cell edge
-            # obeys the same >= 2 h bound
-            gref = choose_cm_grid(box, h_max * 1.25, self.n_global)
-            nz_local = max(gref.n // D, 1)
-            if box.lz / (D * nz_local) < 2.0 * h_max:
-                nz_local = max(int(box.lz / D / (2.0 * h_max * 1.05)), 1)
-            # slot cap from MEASURED cell occupancy (coarse grids at
-            # small N pack hundreds of particles per cell)
-            gx = np.clip(((host["x"] - box.xmin) / box.lx * gref.n)
-                         .astype(np.int64), 0, gref.n - 1)
-            gy = np.clip(((host["y"] - box.ymin) / box.ly * gref.n)
-                         .astype(np.int64), 0, gref.n - 1)
-            gz = np.clip(((host["z"] - box.zmin) / box.lz * D * nz_local)
-                         .astype(np.int64), 0, D * nz_local - 1)
-            cell = (gx * gref.n + gy) * (D * nz_local) + gz
-            max_occ = int(np.bincount(cell).max())
-            cap_cm = max(128, round_up(int(max_occ * 1.3) + 8, 128))
-            grid = CMGrid(n=gref.n, cap=cap_cm, nzi=nz_local)
-            self.grid = grid
-
-            # measured slab occupancy -> cap (clustered ICs imbalance)
-            slab = np.clip(((host["z"] - box.zmin) / (box.lz / D))
-                           .astype(np.int64), 0, D - 1)
-            max_cnt = int(np.bincount(slab, minlength=D).max())
-            sc = SlabConfig(
-                n_slabs=D, cap=round_up(int(max_cnt * 1.5) + 64, 8),
-                halo_cap=round_up(int(max_cnt * 0.6) + 64, 8),
-                mig_cap=round_up(max(int(n_per * 0.25), 128), 8))
-            mesh = Mesh(devices, (AXIS,))
-            interpret = devices[0].platform != "tpu"
-            ps = distribute(host, box, sc, mesh)
-            self._step = make_ve_step_pallas_sharded(
-                box, grid, cfg, sc, mesh, interpret=interpret)
+        elif prop in ("ve-pallas-sharded", "ve-bdt-sharded"):
+            grid, sc, mesh, interpret = self._slab_setup(
+                host, box, h_max, devices, quiet)
+            if prop == "ve-pallas-sharded":
+                from sphexa_tpu.propagator.ve_pallas_sharded import (
+                    make_ve_step_pallas_sharded)
+                from sphexa_tpu.propagator.ve_sharded import distribute
+                ps = distribute(host, box, sc, mesh)
+                self._step = make_ve_step_pallas_sharded(
+                    box, grid, cfg, sc, mesh, interpret=interpret)
+            else:
+                # BDT x sharding: the multi-chip HydroVeBdtProp
+                # (ve_hydro_bdt.hpp:171-212 runs rungs on the full
+                # distributed domain). Pure-hydro fast path.
+                from sphexa_tpu.propagator.ve_bdt_sharded import (
+                    ShardedBdtVE)
+                if cfg.gravG != 0.0:
+                    raise SystemExit("--prop ve-bdt-sharded is the "
+                                     "pure-hydro BDT pipeline (no "
+                                     "gravity), like --prop ve-bdt")
+                self.bdt = ShardedBdtVE(box, grid, cfg, sc, mesh,
+                                        interpret=interpret)
+                self.bst = None
+                ps = None
         else:
             raise ValueError(f"unknown multi-chip propagator {prop}")
 
         self._ps0 = ps
         if not quiet:
-            print(f"# multichip: {prop} on {D} "
+            print(f"# multichip: {prop} on {self.D} "
                   f"{devices[0].platform} devices, grid={self.grid}")
 
+    def _slab_setup(self, host, box, h_max, devices, quiet):
+        """Slab-domain sizing shared by the slab-sharded engines:
+        halo-width mesh shrink, measured cell/slab occupancy caps."""
+        from jax.sharding import Mesh
+        from sphexa_tpu.domain.slab import AXIS, SlabConfig
+        from sphexa_tpu.ops.cellmajor import CMGrid, choose_cm_grid
+
+        D = self.D
+        # halo-width constraint: a slab must be >= one 2h-wide cell
+        # for the one-plane z exchange to be complete; shrink the
+        # mesh when the problem is too small for every device
+        while D > 1 and box.lz / D < 2.0 * h_max * 1.05:
+            D //= 2
+        if D < 2:
+            raise SystemExit(
+                f"slab width {box.lz:.4g}/D < 2*h_max "
+                f"{2 * h_max:.4g} even at D=2: problem too small "
+                "for the slab-sharded engine")
+        if D < len(devices) and not quiet:
+            print(f"# multichip: shrunk mesh to {D} devices "
+                  f"(slab halo-width constraint at h_max={h_max:.3g})")
+        devices = devices[:D]
+        self.D = D
+        n_per = self.n_global / D
+
+        # per-device local grid: n x n x nz_local; the z cell edge
+        # obeys the same >= 2 h bound
+        gref = choose_cm_grid(box, h_max * 1.25, self.n_global)
+        nz_local = max(gref.n // D, 1)
+        if box.lz / (D * nz_local) < 2.0 * h_max:
+            nz_local = max(int(box.lz / D / (2.0 * h_max * 1.05)), 1)
+        # slot cap from MEASURED cell occupancy (coarse grids at
+        # small N pack hundreds of particles per cell)
+        gx = np.clip(((host["x"] - box.xmin) / box.lx * gref.n)
+                     .astype(np.int64), 0, gref.n - 1)
+        gy = np.clip(((host["y"] - box.ymin) / box.ly * gref.n)
+                     .astype(np.int64), 0, gref.n - 1)
+        gz = np.clip(((host["z"] - box.zmin) / box.lz * D * nz_local)
+                     .astype(np.int64), 0, D * nz_local - 1)
+        cell = (gx * gref.n + gy) * (D * nz_local) + gz
+        max_occ = int(np.bincount(cell).max())
+        cap_cm = max(128, round_up(int(max_occ * 1.3) + 8, 128))
+        grid = CMGrid(n=gref.n, cap=cap_cm, nzi=nz_local)
+        self.grid = grid
+
+        # measured slab occupancy -> cap (clustered ICs imbalance)
+        slab = np.clip(((host["z"] - box.zmin) / (box.lz / D))
+                       .astype(np.int64), 0, D - 1)
+        max_cnt = int(np.bincount(slab, minlength=D).max())
+        sc = SlabConfig(
+            n_slabs=D, cap=round_up(int(max_cnt * 1.5) + 64, 8),
+            halo_cap=round_up(int(max_cnt * 0.6) + 64, 8),
+            mig_cap=round_up(max(int(n_per * 0.25), 128), 8))
+        mesh = Mesh(devices, (AXIS,))
+        interpret = devices[0].platform != "tpu"
+        return grid, sc, mesh, interpret
+
+    def checkpoint_state(self, n_capacity):
+        """Rung state for the writer (timestep.h:29-34 analog); only
+        meaningful for the BDT propagator at a cycle boundary."""
+        if getattr(self, "bdt", None) is None or self.bst is None:
+            return None
+        return self.bdt.checkpoint_rungs(self.bst, n_capacity)
+
+    def _call_bdt(self, state: SimState):
+        import jax.numpy as jnp
+        if self.bst is None:
+            self.bst = self.bdt.distribute_bind(state)
+        self.bst, diags = self.bdt.run_cycle(self.bst)
+        d = diags[-1]
+        out = self.bdt.unbind(self.bst, self.n_global)
+        fr = float(np.mean([float(x.active_frac) for x in diags]))
+        print(f"# bdt: active fraction {fr:.2f}, rungs "
+              f"{np.asarray(d.rung_hist).tolist()}")
+
+        class _D:
+            dt, ttot, etot = d.dt, d.ttot, d.etot
+            ecin, eint = d.ecin, d.eint
+            egrav = 0.0
+            h_max = jnp.max(jnp.where(out.p.alive, out.p.h, 0.0))
+            nc_mean = 0.0
+            max_nc = 0
+            max_cell_count = 0
+            h_nonconv = None
+            bounds = None
+            maxvsignal = 0.0
+            raw = d
+
+        return out, _D()
+
     def __call__(self, state: SimState):
+        if getattr(self, "bdt", None) is not None:
+            return self._call_bdt(state)
         if self._ps0 is not None:  # first call: swap in the distribution
             state = SimState(p=self._ps0, ttot=state.ttot, dt=state.dt,
                              dt_m1=state.dt_m1, iteration=state.iteration)

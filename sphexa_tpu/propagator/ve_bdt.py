@@ -146,6 +146,50 @@ class BdtVE(ResidentVE):
         return jnp.repeat(per_cell, self.grid.cap, total_repeat_length=
                           self.grid.n_slots)
 
+    def _resync_1chip(self, bst: BDTState):
+        """Cycle-start full layout rebin — the single-chip analog of the
+        reference's sync() at every cycle start (ve_hydro_bdt.hpp:178)
+        and of ShardedBdtVE.resync. Called at substep == 0, where every
+        slot sits at its kick point (kick state == rv state), so the
+        only per-slot BDT row that must ride the re-binning is dt_m1k;
+        frozen fields are rebuilt by the all-active first substep."""
+        from sphexa_tpu.ops.cellmajor import build_layout, to_cm
+        from sphexa_tpu.propagator.ve_pallas import _RVROWS
+        from sphexa_tpu.sfc.box import put_in_box
+        rv = bst.rv
+        x, y, z = put_in_box(self.box, rv.x, rv.y, rv.z)
+        alive = rv.valid & self.intmask
+        layout = build_layout(self.grid, self.box, x, y, z, alive=alive)
+        fields = {f: getattr(rv, f) for f in _RVROWS}
+        fields.update(x=x, y=y, z=z)
+        scalars = dict(
+            drift=jnp.float32(0.0),
+            overflow=rv.overflow + layout.overflow.astype(jnp.int32),
+            ttot=rv.ttot, dt=rv.dt, dt_m1=rv.dt_m1,
+            iteration=rv.iteration)
+        rv2 = self._gather(layout, fields, scalars, rv.gid)
+        dt_m1k_cm = to_cm(layout, bst.dt_m1k, fill=1.0)
+        zero = jnp.zeros_like(rv2.x)
+        one = jnp.ones_like(rv2.x)
+        new = BDTState(
+            rv=rv2, xk=rv2.x, yk=rv2.y, zk=rv2.z, tempk=rv2.temp,
+            dxk=rv2.x_m1, dyk=rv2.y_m1, dzk=rv2.z_m1,
+            axk=zero, ayk=zero, azk=zero, duk=zero, du_m1k=rv2.du_m1,
+            dt_m1k=jnp.where(rv2.valid, dt_m1k_cm, 1.0),
+            rung=zero, ticks=zero,
+            xm=one, kx=one, gradh=one, c11=zero, c12=zero, c13=zero,
+            c22=zero, c23=zero, c33=zero, divv=zero,
+            dt_min=bst.dt_min, substep=jnp.int32(0))
+        return new, jnp.int32(0)
+
+    def resync(self, bst: BDTState):
+        """Jitted cycle-start sync; returns (state, lost) — lost is
+        always 0 single-chip (no migration), kept for interface parity
+        with ShardedBdtVE.resync."""
+        if getattr(self, "_resync_jit", None) is None:
+            self._resync_jit = jax.jit(self._resync_1chip)
+        return self._resync_jit(bst)
+
     # ---- one substep -------------------------------------------------------
     def _substep(self, bst: BDTState, phases_real=None, phases_imag=None):
         cfg = self.cfg
@@ -288,7 +332,10 @@ class BdtVE(ResidentVE):
         return new_bst, diag
 
     def run_cycle(self, bst: BDTState):
-        """Advance one full rung hierarchy (2^(numRungs-1) substeps)."""
+        """Full cycle-start sync (layout rebin), then one rung hierarchy
+        (2^(numRungs-1) substeps) — the sync()-every-cycle cadence of
+        the reference BDT propagator (ve_hydro_bdt.hpp:171-212)."""
+        bst, _ = self.resync(bst)
         diags = []
         for _ in range(1 << (self.num_rungs - 1)):
             bst, d = self.substep(bst)
@@ -360,6 +407,7 @@ class TurbBdtVE(BdtVE):
                          interpret=interpret)
 
     def run_cycle(self, bst: BDTState):
+        bst, _ = self.resync(bst)
         diags = []
         for _ in range(1 << (self.num_rungs - 1)):
             self.turb.update_noise(float(bst.dt_min))

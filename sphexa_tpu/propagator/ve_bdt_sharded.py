@@ -295,6 +295,28 @@ class ShardedBdtVE(BdtVE):
         b.update(rv=rv, dt_min=P(), substep=P())
         return BDTState(**b)
 
+    def checkpoint_rungs(self, bst: BDTState, n_capacity: int) -> dict:
+        """Particle-frame rung state from the sharded frame (host-side
+        gather; the base implementation assumes the single-chip slot
+        frame). Call at a cycle boundary like the base."""
+        assert int(bst.substep) == 0, \
+            "BDT checkpoints only at cycle boundaries (full sync)"
+        rv = bst.rv
+        im = np.tile(np.asarray(self.intmask),
+                     len(np.asarray(rv.valid)) // len(self.intmask))
+        validint = np.asarray(rv.valid) & im
+        gid = np.asarray(rv.gid)[validint].astype(np.int64)
+
+        def back(row, fill=0.0):
+            out = np.full((n_capacity,), fill, np.float32)
+            out[gid] = np.asarray(row)[validint]
+            return out
+
+        return {"fields": {"bdt_rung": back(bst.rung),
+                           "bdt_dt_m1k": back(bst.dt_m1k)},
+                "attrs": {"bdt_dt_min": float(bst.dt_min),
+                          "bdt_num_rungs": self.num_rungs}}
+
     def unbind(self, bst: BDTState, n_capacity: int) -> SimState:
         """Gather the sharded resident frame back to a global particle
         frame (output/checkpoint path)."""

@@ -177,7 +177,25 @@ def make_ve_step_hilbert(box: Box, grid: CellGrid, cfg: SphConfig,
                                   HilbertDiag(*[P()] * len(
                                       HilbertDiag._fields))),
                        check_vma=False)
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    rep = NamedSharding(mesh, P())
+
+    def step(state: SimState):
+        # Normalize the scalar leaves to committed mesh-replicated
+        # arrays so every call shares ONE compiled signature. With two
+        # signatures (host scalars on call 0, committed outputs after)
+        # the second executable intermittently fails at its 2nd reuse
+        # with "supplied 19 buffers but compiled program expected 20"
+        # (XLA runtime constant-hoisting bug, seen on CPU meshes).
+        put = lambda v, dt: jax.device_put(jnp.asarray(v, dt), rep)
+        state = state.replace(
+            ttot=put(state.ttot, jnp.float32),
+            dt=put(state.dt, jnp.float32),
+            dt_m1=put(state.dt_m1, jnp.float32),
+            iteration=put(state.iteration, jnp.int32))
+        return jitted(state)
+
+    return step
 
 
 def distribute_hilbert(ps_host: dict, box: Box, hc: HilbertConfig,

@@ -63,7 +63,7 @@ def test_balance_splits_quantiles():
         assert (k >= splits[d]).all() and (k < splits[d + 1]).all()
 
 
-def run_pair(side, n_devices, steps, dt0):
+def run_pair(side, n_devices, steps, dt0, key64=False):
     # side=16 resolves to a 2-cell grid (~512 particles/cell): cell_cap
     # must cover that or BOTH paths truncate candidates
     cfg = SphConfig(chunk=512, cell_cap=768, ngpad=256)
@@ -80,7 +80,7 @@ def run_pair(side, n_devices, steps, dt0):
     mesh = Mesh(devices, (AXIS,))
     hc = HilbertConfig(n_ranks=n_devices, cap=int(n / n_devices * 2.5) + 64,
                        halo_cap=int(n / n_devices * 2.0) + 64, mig_cap=256,
-                       coarse=8, dilate=3)
+                       coarse=8, dilate=3, key64=key64)
     host = {f: np.asarray(getattr(state.p, f)) for f in _FIELDS[:-1]}
     ps = distribute_hilbert(host, box, hc, mesh)
     sN = SimState(p=ps, ttot=state.ttot, dt=state.dt, dt_m1=state.dt_m1,
@@ -190,3 +190,19 @@ def test_balance_splits64_beats_30bit_aliasing():
     # best possible contiguous-range split of the aliased keys
     worst = max(np.bincount(ksort - ksort.min()).max(), 1)
     assert worst / ideal > 2.0, "cluster should overload any 30-bit range"
+
+
+@pytest.mark.multichip
+def test_hilbert_sharded_key64_matches_single():
+    """The full Domain.sync pipeline on level-20 keys (hc.key64=True,
+    the KeyType=uint64 production path): physics must match the
+    single-device run exactly like the 30-bit path does."""
+    s1, d1, sN, dN = run_pair(side=12, n_devices=2, steps=4, dt0=2e-4,
+                              key64=True)
+    assert int(dN.lost) == 0
+    assert int(dN.n_owned) == 12 ** 3
+    assert float(dN.imbalance) < 1.15
+    np.testing.assert_allclose(float(dN.dt), float(d1.dt), rtol=1e-4)
+    np.testing.assert_allclose(float(dN.ecin), float(d1.ecin), rtol=2e-3,
+                               atol=1e-7)
+    np.testing.assert_allclose(float(dN.eint), float(d1.eint), rtol=1e-5)
