@@ -195,16 +195,41 @@ def main():
         import numpy as np
 
         from sphexa_tpu.propagator.ve_tiered import (
-            audit_tiers, choose_tiers, make_ve_step_pallas_tiered)
+            audit_tiers, choose_tiers, make_ve_step_pallas_tiered,
+            make_ve_step_pallas_tiered_resident)
 
+        # default: the persistent-layout engine (incremental focus-tree
+        # analog); SPHEXA_BENCH_TIERED=rebuild times the per-step
+        # relayout variant for comparison
+        resident = os.environ.get("SPHEXA_BENCH_TIERED",
+                                  "resident") != "rebuild"
         p = state.p
         alive = np.asarray(p.alive)
-        tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive)
+        try:
+            tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
+                                 cap_max=176 if resident else 128,
+                                 grid_slack=1.1 if resident else 1.0)
+        except ValueError:
+            if not resident:
+                raise
+            # slack-inflated grids infeasible: tight tiers still run
+            # resident, just rebuilding (at worst) every step
+            tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
+                                 cap_max=128, grid_slack=1.0)
         assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h,
                            alive=alive) == 0, "tier band audit failed"
-        print(f"# tiers: {[(t.grid.n, t.grid.cap) for t in tiers]}",
+        print(f"# tiers ({'resident' if resident else 'rebuild'}): "
+              f"{[(t.grid.n, t.grid.cap) for t in tiers]}",
               file=__import__('sys').stderr)
-        step1 = make_ve_step_pallas_tiered(box, tiers, cfg)
+        if resident:
+            bind, step1 = make_ve_step_pallas_tiered_resident(
+                box, tiers, cfg)
+            st = bind(state)
+            leaf = lambda s: s.state.p.x
+        else:
+            step1 = make_ve_step_pallas_tiered(box, tiers, cfg)
+            st = state
+            leaf = lambda s: s.p.x
 
         scans = {}
 
@@ -216,21 +241,26 @@ def main():
                 scans[k] = jax.jit(lambda s: jax.lax.scan(
                     body, s, None, length=k))
             st, diags = scans[k](st)
-            _ = float(st.p.x[0])   # real readback
+            _ = float(leaf(st)[0])   # real readback
             return st, diags
 
         for _ in range(warmup):
-            state, _d = run(state, 1)
-        state, _diags = run(state, iters)
+            st, _d = run(st, 1)
+        st, _diags = run(st, iters)
         t0 = time.perf_counter()
-        state, diags = run(state, iters)
+        st, diags = run(st, iters)
         t_long = time.perf_counter() - t0
         t0 = time.perf_counter()
-        state, _d = run(state, 1)
+        st, _d = run(st, 1)
         t_short = time.perf_counter() - t0
         dt_wall = max(t_long - t_short, 1e-9) / (iters - 1)
+        state = st.state if resident else st
+        if resident:
+            print(f"# resident: {int(st.rebuilds)} layout rebuilds in "
+                  f"{2 * iters + warmup + 2} steps",
+                  file=__import__('sys').stderr)
         assert int(diags.max_cell_count[-1]) == 0, (
-            "tiered overflow/unowned/clamped: "
+            "tiered overflow/unowned/clamped/missed: "
             f"{np.asarray(diags.max_cell_count).tolist()}")
         # physics gate: the bench barely advances t, so the density must
         # still track the analytic IC law rho = M / (2 pi R^2 r)

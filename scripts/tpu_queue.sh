@@ -37,8 +37,15 @@ echo "--- job 3: BDT evolved bench ---" >> "$LOG"
 SPHEXA_BENCH_PROP=ve-bdt SPHEXA_BENCH_EVOLVE=80 timeout 2400 \
     python bench.py >> "$LOG" 2>&1
 
-echo "--- job 4: evrard-50 tiered bench ---" >> "$LOG"
+echo "--- job 4: evrard-50 tiered bench (resident) ---" >> "$LOG"
 SPHEXA_BENCH_CASE=evrard SPHEXA_BENCH_SIDE=50 timeout 3600 \
     python bench.py >> "$LOG" 2>&1
+
+echo "--- job 5: evrard-50 tiered bench (rebuild, comparison) ---" >> "$LOG"
+SPHEXA_BENCH_CASE=evrard SPHEXA_BENCH_SIDE=50 SPHEXA_BENCH_TIERED=rebuild \
+    timeout 3600 python bench.py >> "$LOG" 2>&1
+
+echo "--- job 6: xplane trace at HEAD ---" >> "$LOG"
+timeout 1800 python scripts/trace_stages.py 100 >> "$LOG" 2>&1
 
 echo "=== tpu_queue done $(date -u) ===" >> "$LOG"

@@ -30,7 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--sim-time", type=float, default=None,
                    help="stop when simulation time reached")
     p.add_argument("--prop", default="ve",
-                   choices=["ve", "std", "ve-pallas", "ve-tiered", "ve-bdt",
+                   choices=["ve", "std", "ve-pallas", "ve-tiered",
+                            "ve-tiered-resident", "ve-bdt",
                             "nbody", "turbulence-ve", "turbulence-ve-bdt",
                             "std-cooling", "ve-hilbert", "ve-pallas-sharded",
                             "ve-bdt-sharded"],
@@ -157,17 +158,36 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         adapter = MultiChipAdapter(args.prop, box, cfg, state, h_max,
                                    quiet=args.quiet)
         return adapter, adapter.grid
-    if args.prop == "ve-tiered":
+    if args.prop in ("ve-tiered", "ve-tiered-resident"):
         # adaptive-resolution path for clustered density (the focused-
         # octree role): h-tier grids + audited theta-band frames
         import jax
 
         from sphexa_tpu.propagator.ve_tiered import (
-            audit_tiers, choose_tiers, make_ve_step_pallas_tiered)
+            audit_tiers, choose_tiers, make_ve_step_pallas_tiered,
+            make_ve_step_pallas_tiered_resident)
         assert state is not None, "ve-tiered needs the current state"
         p = state.p
         alive = np.asarray(p.alive)
-        tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive)
+        # the resident variant trades cell occupancy for drift margin
+        # (see choose_tiers grid_slack) so its persistent layouts
+        # survive many steps between in-graph rebuilds
+        res = args.prop == "ve-tiered-resident"
+        try:
+            tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
+                                 cap_max=176 if res else 128,
+                                 grid_slack=1.1 if res else 1.0)
+        except ValueError:
+            if not res:
+                raise
+            # slack-inflated grids infeasible for this h field: fall
+            # back to tight tiers — the resident engine still runs,
+            # just rebuilds its layouts (at worst) every step
+            tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
+                                 cap_max=128, grid_slack=1.0)
+            if not args.quiet:
+                print("# ve-tiered-resident: slack-inflated tiers "
+                      "infeasible; using tight tiers (frequent rebuilds)")
         v = audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive)
         if v:
             raise RuntimeError(
@@ -178,6 +198,24 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
                 f"h[{t.h_lo:.3g},{t.h_hi:.3g}) n={t.grid.n} "
                 f"cap={t.grid.cap}" for t in tiers))
         interpret = jax.devices()[0].platform != "tpu"
+        if args.prop == "ve-tiered-resident":
+            # persistent per-tier layouts (incremental focus-tree
+            # analog): carry rides in a stateful adapter; a host
+            # re-tier (fresh make_stepper) rebinds from scratch
+            bind, rstep = make_ve_step_pallas_tiered_resident(
+                box, tiers, cfg, interpret=interpret)
+
+            class _TieredResAdapter:
+                def __init__(self):
+                    self.carry = None
+
+                def __call__(self, state):
+                    if self.carry is None:
+                        self.carry = bind(state)
+                    self.carry, diag = rstep(self.carry)
+                    return self.carry.state, diag
+
+            return _TieredResAdapter(), tiers
         return make_ve_step_pallas_tiered(box, tiers, cfg,
                                           interpret=interpret), tiers
     if args.prop == "std-cooling":
@@ -186,6 +224,15 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         from sphexa_tpu.propagator.std_cooling import make_std_cooling_step
         grid = CellGrid(choose_level(box, h_max * 1.25))
         cparams = extras.get("cooling_params", CoolingParams())
+        if "settings" in extras and any(
+                k.startswith("cooling::") for k in extras["settings"]):
+            # settings-file cooling::<name> keys (the reference's
+            # GRACKLE attribute surface, cooler.hpp:130) override the
+            # case defaults
+            merged = dict(cparams.to_settings())
+            merged.update({k: v for k, v in extras["settings"].items()
+                           if k.startswith("cooling::")})
+            cparams = CoolingParams.from_settings(merged)
         if "chem" in extras:
             raw = make_std_cooling_step(box, grid, cfg, params=cparams,
                                         with_chemistry=True)
@@ -466,7 +513,13 @@ def main(argv=None):
                      if getattr(diag, "h_nonconv", None) is not None
                      and int(diag.h_nonconv) else "")
                   + f"wall={dt_wall*1e3:.0f}ms", flush=True)
-        if int(diag.max_nc) > cfg.ngpad or int(diag.max_cell_count) > cfg.cell_cap:
+        # for the tiered engines max_cell_count is a fail-stop FOLD
+        # (slot overflow + unowned + h clamps + frame misses): any
+        # nonzero value means truncated candidate sets -> re-tier now
+        cell_bad = (int(diag.max_cell_count) > 0
+                    if args.prop.startswith("ve-tiered")
+                    else int(diag.max_cell_count) > cfg.cell_cap)
+        if int(diag.max_nc) > cfg.ngpad or cell_bad:
             # fail-stop, not a warning: truncated candidate sets are
             # silently wrong physics (reference throws,
             # xmass_gpu.cu:120-128). Try one re-grid with larger caps,

@@ -202,6 +202,70 @@ def _cell_coords_all(grid: CMGrid):
     return cx, cy, cz
 
 
+class GhostStatic(NamedTuple):
+    """The data-independent part of a CMLayout — fixed per (grid, box):
+    interior mask, ghost pull indices, fillability, coordinate shifts.
+    Numpy arrays; embedded as constants wherever they are traced."""
+    interior: np.ndarray
+    fillable: np.ndarray
+    ghost_pull: np.ndarray
+    shift_x: np.ndarray
+    shift_y: np.ndarray
+    shift_z: np.ndarray
+
+
+def ghost_static(grid: CMGrid, box: Box) -> GhostStatic:
+    """Ghost-cell pull maps and coordinate shifts (see build_layout)."""
+    n, nzc, nxc, cap, npd = grid.n, grid.nz, grid.nx, grid.cap, grid.np_
+    cx, cy, cz = _cell_coords_all(grid)  # padded coords, numpy
+    is_interior_cell = ((cx >= 1) & (cx <= nxc) & (cy >= 1) & (cy <= n)
+                        & (cz >= 1) & (cz <= nzc))
+    px, py, pz = box.periodic
+
+    def wrap(c, periodic, nd, last):
+        # padded coord -> source padded coord + box-length shift count
+        if periodic:
+            shift = np.where(c == 0, 1, np.where(c == last - 1, -1, 0))
+        else:
+            shift = np.zeros_like(c)  # non-periodic ghosts stay empty
+        return c + shift * nd, shift
+
+    sxc, shx = wrap(cx, px, nxc, grid.npx)
+    syc, shy = wrap(cy, py, n, npd)
+    szc, shz = wrap(cz, pz, nzc, grid.npz)
+    src_cell = (sxc * npd + syc) * grid.npz + szc
+    # ghost cell is fillable only if all out-of-range dims are periodic
+    fillable = (((cx >= 1) & (cx <= nxc)) | px) \
+        & (((cy >= 1) & (cy <= n)) | py) & (((cz >= 1) & (cz <= nzc)) | pz)
+
+    lane = np.arange(cap)
+    ghost_pull_np = (np.repeat(src_cell, cap) * cap
+                     + np.tile(lane, grid.n_cells)).astype(np.int32)
+    return GhostStatic(
+        interior=np.repeat(is_interior_cell, cap),
+        fillable=np.repeat(fillable, cap),
+        ghost_pull=ghost_pull_np,
+        shift_x=np.repeat(-shx * box.lx, cap).astype(np.float32),
+        shift_y=np.repeat(-shy * box.ly, cap).astype(np.float32),
+        shift_z=np.repeat(-shz * box.lz, cap).astype(np.float32))
+
+
+def attach_static(grid: CMGrid, box: Box, src, valid, slot_of,
+                  overflow) -> CMLayout:
+    """Rebuild a full CMLayout from its data-dependent rows plus the
+    static ghost maps — used by engines that CARRY layouts between
+    steps (only src/valid/slot_of/overflow ride the carry; the static
+    rows re-enter as constants, keeping duplicate-buffer pytrees out
+    of the jit signature)."""
+    gs = ghost_static(grid, box)
+    return CMLayout(src=src, valid=valid,
+                    interior=jnp.asarray(gs.interior),
+                    shift=(jnp.asarray(gs.shift_x), jnp.asarray(gs.shift_y),
+                           jnp.asarray(gs.shift_z)),
+                    ghost_pull=jnp.asarray(gs.ghost_pull),
+                    slot_of=slot_of, overflow=overflow)
+
+
 def build_layout(grid: CMGrid, box: Box, x, y, z, alive=None) -> CMLayout:
     N = x.shape[0]
     n = grid.n
@@ -239,48 +303,17 @@ def build_layout(grid: CMGrid, box: Box, x, y, z, alive=None) -> CMLayout:
         True, mode="drop")[: grid.n_slots]
 
     # ---- ghost cells: pull from wrapped interior cells with coord shifts ----
-    cx, cy, cz = _cell_coords_all(grid)  # padded coords, numpy
-    is_interior_cell = ((cx >= 1) & (cx <= nxc) & (cy >= 1) & (cy <= n)
-                        & (cz >= 1) & (cz <= nzc))
-
-    px, py, pz = box.periodic
-
-    def wrap(c, periodic, nd, last):
-        # padded coord -> source padded coord + box-length shift count
-        if periodic:
-            shift = np.where(c == 0, 1, np.where(c == last - 1, -1, 0))
-        else:
-            shift = np.zeros_like(c)  # non-periodic ghosts stay empty
-        return c + shift * nd, shift
-
-    sxc, shx = wrap(cx, px, nxc, grid.npx)
-    syc, shy = wrap(cy, py, n, npd)
-    szc, shz = wrap(cz, pz, nzc, grid.npz)
-    src_cell = (sxc * npd + syc) * grid.npz + szc
-    # ghost cell is fillable only if all out-of-range dims are periodic
-    fillable = (((cx >= 1) & (cx <= nxc)) | px) & (((cy >= 1) & (cy <= n)) | py) \
-        & (((cz >= 1) & (cz <= nzc)) | pz)
-
-    lane = np.arange(cap)
-    cell_of_slot = np.repeat(np.arange(grid.n_cells), cap)
-    ghost_pull_np = (np.repeat(src_cell, cap) * cap
-                     + np.tile(lane, grid.n_cells)).astype(np.int32)
-    interior_slot = np.repeat(is_interior_cell, cap)
-    fillable_slot = np.repeat(fillable, cap)
-    shift_x = np.repeat(-shx * box.lx, cap).astype(np.float32)
-    shift_y = np.repeat(-shy * box.ly, cap).astype(np.float32)
-    shift_z = np.repeat(-shz * box.lz, cap).astype(np.float32)
-
-    ghost_pull = jnp.asarray(ghost_pull_np)
-    interior = jnp.asarray(interior_slot)
-    fillable_j = jnp.asarray(fillable_slot)
+    gs = ghost_static(grid, box)
+    ghost_pull = jnp.asarray(gs.ghost_pull)
+    interior = jnp.asarray(gs.interior)
+    fillable_j = jnp.asarray(gs.fillable)
 
     src = jnp.where(interior, src, src[ghost_pull])
     valid = jnp.where(interior, valid, valid[ghost_pull] & fillable_j)
 
     return CMLayout(src=src, valid=valid, interior=interior,
-                    shift=(jnp.asarray(shift_x), jnp.asarray(shift_y),
-                           jnp.asarray(shift_z)),
+                    shift=(jnp.asarray(gs.shift_x), jnp.asarray(gs.shift_y),
+                           jnp.asarray(gs.shift_z)),
                     ghost_pull=ghost_pull, slot_of=slot_of, overflow=overflow)
 
 

@@ -54,13 +54,50 @@ SLACK = 1.05
 @dataclasses.dataclass(frozen=True)
 class TierSpec:
     """One h-tier: i-particles with h in [h_lo, h_hi) run on `grid`
-    over `sub` (an open-boundary zoom Box); the frame holds subbox
-    particles with h >= cutoff (= h_lo / theta)."""
+    over `sub` (a zoom Box, open in every dim it does not fully span);
+    the frame holds subbox particles with h >= cutoff (= h_lo / theta).
+
+    `shift` is the periodic-roll applied to coordinates before binning
+    (one value per dim, identical across a tier set): for a periodic
+    box the cut plane is placed in the emptiest region, so a cluster
+    wrapping a face becomes contiguous in the shifted frame and the
+    open-boundary zoom works unchanged — the reference octree is
+    BC-agnostic (cstone/sfc/box.hpp); this is the dense-grid analog."""
     h_lo: float
     h_hi: float
     cutoff: float
     grid: CMGrid
     sub: Box
+    shift: tuple = (0.0, 0.0, 0.0)
+
+
+def tier_coords(box: Box, shift, x, y, z):
+    """Coordinates in the tier set's rolled frame: x' = ((x - xmin -
+    sx) mod lx) + xmin for shifted periodic dims, identity otherwise."""
+    def roll(v, lo, ln, s):
+        if s == 0.0:
+            return v
+        return jnp.mod(v - lo - s, ln) + lo
+    return (roll(x, box.xmin, box.lx, shift[0]),
+            roll(y, box.ymin, box.ly, shift[1]),
+            roll(z, box.zmin, box.lz, shift[2]))
+
+
+def choose_shift(box: Box, x, y, z, nbins: int = 64):
+    """Per-dim periodic roll placing the cut at the emptiest histogram
+    bin's LEFT edge (host-side, at tier construction). Open dims get
+    shift 0."""
+    out = []
+    for coords, per, lo, ln in ((x, box.periodic[0], box.xmin, box.lx),
+                                (y, box.periodic[1], box.ymin, box.ly),
+                                (z, box.periodic[2], box.zmin, box.lz)):
+        if not per:
+            out.append(0.0)
+            continue
+        histo, edges = np.histogram(np.asarray(coords),
+                                    bins=nbins, range=(lo, lo + ln))
+        out.append(float(edges[int(np.argmin(histo))] - lo))
+    return tuple(out)
 
 
 def tier_support_bound(tier: TierSpec) -> float:
@@ -71,9 +108,11 @@ def tier_support_bound(tier: TierSpec) -> float:
 
 
 def _subbox(box: Box, xs, ys, zs, margin: float) -> Box:
-    """Cubified open-boundary bbox + margin, clipped to the global box
-    (zooming past a periodic face is not supported — tiering targets
-    the open-boundary collapse problems)."""
+    """Cubified bbox + margin, clipped to the global box. A dim the
+    clipped cube fully spans keeps the global box's boundary condition
+    (a full-span periodic dim wraps its ghost cells); partially-spanned
+    dims are open — valid because coordinates enter in the tier set's
+    rolled frame, where the cluster is contiguous."""
     lo = np.array([xs.min() - margin, ys.min() - margin, zs.min() - margin])
     hi = np.array([xs.max() + margin, ys.max() + margin, zs.max() + margin])
     c = 0.5 * (lo + hi)
@@ -81,20 +120,29 @@ def _subbox(box: Box, xs, ys, zs, margin: float) -> Box:
     lo, hi = c - half, c + half
     glo = np.array([box.xmin, box.ymin, box.zmin])
     ghi = np.array([box.xmax, box.ymax, box.zmax])
+    full = (lo <= glo) & (hi >= ghi)
     lo, hi = np.maximum(lo, glo), np.minimum(hi, ghi)
+    bcs = [b if (f and b == Boundary.periodic) else Boundary.open
+           for f, b in zip(full, (box.bx, box.by, box.bz))]
     return Box(lo[0], hi[0], lo[1], hi[1], lo[2], hi[2],
-               bx=Boundary.open, by=Boundary.open, bz=Boundary.open)
+               bx=bcs[0], by=bcs[1], bz=bcs[2])
 
 
 def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
                  theta: float = 1.5, max_tiers: int = 4,
-                 n_candidates: int = 16):
+                 n_candidates: int = 16, grid_slack: float = 1.0):
     """Greedy top-down tier construction from the realized h
     distribution: the coarsest tier takes h_hi = h_max and stretches
     h_lo as deep as the cap budget allows; the remainder recurses on
     its own (smaller) subbox. Returns list[TierSpec], coarsest first;
     a single entry means a uniform grid fits (use the plain engine).
-    The theta band must be validated by `audit_tiers` before use."""
+    The theta band must be validated by `audit_tiers` before use.
+
+    grid_slack > 1 sizes each tier grid for h_hi * grid_slack instead
+    of h_hi, trading cell occupancy (cap) for headroom the RESIDENT
+    engine spends as drift margin + h-growth room — with slack 1.0 the
+    edges sit exactly at the 2h support bound and the persistent
+    layouts would go stale every step."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     z = np.asarray(z, np.float64)
@@ -104,19 +152,26 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
         x, y, z, h = x[keep], y[keep], z[keep], h[keep]
     h_min, h_max = float(h.min()), float(h.max())
 
+    # periodic dims: roll so a cluster wrapping a face becomes
+    # contiguous (cut at the emptiest histogram bin); open dims shift 0
+    shift = choose_shift(box, x, y, z)
+    if any(s != 0.0 for s in shift):
+        x, y, z = (np.asarray(v) for v in tier_coords(
+            box, shift, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)))
+
     def fit(h_hi: float, h_lo: float):
         """(grid, sub) for tier [h_lo, h_hi) or None if cap > cap_max."""
         sel = (h >= h_lo) & (h < h_hi)
         if not sel.any():
             return None
         sub = _subbox(box, x[sel], y[sel], z[sel],
-                      margin=2.0 * 2.0 * h_hi * SLACK)
+                      margin=2.0 * 2.0 * h_hi * grid_slack * SLACK)
         inbox = ((x >= sub.xmin) & (x <= sub.xmax) & (y >= sub.ymin)
                  & (y <= sub.ymax) & (z >= sub.zmin) & (z <= sub.zmax))
         frame = inbox & (h >= h_lo / theta)
         try:
             cap, grid = choose_cap_and_grid(
-                sub, h_hi, int(frame.sum()),
+                sub, h_hi * grid_slack, int(frame.sum()),
                 x[frame], y[frame], z[frame], cap_min=32, cap_max=cap_max)
         except ValueError:
             return None
@@ -153,7 +208,7 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
             grid, sub = r
         tiers.append(TierSpec(h_lo=h_lo, h_hi=h_hi,
                               cutoff=(h_lo / theta if h_lo > 0 else 0.0),
-                              grid=grid, sub=sub))
+                              grid=grid, sub=sub, shift=shift))
         if h_lo == 0.0:
             return tiers
         h_hi = h_lo
@@ -181,8 +236,17 @@ def audit_tiers(tiers, box: Box, x, y, z, h, alive=None,
     for t in tiers:
         sel_i = (h >= t.h_lo) & (h < t.h_hi)
         sub = t.sub
-        inbox = ((x >= sub.xmin) & (x <= sub.xmax) & (y >= sub.ymin)
-                 & (y <= sub.ymax) & (z >= sub.zmin) & (z <= sub.zmax))
+        if any(s != 0.0 for s in t.shift):
+            # subbox membership lives in the tier set's rolled frame;
+            # distances below stay min-image in the global box (shift-
+            # invariant)
+            xr, yr, zr = (np.asarray(v) for v in tier_coords(
+                box, t.shift, jnp.asarray(x), jnp.asarray(y),
+                jnp.asarray(z)))
+        else:
+            xr, yr, zr = x, y, z
+        inbox = ((xr >= sub.xmin) & (xr <= sub.xmax) & (yr >= sub.ymin)
+                 & (yr <= sub.ymax) & (zr >= sub.zmin) & (zr <= sub.zmax))
         excl = ~inbox | (h < t.cutoff)
         if not excl.any() or not sel_i.any():
             continue
@@ -262,10 +326,67 @@ def audit_tiers(tiers, box: Box, x, y, z, h, alive=None,
     return violations
 
 
+def _tier_engines(tiers, cfg: SphConfig, interpret: bool):
+    """(tier, PallasVE, interior mask, h support bound) per tier."""
+    return [(t, PallasVE(t.grid, cfg, interpret=interpret),
+             interior_mask(t.grid), tier_support_bound(t)) for t in tiers]
+
+
+def _tier_sels(engines, ps, h0):
+    """Owner masks: tier t owns alive particles with h in [h_lo, h_hi);
+    the coarsest tier owns everything above its h_lo (h may adapt past
+    the IC-time h_max between re-tierings; the grid-bound clamp caps
+    the growth it can serve)."""
+    sels = []
+    for ti, (t, pve, intmask, h_bound) in enumerate(engines):
+        sel = ps.alive & (h0 >= t.h_lo)
+        if ti > 0:
+            sel = sel & (h0 < t.h_hi)
+        sels.append(sel)
+    return sels
+
+
+def _tier_frame_coords(engines, box: Box, ps):
+    """The tier set's rolled-frame coordinates (identity when no dim
+    is shifted). All tiers of a set share one shift."""
+    shift = engines[0][0].shift
+    return tier_coords(box, shift, ps.x, ps.y, ps.z)
+
+
+def _build_layouts(engines, box: Box, ps):
+    """Per-tier frame layouts from current positions/h (in-graph)."""
+    xr, yr, zr = _tier_frame_coords(engines, box, ps)
+    layouts = []
+    for t, pve, intmask, h_bound in engines:
+        sub = t.sub
+        inbox = ((xr >= sub.xmin) & (xr <= sub.xmax)
+                 & (yr >= sub.ymin) & (yr <= sub.ymax)
+                 & (zr >= sub.zmin) & (zr <= sub.zmax))
+        frame = ps.alive & inbox & (ps.h >= t.cutoff)
+        layouts.append(build_layout(t.grid, sub, xr, yr, zr,
+                                    alive=frame))
+    return tuple(layouts)
+
+
 def make_ve_step_pallas_tiered(box: Box, tiers, cfg: SphConfig,
                                interpret: bool = False):
     """Particle-frame tiered VE step: same in/out contract as
     make_ve_step_pallas, but each h-tier runs on its own zoom grid.
+    Rebuilds every tier layout each step; see
+    make_ve_step_pallas_tiered_resident for the persistent-layout
+    variant (the incremental focus-tree analog)."""
+    engines = _tier_engines(tiers, cfg, interpret)
+
+    @jax.jit
+    def step(state):
+        layouts = _build_layouts(engines, box, state.p)
+        return _tiered_body(state, layouts, engines, box, cfg)
+
+    return step
+
+
+def _tiered_body(state, layouts, engines, box: Box, cfg: SphConfig):
+    """The five tiered pair stages on prebuilt per-tier layouts.
 
     Stage intermediates CROSS tiers: a fine particle appearing as a
     j-candidate in the coarse frame must carry the xm/kx/cij/divv/alpha
@@ -279,164 +400,271 @@ def make_ve_step_pallas_tiered(box: Box, tiers, cfg: SphConfig,
 
     Gravity is solved once on the particle frame. max_cell_count in the
     diagnostics folds slot overflow + unowned particles + tier-bound h
-    clamps — any nonzero value is a fail-stop/re-tier signal."""
+    clamps + owner-frame misses (an owned particle its tier's layout
+    holds no slot for — spatial escape from the tier subbox or cap
+    overflow) — any nonzero value is a fail-stop/re-tier signal."""
     from sphexa_tpu.propagator.common import finish_step
     from sphexa_tpu.propagator.ve_pallas import _add_gravity
     from sphexa_tpu.sph.eos import eos_ve
 
-    engines = []
-    for t in tiers:
-        pve = PallasVE(t.grid, cfg, interpret=interpret)
-        engines.append((t, pve, interior_mask(t.grid),
-                        tier_support_bound(t)))
+    ps = state.p
+    n = ps.n
+    h0 = ps.h
+
+    sels = _tier_sels(engines, ps, h0)
+    xr, yr, zr = _tier_frame_coords(engines, box, ps)
+    bases, valids = [], []
+    sel_sum = jnp.zeros_like(h0, dtype=bool)
+    overflow = 0
+    miss = 0
+    for ti, (t, pve, intmask, h_bound) in enumerate(engines):
+        layout = layouts[ti]
+        bases.append(pve.base_rows(layout, xr, yr, zr, ps.h))
+        valids.append(layout.valid & intmask)
+        sel_sum = sel_sum | sels[ti]
+        overflow = overflow + layout.overflow
+        miss = miss + jnp.sum(sels[ti]
+                              & (layout.slot_of >= t.grid.n_slots))
+    unowned = jnp.sum(ps.alive & ~sel_sum) + miss
+
+    def run_stage(fn):
+        """fn(ti, pve, base, cm) -> dict of cm outputs; returns the
+        owner-merged particle-frame dict."""
+        merged = None
+        for ti, (t, pve, intmask, h_bound) in enumerate(engines):
+            l = layouts[ti]
+            cm = lambda f, fill=0.0, l=l: to_cm(l, f, fill)
+            out = fn(ti, pve, bases[ti], cm)
+            pf = {k: from_cm(l, v, n, fill)
+                  for k, (v, fill) in out.items()}
+            if merged is None:
+                merged = pf
+            else:
+                merged = {k: jnp.where(sels[ti], pf[k], merged[k])
+                          for k in pf}
+        return merged
+
+    # ---- stage 1: fused nc / h-iteration / xmass ----
+    def s_xmass(ti, pve, base, cm):
+        xm, h_new, nc, nonconv = pve.xmass_h(base, cm(ps.m))
+        h_new = jnp.where(valids[ti], h_new, base[3])
+        return dict(xm=(xm, 1.0), h=(h_new, 1.0), nc=(nc, 0.0),
+                    nonconv=(nonconv, 0.0))
+
+    st1 = run_stage(s_xmass)
+    xm_pf, nc_pf, nonconv_pf = st1["xm"], st1["nc"], st1["nonconv"]
+    # owner clamp at the tier grid's support bound (count + clamp;
+    # re-tier at the host boundary, like main.py's re-grid)
+    h_pf = st1["h"]
+    clamped = 0
+    for ti, (t, pve, intmask, h_bound) in enumerate(engines):
+        clamped = clamped + jnp.sum(sels[ti] & (h_pf > h_bound))
+        h_pf = jnp.where(sels[ti], jnp.minimum(h_pf, h_bound), h_pf)
+    h_pf = jnp.where(ps.alive, h_pf, h0)
+    # rebuild base rows with the merged h (j-side h must be the
+    # owner-adapted value in every frame)
+    for ti in range(len(engines)):
+        hcm = to_cm(layouts[ti], h_pf, fill=1.0)
+        b = bases[ti]
+        bases[ti] = [b[0], b[1], b[2], hcm, b[4]]
+    nc_sph_pf = nc_pf + 1.0
+
+    # ---- stage 2: VE normalization kx + grad-h ----
+    st2 = run_stage(lambda ti, pve, base, cm: dict(
+        zip(("kx", "gradh"),
+            ((v, 1.0) for v in pve.gradh(base, cm(ps.m), cm(xm_pf))))))
+    kx_pf, gradh_pf = st2["kx"], st2["gradh"]
+
+    # ---- EOS: elementwise on the particle frame ----
+    rho_pf, p_pf, c_pf, prho_pf = eos_ve(ps.temp, ps.m, kx_pf, xm_pf,
+                                         gradh_pf, cfg.mui, cfg.gamma)
+    rho_pf = jnp.where(ps.alive, rho_pf, 1.0)
+    c_pf = jnp.where(ps.alive, c_pf, 1.0)
+    prho_pf = jnp.where(ps.alive, prho_pf, 0.0)
+
+    # ---- stage 3: IAD + divv/curlv ----
+    def s_iad(ti, pve, base, cm):
+        cij, divv, curlv, gradv = pve.iad_divv(
+            base, cm(kx_pf, 1.0), cm(xm_pf, 1.0), cm(ps.vx),
+            cm(ps.vy), cm(ps.vz))
+        out = {f"c{k}": (cij[k], 0.0) for k in range(6)}
+        out.update(divv=(divv, 0.0), curlv=(curlv, 0.0))
+        out.update({f"g{k}": (gradv[k], 0.0) for k in range(6)})
+        return out
+
+    st3 = run_stage(s_iad)
+    cij_pf = tuple(st3[f"c{k}"] for k in range(6))
+    divv_pf, curlv_pf = st3["divv"], st3["curlv"]
+    gradv_pf = tuple(st3[f"g{k}"] for k in range(6))
+
+    # ---- stage 4: AV switches ----
+    def s_av(ti, pve, base, cm):
+        alpha = pve.av_switches(
+            base, cm(c_pf, 1.0), cm(kx_pf, 1.0), cm(xm_pf, 1.0),
+            cm(divv_pf), cm(ps.vx), cm(ps.vy), cm(ps.vz),
+            tuple(cm(c6) for c6 in cij_pf), cm(ps.alpha), state.dt)
+        alpha = jnp.where(valids[ti], alpha,
+                          to_cm(layouts[ti], ps.alpha))
+        return dict(alpha=(alpha, 0.0))
+
+    alpha_pf = run_stage(s_av)["alpha"]
+    alpha_pf = jnp.where(ps.alive, alpha_pf, ps.alpha)
+
+    # ---- stage 5: momentum + energy ----
+    def s_mom(ti, pve, base, cm):
+        kw = {}
+        if cfg.av_clean:
+            eta = jnp.cbrt(32.0 * jnp.pi / 3.0
+                           / jnp.maximum(cm(nc_sph_pf, 1.0), 1.0))
+            kw = dict(gradv=tuple(cm(g) for g in gradv_pf),
+                      eta_crit_cm=eta)
+        ax, ay, az, du, mvs = pve.momentum(
+            base, cm(ps.vx), cm(ps.vy), cm(ps.vz), cm(c_pf, 1.0),
+            cm(prho_pf), cm(rho_pf, 1.0), cm(xm_pf, 1.0),
+            cm(alpha_pf), cm(ps.m), tuple(cm(c6) for c6 in cij_pf),
+            **kw)
+        return dict(ax=(ax, 0.0), ay=(ay, 0.0), az=(az, 0.0),
+                    du=(du, 0.0), mvs=(mvs, 0.0))
+
+    st5 = run_stage(s_mom)
+
+    merged = dict(ax=st5["ax"], ay=st5["ay"], az=st5["az"],
+                  du=st5["du"], maxvsignal=st5["mvs"])
+    merged, egrav, nf_trunc = _add_gravity(
+        merged, ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg)
+
+    ps2 = ps.replace(h=h_pf, alpha=alpha_pf)
+    max_nc = jnp.max(jnp.where(ps.alive, nc_sph_pf - 1.0, 0.0))
+    new_state, diag = finish_step(
+        state, ps2, merged["ax"], merged["ay"], merged["az"],
+        merged["du"], merged["maxvsignal"], c_pf,
+        divv_pf, nc_sph_pf, box, cfg,
+        max_nc=max_nc.astype(jnp.int32),
+        max_cell_count=(overflow + unowned + clamped).astype(jnp.int32),
+        egrav=egrav, nf_truncated=nf_trunc, rho=rho_pf, p=p_pf)
+    return new_state, diag
+
+
+
+# ---------------------------------------------------------------------------
+# Resident tiered engine: persistent per-tier layouts (the incremental
+# focus-tree update analog, reference:
+# domain/include/cstone/focus/octree_focus_mpi.hpp:138-176 — the focus
+# tree updates in place each iteration instead of rebuilding).
+# ---------------------------------------------------------------------------
+
+REBIN_FRAC = 0.95
+
+
+@jax.tree_util.register_pytree_node_class
+class TieredCarry:
+    """Carried state of the resident tiered step: the simulation state
+    plus the DATA-DEPENDENT per-tier layout rows (src, valid, slot_of,
+    overflow — the static ghost maps re-enter as closure constants;
+    carrying them as runtime leaves triggers an XLA duplicate-buffer
+    executable-reuse failure and wastes HBM), the accumulated drift
+    since the last in-graph rebuild, and a rebuild counter."""
+
+    def __init__(self, state, layouts, drift, rebuilds):
+        self.state = state
+        self.layouts = layouts   # tuple of (src, valid, slot_of, overflow)
+        self.drift = drift
+        self.rebuilds = rebuilds
+
+    def tree_flatten(self):
+        return (self.state, self.layouts, self.drift, self.rebuilds), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _strip_layouts(layouts):
+    return tuple((l.src, l.valid, l.slot_of, l.overflow) for l in layouts)
+
+
+def _unstrip_layouts(engines, slim):
+    from sphexa_tpu.ops.cellmajor import attach_static
+    return tuple(
+        attach_static(t.grid, t.sub, src, valid, slot_of, overflow)
+        for (t, _pve, _im, _hb), (src, valid, slot_of, overflow)
+        in zip(engines, slim))
+
+
+def make_ve_step_pallas_tiered_resident(box: Box, tiers, cfg: SphConfig,
+                                        interpret: bool = False):
+    """Persistent-layout tiered VE step. Layouts (the per-tier binning
+    sorts — the expensive part of each step at steady state) are CARRIED
+    between steps and rebuilt in-graph (lax.cond) only when stale:
+
+      - drift margin: 2*(h_max_t + drift) >= REBIN_FRAC * edge_t for any
+        tier t (the ResidentVE criterion per zoom grid — a particle may
+        sit up to `drift` away from its binned cell, so the 27-stencil
+        stays complete while the margin holds);
+      - owner-frame miss: an owned particle without a slot in its tier
+        (h crossed a tier boundary into a frame that theta-band-excluded
+        it, or it left the tier subbox). A rebuild re-bins the boundary
+        crosser; a spatial escapee stays missed and is COUNTED in the
+        body's fail-stop fold (max_cell_count), forcing the host-level
+        re-tier exactly like a cap overflow.
+
+    Returns (bind, step): bind(state) -> TieredCarry,
+    step(carry) -> (carry, diag); carry.state is the current SimState.
+    """
+    engines = _tier_engines(tiers, cfg, interpret)
+    edges = [min(t.sub.lx / t.grid.nx, t.sub.ly / t.grid.n,
+                 t.sub.lz / t.grid.nz) for t in tiers]
+    per = box.periodic
+    L = (box.lx, box.ly, box.lz)
 
     @jax.jit
-    def step(state):
+    def bind(state):
+        return TieredCarry(state=state,
+                           layouts=_strip_layouts(_build_layouts(
+                               engines, box, state.p)),
+                           drift=jnp.float32(0.0),
+                           rebuilds=jnp.int32(0))
+
+    def step(carry: TieredCarry):
+        state = carry.state
         ps = state.p
-        n = ps.n
-        h0 = ps.h
+        sels = _tier_sels(engines, ps, ps.h)
 
-        # ---- per-tier layouts + owner/frame masks (fixed per step) ----
-        layouts, bases, sels, valids = [], [], [], []
-        sel_sum = jnp.zeros_like(h0, dtype=bool)
-        overflow = 0
+        stale = jnp.bool_(False)
         for ti, (t, pve, intmask, h_bound) in enumerate(engines):
-            sub = t.sub
-            inbox = ((ps.x >= sub.xmin) & (ps.x <= sub.xmax)
-                     & (ps.y >= sub.ymin) & (ps.y <= sub.ymax)
-                     & (ps.z >= sub.zmin) & (ps.z <= sub.zmax))
-            frame = ps.alive & inbox & (h0 >= t.cutoff)
-            # the coarsest tier owns everything above its h_lo: h may
-            # adapt past the IC-time h_max between re-tierings, and the
-            # grid-bound clamp below caps the growth it can serve
-            sel = ps.alive & (h0 >= t.h_lo)
-            if ti > 0:
-                sel = sel & (h0 < t.h_hi)
-            layout = build_layout(t.grid, sub, ps.x, ps.y, ps.z,
-                                  alive=frame)
-            layouts.append(layout)
-            bases.append(pve.base_rows(layout, ps.x, ps.y, ps.z, ps.h))
-            sels.append(sel)
-            valids.append(layout.valid & intmask)
-            sel_sum = sel_sum | sel
-            overflow = overflow + layout.overflow
-        unowned = jnp.sum(ps.alive & ~sel_sum)
+            h_max_t = jnp.max(jnp.where(sels[ti], ps.h, 0.0))
+            stale = stale | (2.0 * (h_max_t + carry.drift)
+                             >= REBIN_FRAC * edges[ti])
+            slot_of_t = carry.layouts[ti][2]
+            stale = stale | jnp.any(
+                sels[ti] & (slot_of_t >= t.grid.n_slots))
 
-        def run_stage(fn):
-            """fn(ti, pve, base, cm) -> dict of cm outputs; returns the
-            owner-merged particle-frame dict."""
-            merged = None
-            for ti, (t, pve, intmask, h_bound) in enumerate(engines):
-                l = layouts[ti]
-                cm = lambda f, fill=0.0, l=l: to_cm(l, f, fill)
-                out = fn(ti, pve, bases[ti], cm)
-                pf = {k: from_cm(l, v, n, fill)
-                      for k, (v, fill) in out.items()}
-                if merged is None:
-                    merged = pf
-                else:
-                    merged = {k: jnp.where(sels[ti], pf[k], merged[k])
-                              for k in pf}
-            return merged
+        slim = jax.lax.cond(
+            stale,
+            lambda p: _strip_layouts(_build_layouts(engines, box, p)),
+            lambda p: carry.layouts, ps)
+        layouts = _unstrip_layouts(engines, slim)
 
-        # ---- stage 1: fused nc / h-iteration / xmass ----
-        def s_xmass(ti, pve, base, cm):
-            xm, h_new, nc, nonconv = pve.xmass_h(base, cm(ps.m))
-            h_new = jnp.where(valids[ti], h_new, base[3])
-            return dict(xm=(xm, 1.0), h=(h_new, 1.0), nc=(nc, 0.0),
-                        nonconv=(nonconv, 0.0))
+        new_state, diag = _tiered_body(state, layouts, engines, box, cfg)
 
-        st1 = run_stage(s_xmass)
-        xm_pf, nc_pf, nonconv_pf = st1["xm"], st1["nc"], st1["nonconv"]
-        # owner clamp at the tier grid's support bound (count + clamp;
-        # re-tier at the host boundary, like main.py's re-grid)
-        h_pf = st1["h"]
-        clamped = 0
-        for ti, (t, pve, intmask, h_bound) in enumerate(engines):
-            clamped = clamped + jnp.sum(sels[ti] & (h_pf > h_bound))
-            h_pf = jnp.where(sels[ti], jnp.minimum(h_pf, h_bound), h_pf)
-        h_pf = jnp.where(ps.alive, h_pf, h0)
-        # rebuild base rows with the merged h (j-side h must be the
-        # owner-adapted value in every frame)
-        for ti in range(len(engines)):
-            hcm = to_cm(layouts[ti], h_pf, fill=1.0)
-            b = bases[ti]
-            bases[ti] = [b[0], b[1], b[2], hcm, b[4]]
-        nc_sph_pf = nc_pf + 1.0
+        # min-image step displacement (positions may fold at the box)
+        def mindelta(a, b, axis):
+            d = jnp.abs(a - b)
+            return jnp.minimum(d, L[axis] - d) if per[axis] else d
 
-        # ---- stage 2: VE normalization kx + grad-h ----
-        st2 = run_stage(lambda ti, pve, base, cm: dict(
-            zip(("kx", "gradh"),
-                ((v, 1.0) for v in pve.gradh(base, cm(ps.m), cm(xm_pf))))))
-        kx_pf, gradh_pf = st2["kx"], st2["gradh"]
+        disp2 = (mindelta(new_state.p.x, ps.x, 0) ** 2
+                 + mindelta(new_state.p.y, ps.y, 1) ** 2
+                 + mindelta(new_state.p.z, ps.z, 2) ** 2)
+        step_disp = jnp.sqrt(jnp.max(jnp.where(ps.alive, disp2, 0.0)))
+        drift = jnp.where(stale, 0.0, carry.drift) + step_disp
+        return TieredCarry(state=new_state, layouts=slim, drift=drift,
+                           rebuilds=carry.rebuilds
+                           + stale.astype(jnp.int32)), diag
 
-        # ---- EOS: elementwise on the particle frame ----
-        rho_pf, p_pf, c_pf, prho_pf = eos_ve(ps.temp, ps.m, kx_pf, xm_pf,
-                                             gradh_pf, cfg.mui, cfg.gamma)
-        rho_pf = jnp.where(ps.alive, rho_pf, 1.0)
-        c_pf = jnp.where(ps.alive, c_pf, 1.0)
-        prho_pf = jnp.where(ps.alive, prho_pf, 0.0)
-
-        # ---- stage 3: IAD + divv/curlv ----
-        def s_iad(ti, pve, base, cm):
-            cij, divv, curlv, gradv = pve.iad_divv(
-                base, cm(kx_pf, 1.0), cm(xm_pf, 1.0), cm(ps.vx),
-                cm(ps.vy), cm(ps.vz))
-            out = {f"c{k}": (cij[k], 0.0) for k in range(6)}
-            out.update(divv=(divv, 0.0), curlv=(curlv, 0.0))
-            out.update({f"g{k}": (gradv[k], 0.0) for k in range(6)})
-            return out
-
-        st3 = run_stage(s_iad)
-        cij_pf = tuple(st3[f"c{k}"] for k in range(6))
-        divv_pf, curlv_pf = st3["divv"], st3["curlv"]
-        gradv_pf = tuple(st3[f"g{k}"] for k in range(6))
-
-        # ---- stage 4: AV switches ----
-        def s_av(ti, pve, base, cm):
-            alpha = pve.av_switches(
-                base, cm(c_pf, 1.0), cm(kx_pf, 1.0), cm(xm_pf, 1.0),
-                cm(divv_pf), cm(ps.vx), cm(ps.vy), cm(ps.vz),
-                tuple(cm(c6) for c6 in cij_pf), cm(ps.alpha), state.dt)
-            alpha = jnp.where(valids[ti], alpha,
-                              to_cm(layouts[ti], ps.alpha))
-            return dict(alpha=(alpha, 0.0))
-
-        alpha_pf = run_stage(s_av)["alpha"]
-        alpha_pf = jnp.where(ps.alive, alpha_pf, ps.alpha)
-
-        # ---- stage 5: momentum + energy ----
-        def s_mom(ti, pve, base, cm):
-            kw = {}
-            if cfg.av_clean:
-                eta = jnp.cbrt(32.0 * jnp.pi / 3.0
-                               / jnp.maximum(cm(nc_sph_pf, 1.0), 1.0))
-                kw = dict(gradv=tuple(cm(g) for g in gradv_pf),
-                          eta_crit_cm=eta)
-            ax, ay, az, du, mvs = pve.momentum(
-                base, cm(ps.vx), cm(ps.vy), cm(ps.vz), cm(c_pf, 1.0),
-                cm(prho_pf), cm(rho_pf, 1.0), cm(xm_pf, 1.0),
-                cm(alpha_pf), cm(ps.m), tuple(cm(c6) for c6 in cij_pf),
-                **kw)
-            return dict(ax=(ax, 0.0), ay=(ay, 0.0), az=(az, 0.0),
-                        du=(du, 0.0), mvs=(mvs, 0.0))
-
-        st5 = run_stage(s_mom)
-
-        merged = dict(ax=st5["ax"], ay=st5["ay"], az=st5["az"],
-                      du=st5["du"], maxvsignal=st5["mvs"])
-        merged, egrav, nf_trunc = _add_gravity(
-            merged, ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg)
-
-        ps2 = ps.replace(h=h_pf, alpha=alpha_pf)
-        max_nc = jnp.max(jnp.where(ps.alive, nc_sph_pf - 1.0, 0.0))
-        new_state, diag = finish_step(
-            state, ps2, merged["ax"], merged["ay"], merged["az"],
-            merged["du"], merged["maxvsignal"], c_pf,
-            divv_pf, nc_sph_pf, box, cfg,
-            max_nc=max_nc.astype(jnp.int32),
-            max_cell_count=(overflow + unowned + clamped).astype(jnp.int32),
-            egrav=egrav, nf_truncated=nf_trunc, rho=rho_pf, p=p_pf)
-        return new_state, diag
-
-    return step
+    # donate the carry: the resident frame is replaced wholesale each
+    # step, so donation halves peak HBM — and sidesteps an XLA CPU
+    # executable-reuse failure ("supplied N buffers but compiled
+    # program expected M") hit when a carried-pytree program
+    # interleaves with another jitted program (seen on the 8-device
+    # virtual CPU test backend, jax 0.9.0)
+    return bind, jax.jit(step, donate_argnums=0)
