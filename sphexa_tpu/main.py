@@ -34,7 +34,7 @@ def parse_args(argv=None):
                             "ve-tiered-resident", "ve-bdt",
                             "nbody", "turbulence-ve", "turbulence-ve-bdt",
                             "std-cooling", "ve-hilbert", "ve-pallas-sharded",
-                            "ve-bdt-sharded"],
+                            "ve-bdt-sharded", "ve-tiered-sharded"],
                    help="propagator choice (reference: --prop); ve-hilbert, "
                         "ve-pallas-sharded and ve-bdt-sharded run multi-chip "
                         "over ALL attached devices (the mpiexec-equivalent "

@@ -28,7 +28,8 @@ from sphexa_tpu.config import SphConfig, round_up
 from sphexa_tpu.sfc.box import Box
 from sphexa_tpu.state import SimState, _FIELDS
 
-MULTICHIP_PROPS = ("ve-hilbert", "ve-pallas-sharded", "ve-bdt-sharded")
+MULTICHIP_PROPS = ("ve-hilbert", "ve-pallas-sharded", "ve-bdt-sharded",
+                   "ve-tiered-sharded")
 
 
 class _MCDiag:
@@ -46,6 +47,9 @@ class _MCDiag:
         self.egrav = float(d.etot) - float(d.ecin) - float(d.eint)
         self.h_max = d.h_max
         self.max_nc = d.max_nc
+        # tiered fail-stop fold rides max_cell_count so the main
+        # loop's re-tier branch (any nonzero for ve-tiered*) fires
+        self.max_cell_count = int(getattr(d, "fold", 0))
         self.raw = d
 
 
@@ -73,7 +77,7 @@ class MultiChipAdapter:
         self.n_global = len(host["x"])
         n_per = self.n_global / D
 
-        if prop == "ve-hilbert":
+        if prop in ("ve-hilbert", "ve-tiered-sharded"):
             from sphexa_tpu.domain.hilbert import (AXIS, HilbertConfig,
                                                    hilbert_keys)
             from sphexa_tpu.neighbors import CellGrid, choose_level
@@ -114,11 +118,40 @@ class MultiChipAdapter:
                     print(f"# gravity band_cap={cfg.gravity_band_cap} "
                           f"(measured, cap={cap})")
 
-            mesh = Mesh(devices, (AXIS,))
-            grid = CellGrid(choose_level(box, h_max * 1.3))
-            self.grid = grid
-            ps = distribute_hilbert(host, box, hc, mesh)
-            self._step = make_ve_step_hilbert(box, grid, cfg, hc, mesh)
+            from sphexa_tpu.domain.mesh import make_slab_mesh
+            mesh = make_slab_mesh(devices, AXIS)
+            if prop == "ve-tiered-sharded":
+                # distributed adaptive resolution: GLOBAL tier
+                # structure from the initial state, device-gated zoom
+                # grids over the Hilbert domain (the focused-octree x
+                # MPI composition, octree_focus_mpi.hpp:51)
+                from sphexa_tpu.propagator.ve_tiered import (audit_tiers,
+                                                             choose_tiers)
+                from sphexa_tpu.propagator.ve_tiered_sharded import (
+                    make_ve_step_tiered_hilbert)
+                import jax as _jax
+                tiers = choose_tiers(
+                    box, host["x"], host["y"], host["z"], host["h"])
+                v = audit_tiers(tiers, box, host["x"], host["y"],
+                                host["z"], host["h"])
+                if v:
+                    raise RuntimeError(
+                        f"tier band audit: {v} violations (raise theta)")
+                if not quiet:
+                    print("# tiers: " + "; ".join(
+                        f"h[{t.h_lo:.3g},{t.h_hi:.3g}) n={t.grid.n} "
+                        f"cap={t.grid.cap}" for t in tiers))
+                interpret = _jax.devices()[0].platform != "tpu"
+                self.grid = tiers
+                ps = distribute_hilbert(host, box, hc, mesh)
+                self._step = make_ve_step_tiered_hilbert(
+                    box, tiers, cfg, hc, mesh, interpret=interpret)
+            else:
+                grid = CellGrid(choose_level(box, h_max * 1.3))
+                self.grid = grid
+                ps = distribute_hilbert(host, box, hc, mesh)
+                self._step = make_ve_step_hilbert(box, grid, cfg, hc,
+                                                  mesh)
         elif prop in ("ve-pallas-sharded", "ve-bdt-sharded"):
             grid, sc, mesh, interpret = self._slab_setup(
                 host, box, h_max, devices, quiet)
@@ -204,7 +237,11 @@ class MultiChipAdapter:
             n_slabs=D, cap=round_up(int(max_cnt * 1.5) + 64, 8),
             halo_cap=round_up(int(max_cnt * 0.6) + 64, 8),
             mig_cap=round_up(max(int(n_per * 0.25), 128), 8))
-        mesh = Mesh(devices, (AXIS,))
+        # slice-major device order: the +-1 z-ring crosses DCN exactly
+        # once per slice boundary (multi-slice TPU backends expose
+        # slice_index; single-slice and CPU orders pass through)
+        from sphexa_tpu.domain.mesh import make_slab_mesh
+        mesh = make_slab_mesh(devices, AXIS)
         interpret = devices[0].platform != "tpu"
         return grid, sc, mesh, interpret
 
@@ -259,6 +296,7 @@ class MultiChipAdapter:
         if ovf != 0:
             raise RuntimeError(
                 f"multichip fail-stop: {ovf} cell-major slot overflows")
+
         n_owned = int(d.n_owned)
         if n_owned != self.n_global:
             raise RuntimeError(

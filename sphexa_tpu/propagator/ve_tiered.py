@@ -405,15 +405,61 @@ def _tiered_body(state, layouts, engines, box: Box, cfg: SphConfig):
     overflow) — any nonzero value is a fail-stop/re-tier signal."""
     from sphexa_tpu.propagator.common import finish_step
     from sphexa_tpu.propagator.ve_pallas import _add_gravity
-    from sphexa_tpu.sph.eos import eos_ve
 
     ps = state.p
+    fo = _tiered_forces(ps, state.dt, layouts, engines, box, cfg)
+
+    merged = dict(ax=fo["ax"], ay=fo["ay"], az=fo["az"],
+                  du=fo["du"], maxvsignal=fo["maxvsignal"])
+    merged, egrav, nf_trunc = _add_gravity(
+        merged, ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg)
+
+    ps2 = ps.replace(h=fo["h"], alpha=fo["alpha"])
+    max_nc = jnp.max(jnp.where(ps.alive, fo["nc_sph"] - 1.0, 0.0))
+    new_state, diag = finish_step(
+        state, ps2, merged["ax"], merged["ay"], merged["az"],
+        merged["du"], merged["maxvsignal"], fo["c"],
+        fo["divv"], fo["nc_sph"], box, cfg,
+        max_nc=max_nc.astype(jnp.int32),
+        max_cell_count=fo["fold"].astype(jnp.int32),
+        egrav=egrav, nf_truncated=nf_trunc, rho=fo["rho"], p=fo["p"])
+    return new_state, diag
+
+
+def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
+                   cfg: SphConfig, refresh=None, owned=None):
+    """The five tiered pair stages on a particle FRAME `ps` (any padded
+    Particles pytree: the single-chip frame, or a sharded device\'s
+    owned+halo extended frame). Hooks for the distributed composition:
+
+      refresh(dict[str, array]) -> dict  re-sends the merged stage
+        intermediates\' halo rows from their owner ranks at exactly the
+        reference\'s exchangeHalos points (ve_hydro.hpp:132-205);
+        identity when None (single chip: to_cm pulls ghosts through
+        layout.src, no intra-frame refresh needed).
+      owned  bool mask of rows whose outputs this rank owns (halo rows
+        excluded from the unowned/clamp accounting); defaults to
+        ps.alive.
+
+    When the engines are gated (PallasVE(gated=True)), supercells with
+    no local frame rows are skipped — each device of a sharded run pays
+    compute only for its own occupancy of the GLOBAL tier grids.
+
+    Returns a dict of particle-frame outputs + the fail-stop `fold`
+    (slot overflow + unowned + tier-bound h clamps + owner-frame
+    misses)."""
+    from sphexa_tpu.sph.eos import eos_ve
+
     n = ps.n
     h0 = ps.h
+    if refresh is None:
+        refresh = lambda d: d
+    if owned is None:
+        owned = ps.alive
 
     sels = _tier_sels(engines, ps, h0)
     xr, yr, zr = _tier_frame_coords(engines, box, ps)
-    bases, valids = [], []
+    bases, valids, gates = [], [], []
     sel_sum = jnp.zeros_like(h0, dtype=bool)
     overflow = 0
     miss = 0
@@ -421,20 +467,26 @@ def _tiered_body(state, layouts, engines, box: Box, cfg: SphConfig):
         layout = layouts[ti]
         bases.append(pve.base_rows(layout, xr, yr, zr, ps.h))
         valids.append(layout.valid & intmask)
+        if pve.gated:
+            act = (layout.valid & intmask).astype(jnp.float32)
+            zero_cm = jnp.zeros_like(act)
+            gates.append((act, (zero_cm,)))
+        else:
+            gates.append(None)
         sel_sum = sel_sum | sels[ti]
         overflow = overflow + layout.overflow
-        miss = miss + jnp.sum(sels[ti]
+        miss = miss + jnp.sum(owned & sels[ti]
                               & (layout.slot_of >= t.grid.n_slots))
-    unowned = jnp.sum(ps.alive & ~sel_sum) + miss
+    unowned = jnp.sum(owned & ~sel_sum) + miss
 
     def run_stage(fn):
-        """fn(ti, pve, base, cm) -> dict of cm outputs; returns the
-        owner-merged particle-frame dict."""
+        """fn(ti, pve, base, cm, gate) -> dict of cm outputs; returns
+        the owner-merged particle-frame dict."""
         merged = None
         for ti, (t, pve, intmask, h_bound) in enumerate(engines):
             l = layouts[ti]
             cm = lambda f, fill=0.0, l=l: to_cm(l, f, fill)
-            out = fn(ti, pve, bases[ti], cm)
+            out = fn(ti, pve, bases[ti], cm, gates[ti])
             pf = {k: from_cm(l, v, n, fill)
                   for k, (v, fill) in out.items()}
             if merged is None:
@@ -445,22 +497,24 @@ def _tiered_body(state, layouts, engines, box: Box, cfg: SphConfig):
         return merged
 
     # ---- stage 1: fused nc / h-iteration / xmass ----
-    def s_xmass(ti, pve, base, cm):
-        xm, h_new, nc, nonconv = pve.xmass_h(base, cm(ps.m))
+    def s_xmass(ti, pve, base, cm, gate):
+        xm, h_new, nc, nonconv = pve.xmass_h(base, cm(ps.m), gate=gate)
         h_new = jnp.where(valids[ti], h_new, base[3])
         return dict(xm=(xm, 1.0), h=(h_new, 1.0), nc=(nc, 0.0),
                     nonconv=(nonconv, 0.0))
 
     st1 = run_stage(s_xmass)
-    xm_pf, nc_pf, nonconv_pf = st1["xm"], st1["nc"], st1["nonconv"]
+    nc_pf, nonconv_pf = st1["nc"], st1["nonconv"]
     # owner clamp at the tier grid's support bound (count + clamp;
     # re-tier at the host boundary, like main.py's re-grid)
     h_pf = st1["h"]
     clamped = 0
     for ti, (t, pve, intmask, h_bound) in enumerate(engines):
-        clamped = clamped + jnp.sum(sels[ti] & (h_pf > h_bound))
+        clamped = clamped + jnp.sum(owned & sels[ti] & (h_pf > h_bound))
         h_pf = jnp.where(sels[ti], jnp.minimum(h_pf, h_bound), h_pf)
     h_pf = jnp.where(ps.alive, h_pf, h0)
+    r1 = refresh(dict(h=h_pf, xm=st1["xm"]))
+    h_pf, xm_pf = r1["h"], r1["xm"]
     # rebuild base rows with the merged h (j-side h must be the
     # owner-adapted value in every frame)
     for ti in range(len(engines)):
@@ -470,9 +524,10 @@ def _tiered_body(state, layouts, engines, box: Box, cfg: SphConfig):
     nc_sph_pf = nc_pf + 1.0
 
     # ---- stage 2: VE normalization kx + grad-h ----
-    st2 = run_stage(lambda ti, pve, base, cm: dict(
+    st2 = run_stage(lambda ti, pve, base, cm, gate: dict(
         zip(("kx", "gradh"),
-            ((v, 1.0) for v in pve.gradh(base, cm(ps.m), cm(xm_pf))))))
+            ((v, 1.0) for v in pve.gradh(base, cm(ps.m), cm(xm_pf),
+                                         gate=gate)))))
     kx_pf, gradh_pf = st2["kx"], st2["gradh"]
 
     # ---- EOS: elementwise on the particle frame ----
@@ -481,37 +536,44 @@ def _tiered_body(state, layouts, engines, box: Box, cfg: SphConfig):
     rho_pf = jnp.where(ps.alive, rho_pf, 1.0)
     c_pf = jnp.where(ps.alive, c_pf, 1.0)
     prho_pf = jnp.where(ps.alive, prho_pf, 0.0)
+    r2 = refresh(dict(kx=kx_pf, prho=prho_pf, c=c_pf, rho=rho_pf))
+    kx_pf, prho_pf, c_pf, rho_pf = (r2["kx"], r2["prho"], r2["c"],
+                                    r2["rho"])
 
     # ---- stage 3: IAD + divv/curlv ----
-    def s_iad(ti, pve, base, cm):
+    def s_iad(ti, pve, base, cm, gate):
         cij, divv, curlv, gradv = pve.iad_divv(
             base, cm(kx_pf, 1.0), cm(xm_pf, 1.0), cm(ps.vx),
-            cm(ps.vy), cm(ps.vz))
+            cm(ps.vy), cm(ps.vz), gate=gate)
         out = {f"c{k}": (cij[k], 0.0) for k in range(6)}
         out.update(divv=(divv, 0.0), curlv=(curlv, 0.0))
         out.update({f"g{k}": (gradv[k], 0.0) for k in range(6)})
         return out
 
     st3 = run_stage(s_iad)
-    cij_pf = tuple(st3[f"c{k}"] for k in range(6))
-    divv_pf, curlv_pf = st3["divv"], st3["curlv"]
+    r3 = refresh({f"c{k}": st3[f"c{k}"] for k in range(6)}
+                 | dict(divv=st3["divv"]))
+    cij_pf = tuple(r3[f"c{k}"] for k in range(6))
+    divv_pf, curlv_pf = r3["divv"], st3["curlv"]
     gradv_pf = tuple(st3[f"g{k}"] for k in range(6))
 
     # ---- stage 4: AV switches ----
-    def s_av(ti, pve, base, cm):
+    def s_av(ti, pve, base, cm, gate):
         alpha = pve.av_switches(
             base, cm(c_pf, 1.0), cm(kx_pf, 1.0), cm(xm_pf, 1.0),
             cm(divv_pf), cm(ps.vx), cm(ps.vy), cm(ps.vz),
-            tuple(cm(c6) for c6 in cij_pf), cm(ps.alpha), state.dt)
+            tuple(cm(c6) for c6 in cij_pf), cm(ps.alpha), dt_prev,
+            gate=gate)
         alpha = jnp.where(valids[ti], alpha,
                           to_cm(layouts[ti], ps.alpha))
         return dict(alpha=(alpha, 0.0))
 
     alpha_pf = run_stage(s_av)["alpha"]
     alpha_pf = jnp.where(ps.alive, alpha_pf, ps.alpha)
+    alpha_pf = refresh(dict(alpha=alpha_pf))["alpha"]
 
     # ---- stage 5: momentum + energy ----
-    def s_mom(ti, pve, base, cm):
+    def s_mom(ti, pve, base, cm, gate):
         kw = {}
         if cfg.av_clean:
             eta = jnp.cbrt(32.0 * jnp.pi / 3.0
@@ -522,27 +584,18 @@ def _tiered_body(state, layouts, engines, box: Box, cfg: SphConfig):
             base, cm(ps.vx), cm(ps.vy), cm(ps.vz), cm(c_pf, 1.0),
             cm(prho_pf), cm(rho_pf, 1.0), cm(xm_pf, 1.0),
             cm(alpha_pf), cm(ps.m), tuple(cm(c6) for c6 in cij_pf),
-            **kw)
+            gate=gate, **kw)
         return dict(ax=(ax, 0.0), ay=(ay, 0.0), az=(az, 0.0),
                     du=(du, 0.0), mvs=(mvs, 0.0))
 
     st5 = run_stage(s_mom)
 
-    merged = dict(ax=st5["ax"], ay=st5["ay"], az=st5["az"],
-                  du=st5["du"], maxvsignal=st5["mvs"])
-    merged, egrav, nf_trunc = _add_gravity(
-        merged, ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg)
-
-    ps2 = ps.replace(h=h_pf, alpha=alpha_pf)
-    max_nc = jnp.max(jnp.where(ps.alive, nc_sph_pf - 1.0, 0.0))
-    new_state, diag = finish_step(
-        state, ps2, merged["ax"], merged["ay"], merged["az"],
-        merged["du"], merged["maxvsignal"], c_pf,
-        divv_pf, nc_sph_pf, box, cfg,
-        max_nc=max_nc.astype(jnp.int32),
-        max_cell_count=(overflow + unowned + clamped).astype(jnp.int32),
-        egrav=egrav, nf_truncated=nf_trunc, rho=rho_pf, p=p_pf)
-    return new_state, diag
+    return dict(ax=st5["ax"], ay=st5["ay"], az=st5["az"], du=st5["du"],
+                maxvsignal=st5["mvs"], h=h_pf, alpha=alpha_pf, c=c_pf,
+                divv=divv_pf, curlv=curlv_pf, nc_sph=nc_sph_pf,
+                rho=rho_pf, p=p_pf, kx=kx_pf, xm=xm_pf,
+                nonconv=nonconv_pf,
+                fold=overflow + unowned + clamped)
 
 
 

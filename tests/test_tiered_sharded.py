@@ -1,0 +1,84 @@
+"""Tiers x sharding (VERDICT-r3 lever composition): the distributed
+tiered propagator must reproduce the single-chip tiered engine —
+same tier structure, same kernels; the device decomposition only adds
+the halo choreography (reference: the focus tree runs on the full MPI
+domain, octree_focus_mpi.hpp:51 + domain.hpp:196)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.domain.hilbert import AXIS, HilbertConfig
+from sphexa_tpu.init.evrard import init_evrard
+from sphexa_tpu.propagator.ve_tiered import (audit_tiers, choose_tiers,
+                                             make_ve_step_pallas_tiered)
+from sphexa_tpu.propagator.ve_tiered_sharded import (
+    make_ve_step_tiered_hilbert)
+from sphexa_tpu.propagator.ve_hilbert import distribute_hilbert
+from sphexa_tpu.state import SimState, _FIELDS
+
+
+@pytest.mark.multichip
+@pytest.mark.medium
+def test_tiered_sharded_matches_single():
+    side, D, steps = 20, 2, 2
+    cfg = SphConfig(chunk=512, cell_cap=512, ngpad=256, gravG=0.0)
+    state, box, cfg = init_evrard(side, cfg, dt0=1e-4)
+    cfg = cfg.replace(gravG=0.0)
+    n = int(np.asarray(state.p.alive).sum())
+    p = state.p
+    alive = np.asarray(p.alive)
+
+    tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
+                         cap_max=128)
+    assert len(tiers) >= 2
+    assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
+
+    # single-chip reference (ungated engines)
+    step1 = make_ve_step_pallas_tiered(box, tiers, cfg, interpret=True)
+    s1 = state
+    for _ in range(steps):
+        s1, d1 = step1(s1)
+    assert int(d1.max_cell_count) == 0
+
+    # sharded run on the same tier structure
+    devices = np.array(jax.devices()[:D])
+    mesh = Mesh(devices, (AXIS,))
+    hc = HilbertConfig(n_ranks=D, cap=int(n / D * 2.5) + 64,
+                       halo_cap=int(n / D * 2.0) + 64, mig_cap=256,
+                       coarse=8, dilate=3)
+    host = {f: np.asarray(getattr(p, f))[alive] for f in _FIELDS[:-1]}
+    ps = distribute_hilbert(host, box, hc, mesh)
+    sN = SimState(p=ps, ttot=state.ttot, dt=state.dt, dt_m1=state.dt_m1,
+                  iteration=state.iteration)
+    stepN = make_ve_step_tiered_hilbert(box, tiers, cfg, hc, mesh,
+                                        interpret=True)
+    for _ in range(steps):
+        sN, dN = stepN(sN)
+
+    assert int(dN.lost) == 0
+    assert int(dN.fold) == 0, "tier overflow/unowned/clamp/miss"
+    assert int(dN.n_owned) == n
+    assert float(dN.imbalance) < 1.15
+    np.testing.assert_allclose(float(dN.dt), float(d1.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(dN.eint), float(d1.eint), rtol=1e-5)
+    np.testing.assert_allclose(float(dN.ecin), float(d1.ecin), rtol=2e-3,
+                               atol=1e-10)
+
+    # per-particle (the sharded run migrates: match by position)
+    from scipy.spatial import cKDTree
+    a = {f: np.asarray(getattr(s1.p, f))[alive]
+         for f in ("x", "y", "z", "vx", "h")}
+    alN = np.asarray(sN.p.alive)
+    b = {f: np.asarray(getattr(sN.p, f))[alN]
+         for f in ("x", "y", "z", "vx", "h")}
+    assert len(b["x"]) == n
+    tree = cKDTree(np.c_[a["x"], a["y"], a["z"]])
+    d, j = tree.query(np.c_[b["x"], b["y"], b["z"]])
+    assert d.max() < 1e-5
+    assert len(np.unique(j)) == len(j)
+    vscale = max(np.abs(a["vx"]).max(), 1e-12)
+    assert np.abs(b["vx"] - a["vx"][j]).max() / vscale < 2e-3
+    np.testing.assert_allclose(b["h"], a["h"][j], rtol=2e-3)
