@@ -75,6 +75,11 @@ class SphConfig:
     # synchronous fast multipole, ~1e-2 rms force error like BH theta~1)
     gravity_solver: str = "direct"
     fmm_level: int = 4
+    fmm_min_sep: int = 3      # FMM well-separateness class (the MAC
+                              # theta analog): 2 = classic V-list
+                              # (worst expansion ratio 0.87), 3 =
+                              # tighter default (0.58, ~5x lower rms),
+                              # 4 = tighter still at a wider near field
 
     # Pallas path: factor the IAD velocity-gradient and AV graddivv pair
     # reductions into cell-centered j-side moment matmuls on the MXU

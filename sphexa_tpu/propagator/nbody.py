@@ -23,7 +23,8 @@ def make_nbody_step(box: Box, cfg: SphConfig):
         if cfg.gravity_solver == "fmm":
             from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
             g = fmm_gravity(ps.x, ps.y, ps.z, ps.m, ps.alive, box,
-                            cfg.gravG, FmmConfig(level=cfg.fmm_level),
+                            cfg.gravG, FmmConfig(level=cfg.fmm_level,
+                                  min_sep=cfg.fmm_min_sep),
                             eps=cfg.eps)
         else:
             g = direct_gravity(ps.x, ps.y, ps.z, ps.m, ps.alive,

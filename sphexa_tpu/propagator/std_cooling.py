@@ -59,7 +59,8 @@ def make_std_cooling_step(box: Box, grid: CellGrid, cfg: SphConfig,
             if cfg.gravity_solver == "fmm":
                 from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
                 g = fmm_gravity(x, y, z, ps.m, ps.alive, box, cfg.gravG,
-                                FmmConfig(level=cfg.fmm_level), eps=cfg.eps)
+                                FmmConfig(level=cfg.fmm_level,
+                                  min_sep=cfg.fmm_min_sep), eps=cfg.eps)
             else:
                 from sphexa_tpu.gravity.direct import direct_gravity
                 g = direct_gravity(x, y, z, ps.m, ps.alive, cfg.gravG,

@@ -227,6 +227,18 @@ class BdtVE(ResidentVE):
             out = dict(out, ax=out["ax"] + sax, ay=out["ay"] + say,
                        az=out["az"] + saz)
 
+        # self-gravity recomputed every substep from the drifted
+        # positions and committed with the active rungs' kick forces —
+        # the reference's per-substep upsweep+traverse
+        # (ve_hydro_bdt.hpp:277-288; inactive rungs keep their frozen
+        # kick acceleration, gravity included)
+        egrav = jnp.float32(0.0)
+        if cfg.gravG != 0.0:
+            from sphexa_tpu.propagator.ve_pallas import _add_gravity
+            out, egrav, _nf = _add_gravity(out, rv.x, rv.y, rv.z, rv.m,
+                                           validint, self.box, cfg)
+            egrav = self._gsum(egrav)
+
         # per-slot freeze/commit (exact semantics; the kernel gate is the
         # compute-skip at supercell granularity)
         pick = lambda new, old: jnp.where(active, new, old)
@@ -251,6 +263,14 @@ class BdtVE(ResidentVE):
         # BEFORE applying maxDt, ts_rungs.hpp:134-146); the growth clamp
         # and the global rho candidate only shrink the stepping base
         dt_i = ts_k_courant(out["maxvsignal"], h, out["c"], cfg.kcour)
+        if cfg.gravG != 0.0:
+            # per-particle acceleration limit (reference
+            # groupAccTimestep, ve_hydro_bdt.hpp:289; ts_global.hpp:46)
+            acc = jnp.sqrt(out["ax"] ** 2 + out["ay"] ** 2
+                           + out["az"] ** 2)
+            dt_acc = cfg.eta_acc * jnp.sqrt(
+                cfg.eps / jnp.maximum(acc, 1e-30))
+            dt_i = jnp.minimum(dt_i, dt_acc)
         dt_i_min = self._gmin(jnp.min(jnp.where(validint, dt_i, 1e30)))
         from sphexa_tpu.sph import timestep as _ts
         dt_rho = self._gmin(_ts.rho_timestep(out["divv"], validint,
@@ -323,7 +343,8 @@ class BdtVE(ResidentVE):
             jnp.sum(jnp.where(validint & (jnp.round(rung) == r), 1, 0))
             for r in range(self.num_rungs)]))
         diag = BDTDiag(
-            dt=dt_min, ttot=rv.ttot, etot=ecin + eint, ecin=ecin, eint=eint,
+            dt=dt_min, ttot=rv.ttot, etot=ecin + eint + egrav, ecin=ecin,
+            eint=eint,
             active_frac=self._gsum(jnp.sum(act_row)) / nvalid,
             active_cell_frac=(self._gsum(jnp.sum(cell_act))
                               / jnp.maximum(self._gsum(jnp.sum(cell_occ)),

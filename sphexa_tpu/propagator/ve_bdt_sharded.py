@@ -22,9 +22,10 @@ engines until now):
     grid cells, each owned by exactly one rank, so no collective is
     needed there (same as the reference's per-group rung reduction).
 
-Gravity and turbulence composition are not wired here yet; the
-single-chip BDT propagator has neither either (the BDT pipeline is the
-pure hydro fast path).
+The single-chip BDT propagator composes gravity (recomputed per
+substep, ve_hydro_bdt.hpp:277-288) and turbulence; THIS sharded
+variant is the pure-hydro fast path — distributed self-gravity would
+need the sharded solver in the substep (guarded by an assert).
 """
 
 from __future__ import annotations
@@ -113,6 +114,11 @@ class ShardedBdtVE(BdtVE):
     def __init__(self, box: Box, grid: CMGrid, cfg: SphConfig,
                  sc: SlabConfig, mesh: Mesh, num_rungs: int = 4,
                  interpret: bool = False):
+        assert cfg.gravG == 0.0, (
+            "ShardedBdtVE is the pure-hydro BDT pipeline: the inherited "
+            "substep would run the single-chip gravity solver on local "
+            "shards only (use ve-tiered-sharded / ve-hilbert for "
+            "distributed self-gravity)")
         super().__init__(box, grid, cfg, num_rungs=num_rungs,
                          interpret=interpret)
         self.sc = sc

@@ -137,7 +137,8 @@ def _add_gravity(out, x, y, z, m, alive, box: Box, cfg: SphConfig):
     if cfg.gravity_solver == "fmm":
         from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
         g = fmm_gravity(x, y, z, m, alive, box, cfg.gravG,
-                        FmmConfig(level=cfg.fmm_level), eps=cfg.eps)
+                        FmmConfig(level=cfg.fmm_level,
+                                  min_sep=cfg.fmm_min_sep), eps=cfg.eps)
     elif cfg.gravity_solver == "ewald":
         from sphexa_tpu.gravity.ewald import ewald_gravity
         g = ewald_gravity(x, y, z, m, alive, box, cfg.gravG, eps=cfg.eps)

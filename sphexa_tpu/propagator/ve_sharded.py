@@ -265,7 +265,8 @@ def _sharded_gravity(ps, box, cfg, axis: str, dim: int | None = None):
         from sphexa_tpu.gravity.fmm import (FmmConfig, fmm_gravity_sharded,
                                             min_level_for_bands)
         n_ranks = _jax.lax.psum(1, axis)
-        fc = FmmConfig(level=max(cfg.fmm_level,
+        fc = FmmConfig(min_sep=cfg.fmm_min_sep,
+                       level=max(cfg.fmm_level,
                                  min_level_for_bands(n_ranks)))
         ax, ay, az, pot, nf_trunc, band_ovf = fmm_gravity_sharded(
             ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg.gravG, fc,
@@ -277,7 +278,7 @@ def _sharded_gravity(ps, box, cfg, axis: str, dim: int | None = None):
     if cfg.gravity_solver == "fmm":
         from sphexa_tpu.gravity.fmm import (FmmConfig,
                                             fmm_gravity_sharded_generic)
-        fc = FmmConfig(level=cfg.fmm_level)
+        fc = FmmConfig(level=cfg.fmm_level, min_sep=cfg.fmm_min_sep)
         ax, ay, az, pot, nf_trunc, band_ovf = fmm_gravity_sharded_generic(
             ps.x, ps.y, ps.z, ps.m, ps.alive, box, cfg.gravG, fc,
             cfg.eps, axis, band_cap=cfg.gravity_band_cap)

@@ -64,3 +64,53 @@ def test_bdt_matches_global_dt():
     mean_active = float(np.mean([float(d.active_frac) for d in diags]))
     print(f"mean active fraction {mean_active:.2f}, rung hist {hist}")
     assert mean_active < 0.95
+
+
+@pytest.mark.medium
+def test_bdt_gravity_matches_plain():
+    """BDT x gravity (reference: ve_hydro_bdt.hpp:277-288 recomputes
+    gravity for the active rungs every substep). With num_rungs=1 a
+    BDT cycle IS one all-active step, so it must reproduce the plain
+    resident engine with gravity exactly (same pipeline + same solver
+    + same dt candidates incl. the acceleration limit)."""
+    from sphexa_tpu.init.evrard import init_evrard
+    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
+    from sphexa_tpu.propagator.ve_pallas import ResidentVE
+
+    cfg = SphConfig(chunk=512, cell_cap=512, ngpad=256,
+                    gravity_solver="direct")
+    state, box, cfg = init_evrard(10, cfg, dt0=1e-4)
+    cfg = cfg.replace(gravity_solver="direct")
+    assert cfg.gravG != 0.0
+    p = state.p
+    alive = np.asarray(p.alive)
+    cap, grid = choose_cap_and_grid(
+        box, float(np.asarray(p.h)[alive].max()) * 1.2, int(alive.sum()),
+        np.asarray(p.x)[alive], np.asarray(p.y)[alive],
+        np.asarray(p.z)[alive], cap_min=32, cap_max=512)
+
+    # BDT arm first: the plain engine's donated step invalidates the
+    # state buffers its bind aliased (dt/ttot ride into the carry)
+    bdt = BdtVE(box, grid, cfg, num_rungs=1, interpret=True)
+    bst = bdt.bind_bdt(state)
+    diags = []
+    for _ in range(2):
+        bst, ds = bdt.run_cycle(bst)
+        diags += ds
+    db = diags[-1]
+
+    plain = ResidentVE(box, grid, cfg, interpret=True)
+    rst = plain.bind(state)
+    for _ in range(2):
+        rst, dp = plain.step(rst)
+
+    assert int(db.overflow) == 0
+    np.testing.assert_allclose(float(db.dt), float(dp.dt), rtol=1e-5)
+    np.testing.assert_allclose(float(db.eint), float(dp.eint), rtol=1e-5)
+    np.testing.assert_allclose(float(db.ecin), float(dp.ecin), rtol=1e-3,
+                               atol=1e-10)
+    # etot includes egrav on both sides
+    np.testing.assert_allclose(float(db.etot), float(dp.etot), rtol=1e-4)
+    # per-slot positions agree (same layout after the first resync)
+    np.testing.assert_allclose(np.asarray(bst.rv.x), np.asarray(rst.x),
+                               rtol=0, atol=5e-6)

@@ -76,3 +76,37 @@ def test_fmm_nonuniform_cluster():
     rms = (np.linalg.norm(afmm - aref, axis=1) ** 2).mean() ** 0.5 \
         / (np.linalg.norm(aref, axis=1) ** 2).mean() ** 0.5
     assert rms < 0.03, rms
+
+
+def test_min_sep_accuracy_classes():
+    """min_sep is the MAC theta analog (reference evaluates a MAC per
+    cell pair, ryoanji traversal; here the separation class is the
+    fixed-list equivalent): widening min_sep must tighten the force
+    error monotonically, with each class under its documented bound."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    # clustered: half the mass in a tight ball (the hard case for a MAC)
+    xb = rng.uniform(-1, 1, (n // 2, 3))
+    xc = rng.normal(0.3, 0.08, (n // 2, 3)).clip(-1, 1)
+    pos = np.concatenate([xb, xc]).astype(np.float32)
+    x, y, z = (jnp.asarray(pos[:, k]) for k in range(3))
+    m = jnp.asarray(rng.uniform(0.5, 1.5, n) / n, jnp.float32)
+    alive = jnp.ones(n, bool)
+    box = Box.cube(-1.0, 1.0, Boundary.open)
+
+    ref = direct_gravity(x, y, z, m, alive, G=1.0, eps=0.0, chunk=512)
+    aref = np.c_[ref.ax, ref.ay, ref.az]
+    anorm2 = (np.linalg.norm(aref, axis=1) ** 2).mean()
+
+    rms = {}
+    # leaf_cap must cover the clustered leaf occupancy or the P2P pass
+    # truncates (counted in nf_truncated — itself asserted here)
+    for ms, bound in ((2, 0.01), (3, 0.002)):
+        out = fmm_gravity(x, y, z, m, alive, box, G=1.0,
+                          fc=FmmConfig(level=3, leaf_cap=1024, min_sep=ms))
+        assert int(getattr(out, "nf_truncated", 0)) == 0
+        err = np.linalg.norm(np.c_[out.ax, out.ay, out.az] - aref, axis=1)
+        rms[ms] = float(np.sqrt((err ** 2).mean() / anorm2))
+        assert rms[ms] < bound, (ms, rms[ms])
+    # tighter separation class => tighter forces
+    assert rms[3] < 0.6 * rms[2], rms
