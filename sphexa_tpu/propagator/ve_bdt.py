@@ -123,6 +123,16 @@ class BdtVE(ResidentVE):
     def _gsum(self, v):
         return v
 
+    def _gravity(self, out, x, y, z, m, valid):
+        """Per-substep self-gravity on the drifted positions
+        (ve_hydro_bdt.hpp:277-288). Single-chip: the local solver over
+        the full frame; the sharded subclass swaps in the hierarchical
+        cross-rank solver. Returns (out, egrav, fail_count)."""
+        from sphexa_tpu.propagator.ve_pallas import _add_gravity
+        out, egrav, nf = _add_gravity(out, x, y, z, m, valid,
+                                      self.box, self.cfg)
+        return out, self._gsum(egrav), jnp.int32(nf)
+
     # ---- state management -------------------------------------------------
     def bind_bdt(self, state: SimState) -> BDTState:
         rv = self.bind(state)
@@ -233,11 +243,10 @@ class BdtVE(ResidentVE):
         # (ve_hydro_bdt.hpp:277-288; inactive rungs keep their frozen
         # kick acceleration, gravity included)
         egrav = jnp.float32(0.0)
+        grav_nf = jnp.int32(0)
         if cfg.gravG != 0.0:
-            from sphexa_tpu.propagator.ve_pallas import _add_gravity
-            out, egrav, _nf = _add_gravity(out, rv.x, rv.y, rv.z, rv.m,
-                                           validint, self.box, cfg)
-            egrav = self._gsum(egrav)
+            out, egrav, grav_nf = self._gravity(out, rv.x, rv.y, rv.z,
+                                                rv.m, validint)
 
         # per-slot freeze/commit (exact semantics; the kernel gate is the
         # compute-skip at supercell granularity)
@@ -310,8 +319,12 @@ class BdtVE(ResidentVE):
             xm=xm, kx=kx, gradh=gradh, c11=cij[0], c12=cij[1], c13=cij[2],
             c22=cij[3], c23=cij[4], c33=cij[5], divv=divv)
 
-        # h controller at kicks only
-        h_new = jnp.where(kick_done & validint,
+        # h controller at the particle's ACTIVE substep (its kick
+        # point, where nc_sph is freshly counted) — committing at
+        # kick_done instead reads the GATED nc of an inactive
+        # supercell (zero -> update_h inflates h by ~1.6x per cycle
+        # for rungs >= 1; found by per-rung h audits)
+        h_new = jnp.where(active,
                           update_h(cfg.ng0, out["nc_sph"], h), h)
 
         # drift accounting + ghost refresh of the mutated rows
@@ -349,7 +362,7 @@ class BdtVE(ResidentVE):
             active_cell_frac=(self._gsum(jnp.sum(cell_act))
                               / jnp.maximum(self._gsum(jnp.sum(cell_occ)),
                                             1)),
-            rung_hist=rung_hist, overflow=rv.overflow)
+            rung_hist=rung_hist, overflow=rv.overflow + grav_nf)
         return new_bst, diag
 
     def run_cycle(self, bst: BDTState):

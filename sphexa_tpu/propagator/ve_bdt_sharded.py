@@ -114,11 +114,6 @@ class ShardedBdtVE(BdtVE):
     def __init__(self, box: Box, grid: CMGrid, cfg: SphConfig,
                  sc: SlabConfig, mesh: Mesh, num_rungs: int = 4,
                  interpret: bool = False):
-        assert cfg.gravG == 0.0, (
-            "ShardedBdtVE is the pure-hydro BDT pipeline: the inherited "
-            "substep would run the single-chip gravity solver on local "
-            "shards only (use ve-tiered-sharded / ve-hilbert for "
-            "distributed self-gravity)")
         super().__init__(box, grid, cfg, num_rungs=num_rungs,
                          interpret=interpret)
         self.sc = sc
@@ -142,6 +137,26 @@ class ShardedBdtVE(BdtVE):
 
     def _gsum(self, v):
         return jax.lax.psum(v, AXIS)
+
+    def _gravity(self, out, x, y, z, m, valid):
+        """Distributed per-substep self-gravity: the hierarchical
+        cross-rank solver over the slab mesh (syncGrav composition of
+        the reference production propagator, ve_hydro_bdt.hpp:171 +
+        277-288). The solver bins by global position, so it accepts
+        the resident cm-frame slot rows directly (ghost z-planes are
+        masked out by `valid`); rows that drifted slightly past the
+        slab boundary between resyncs still land in the correct global
+        moment-grid cell, and the near-field ring margin covers them —
+        the ring-coverage counter fail-stops if it ever doesn't."""
+        import types
+
+        from sphexa_tpu.propagator.ve_sharded import _sharded_gravity
+        ps = types.SimpleNamespace(x=x, y=y, z=z, m=m, alive=valid)
+        gax, gay, gaz, egrav, govf = _sharded_gravity(
+            ps, self.box, self.cfg, AXIS, dim=2)
+        out = dict(out, ax=out["ax"] + gax, ay=out["ay"] + gay,
+                   az=out["az"] + gaz)
+        return out, egrav, govf
 
     # ---- frame plumbing (all run inside shard_map) ---------------------
     def _bind_local(self, ps: Particles, gid, dt_m1k, scalars: dict,
@@ -260,8 +275,9 @@ class ShardedBdtVE(BdtVE):
         for _ in range(1 << (self.num_rungs - 1)):
             bst, d = self.substep(bst)
             diags.append(d)
-        if int(diags[-1].overflow) != 0:
-            raise RuntimeError("sharded BDT slot overflow")
+        if any(int(d.overflow) != 0 for d in diags):
+            raise RuntimeError(
+                "sharded BDT slot overflow / gravity band fail-stop")
         return bst, diags
 
     # ---- host-side binding / gathering ----------------------------------

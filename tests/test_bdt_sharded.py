@@ -76,3 +76,65 @@ def test_bdt_sharded_matches_single(D):
     # the BDT win survives sharding: later substeps skip cells
     fr = [float(d.active_cell_frac) for d in diagsN]
     assert min(fr) < 0.7, fr
+
+
+@pytest.mark.multichip
+@pytest.mark.slow
+@pytest.mark.medium
+def test_bdt_sharded_gravity_matches_single():
+    """The production composition of ve_hydro_bdt.hpp:171-288: domain
+    decomposition x block time-steps x SELF-GRAVITY. The sharded
+    substep's gravity hook runs the hierarchical cross-rank FMM
+    (psum'd moment grid + ppermute near-field bands); it must match
+    the single-chip BDT whose substep runs the local conv-FMM on the
+    full frame — same solver math, different exchange."""
+    D = 2
+    cfg = SphConfig(cell_cap=256, ngpad=256, gravG=1.0,
+                    gravity_solver="fmm", eps=0.05)
+    state, box, cfg = init_sedov(10, cfg, dt0=2e-4)
+    cfg = cfg.replace(gravG=1.0, gravity_solver="fmm", eps=0.05)
+    n = 10 ** 3
+    grid1 = CMGrid(n=4, cap=128)
+
+    bdt1 = BdtVE(box, grid1, cfg, num_rungs=3, interpret=True)
+    bst1 = bdt1.bind_bdt(state)
+    diags1 = []
+    for _ in range(2):
+        bst1, ds = bdt1.run_cycle(bst1)
+        diags1 += ds
+
+    state2, _, _ = init_sedov(10, cfg, dt0=2e-4)
+    mesh = Mesh(np.array(jax.devices()[:D]), (AXIS,))
+    gridL = CMGrid(n=4, cap=128, nzi=4 // D)
+    sc = SlabConfig(n_slabs=D, cap=(n // D) * 2 + 64, halo_cap=8,
+                    mig_cap=128)
+    bdtN = ShardedBdtVE(box, gridL, cfg, sc, mesh, num_rungs=3,
+                        interpret=True)
+    bstN = bdtN.distribute_bind(state2)
+    diagsN = []
+    for _ in range(2):
+        bstN, ds = bdtN.run_cycle(bstN)
+        diagsN += ds
+    assert int(diagsN[-1].overflow) == 0
+
+    for d1, dN in zip(diags1, diagsN):
+        np.testing.assert_array_equal(np.asarray(d1.rung_hist),
+                                      np.asarray(dN.rung_hist))
+        np.testing.assert_allclose(float(dN.dt), float(d1.dt), rtol=1e-5)
+        # etot includes egrav on both sides (solver-exchange parity)
+        np.testing.assert_allclose(float(dN.etot), float(d1.etot),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(dN.eint), float(d1.eint),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(dN.ecin), float(d1.ecin),
+                                   rtol=5e-4, atol=1e-10)
+
+    s1 = bdt1.unbind(bst1.rv, state.p.n)
+    sel = np.flatnonzero(np.asarray(state.p.alive))
+    sN = bdtN.unbind(bstN, len(sel))
+    for f in ("x", "y", "z", "vx", "vy", "vz", "temp", "h"):
+        a = np.asarray(getattr(s1.p, f))[sel]
+        b = np.asarray(getattr(sN.p, f))
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=8e-5 * scale, rtol=1e-3,
+                                   err_msg=f)
