@@ -188,6 +188,73 @@ def main():
         _append_history(bdt_rate / max(ref_rate, 1e-30), side, "tpu",
                         case=f"{case}-bdt-speedup")
         return
+    if on_tpu and os.environ.get("SPHEXA_BENCH_PROP") == "ve-tiered-bdt":
+        # block time-steps ON the adaptive tiers (BDT x tiers, the
+        # last lever pairing): metric is SIM-TIME advanced per
+        # wall-second vs the plain tiered engine on the same state —
+        # the dt hierarchy of the clustered field (h contrast ~10x ->
+        # courant-dt contrast ~10x) is where rung gating pays.
+        import sys
+
+        import numpy as np
+
+        from sphexa_tpu.propagator.ve_tiered import (
+            audit_tiers, choose_tiers, make_ve_step_pallas_tiered)
+        from sphexa_tpu.propagator.ve_tiered_bdt import TieredBdtVE
+
+        p = state.p
+        alive = np.asarray(p.alive)
+        tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
+                             cap_max=128)
+        assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h,
+                           alive=alive) == 0, "tier band audit failed"
+        print(f"# tiers: {[(t.grid.n, t.grid.cap) for t in tiers]}",
+              file=sys.stderr)
+
+        # plain tiered reference: simtime/wall on the same state
+        step1 = make_ve_step_pallas_tiered(box, tiers, cfg)
+        st = state
+        for _ in range(2):
+            st, _d = step1(st)
+            _ = float(st.p.x[0])
+        t_ref0 = float(st.ttot)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, dref = step1(st)
+        _ = float(st.p.x[0])
+        ref_wall = time.perf_counter() - t0
+        assert int(dref.max_cell_count) == 0, "tiered fold during ref"
+        ref_rate = (float(st.ttot) - t_ref0) / ref_wall
+
+        eng = TieredBdtVE(box, tiers, cfg)
+        bst = eng.bind(state)
+        bst, diags = eng.run_cycle(bst, check=False)   # warmup+compile
+        _ = float(diags[-1].dt)
+        cycles = max(2, iters // (1 << (eng.num_rungs - 1)))
+        t_b0 = float(bst.ttot)
+        t0 = time.perf_counter()
+        all_diags = []
+        for _ in range(cycles):
+            bst, diags = eng.run_cycle(bst, check=False)
+            all_diags += diags
+        _ = float(all_diags[-1].dt)
+        dt_wall = time.perf_counter() - t0
+        fold = max(int(d.fold) for d in all_diags)
+        assert fold == 0, f"tiered-BDT fold={fold} (re-tier needed)"
+        bdt_rate = (float(bst.ttot) - t_b0) / dt_wall
+        fr = sum(float(d.active_frac) for d in all_diags) / len(all_diags)
+        print(f"# tiered-bdt: active fraction {fr:.3f}, simtime/wall "
+              f"{bdt_rate:.3e} vs plain tiered {ref_rate:.3e} "
+              f"(x{bdt_rate / max(ref_rate, 1e-30):.2f})",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": f"{case}_tiered_bdt_simtime_per_wallsec",
+            "value": bdt_rate, "unit": "simtime/s",
+            "vs_baseline": bdt_rate / max(ref_rate, 1e-30),
+        }))
+        _append_history(bdt_rate / max(ref_rate, 1e-30), side, "tpu",
+                        case=f"{case}-tiered-bdt-speedup")
+        return
     if on_tpu and case == "evrard":
         # clustered density: the tiered engine (audited h-band zoom
         # grids, CAP <= 128) replaces the deep-CAP uniform grid whose

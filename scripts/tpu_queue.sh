@@ -49,3 +49,9 @@ echo "--- job 6: xplane trace at HEAD ---" >> "$LOG"
 timeout 1800 python scripts/trace_stages.py 100 >> "$LOG" 2>&1
 
 echo "=== tpu_queue done $(date -u) ===" >> "$LOG"
+
+echo "--- job 7: evrard-50 tiered-BDT bench ---" >> "$LOG"
+SPHEXA_BENCH_CASE=evrard SPHEXA_BENCH_SIDE=50 SPHEXA_BENCH_PROP=ve-tiered-bdt \
+    timeout 3600 python bench.py >> "$LOG" 2>&1
+
+echo "=== tpu_queue done (incl job 7) $(date -u) ===" >> "$LOG"

@@ -31,7 +31,7 @@ def parse_args(argv=None):
                    help="stop when simulation time reached")
     p.add_argument("--prop", default="ve",
                    choices=["ve", "std", "ve-pallas", "ve-tiered",
-                            "ve-tiered-resident", "ve-bdt",
+                            "ve-tiered-resident", "ve-tiered-bdt", "ve-bdt",
                             "nbody", "turbulence-ve", "turbulence-ve-bdt",
                             "std-cooling", "ve-hilbert", "ve-pallas-sharded",
                             "ve-bdt-sharded", "ve-tiered-sharded"],
@@ -158,7 +158,7 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         adapter = MultiChipAdapter(args.prop, box, cfg, state, h_max,
                                    quiet=args.quiet)
         return adapter, adapter.grid
-    if args.prop in ("ve-tiered", "ve-tiered-resident"):
+    if args.prop in ("ve-tiered", "ve-tiered-resident", "ve-tiered-bdt"):
         # adaptive-resolution path for clustered density (the focused-
         # octree role): h-tier grids + audited theta-band frames
         import jax
@@ -198,6 +198,51 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
                 f"h[{t.h_lo:.3g},{t.h_hi:.3g}) n={t.grid.n} "
                 f"cap={t.grid.cap}" for t in tiers))
         interpret = jax.devices()[0].platform != "tpu"
+        if args.prop == "ve-tiered-bdt":
+            # block time-steps ON the adaptive tiers (the reference BDT
+            # propagator always runs on the focused octree,
+            # ve_hydro_bdt.hpp) — rungs per tier cell, gated supercell
+            # compute, drift/kick from stored kick state
+            from sphexa_tpu.propagator.ve_tiered_bdt import TieredBdtVE
+            nr = int(os.environ.get("SPHEXA_BDT_RUNGS", "4"))
+            teng = TieredBdtVE(box, tiers, cfg, num_rungs=nr,
+                               interpret=interpret)
+
+            class _TieredBdtAdapter:
+                """One __call__ = one full rung cycle; fold fail-stops
+                route through the main loop's re-tier path (a fresh
+                make_stepper re-chooses tiers from the drifted h)."""
+
+                def __init__(self):
+                    self.bst = None
+
+                def __call__(self, state):
+                    if self.bst is None:
+                        self.bst = teng.bind(state)
+                    self.bst, diags = teng.run_cycle(self.bst,
+                                                     check=False)
+                    d = diags[-1]
+                    out = teng.unbind(self.bst)
+                    fr = float(np.mean([float(x.active_frac)
+                                        for x in diags]))
+                    if not args.quiet:
+                        print(f"# tiered-bdt: active fraction {fr:.2f},"
+                              f" rungs "
+                              f"{np.asarray(d.rung_hist).tolist()}")
+                    fold = max(int(x.fold) for x in diags)
+
+                    class _D:  # minimal diag surface for the main loop
+                        dt, ttot, etot = d.dt, d.ttot, d.etot
+                        ecin, eint, egrav = d.ecin, d.eint, d.egrav
+                        h_max = jax.numpy.max(jax.numpy.where(
+                            out.p.alive, out.p.h, 0.0))
+                        nc_mean = 0.0
+                        max_nc = 0
+                        max_cell_count = fold
+                        maxvsignal = 0.0
+                    return out, _D
+
+            return _TieredBdtAdapter(), tiers
         if args.prop == "ve-tiered-resident":
             # persistent per-tier layouts (incremental focus-tree
             # analog): carry rides in a stateful adapter; a host
@@ -314,6 +359,8 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
                 print(f"# bdt: active fraction {fr:.2f}, rungs "
                       f"{np.asarray(d.rung_hist).tolist()}")
 
+                ovf = max(int(x.overflow) for x in diags)
+
                 class _D:  # minimal diag surface for the main loop
                     dt, ttot, etot = d.dt, d.ttot, d.etot
                     ecin, eint = d.ecin, d.eint
@@ -322,7 +369,7 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
                         out.p.alive, out.p.h, 0.0))
                     nc_mean = 0.0
                     max_nc = 0
-                    max_cell_count = d.overflow
+                    max_cell_count = ovf
                     maxvsignal = 0.0
                 return out, _D
 

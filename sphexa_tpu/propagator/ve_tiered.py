@@ -427,7 +427,8 @@ def _tiered_body(state, layouts, engines, box: Box, cfg: SphConfig):
 
 
 def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
-                   cfg: SphConfig, refresh=None, owned=None):
+                   cfg: SphConfig, refresh=None, owned=None,
+                   act_pf=None):
     """The five tiered pair stages on a particle FRAME `ps` (any padded
     Particles pytree: the single-chip frame, or a sharded device\'s
     owned+halo extended frame). Hooks for the distributed composition:
@@ -468,7 +469,15 @@ def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
         bases.append(pve.base_rows(layout, xr, yr, zr, ps.h))
         valids.append(layout.valid & intmask)
         if pve.gated:
-            act = (layout.valid & intmask).astype(jnp.float32)
+            # default gate: any local row -> supercell computes. With
+            # act_pf (block time-steps): only supercells holding an
+            # ACTIVE particle compute; inactive rows are overwritten
+            # from the frozen store at the refresh points.
+            if act_pf is None:
+                act = (layout.valid & intmask).astype(jnp.float32)
+            else:
+                act = jnp.where(layout.valid & intmask,
+                                to_cm(layout, act_pf), 0.0)
             zero_cm = jnp.zeros_like(act)
             gates.append((act, (zero_cm,)))
         else:
@@ -506,11 +515,19 @@ def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
     st1 = run_stage(s_xmass)
     nc_pf, nonconv_pf = st1["nc"], st1["nonconv"]
     # owner clamp at the tier grid's support bound (count + clamp;
-    # re-tier at the host boundary, like main.py's re-grid)
+    # re-tier at the host boundary, like main.py's re-grid). Under BDT
+    # gating only ACTIVE rows count: an inactive row sharing a
+    # supercell with an active one gets a recomputed (uncommitted) h
+    # here that the freeze refresh discards at the merge point — its
+    # committed h was clamp-checked at its own kick (found by the
+    # fold_parts decomposition: 72 phantom clamps from rung-2 fringe
+    # rows inside rung-0 supercells)
     h_pf = st1["h"]
+    committed = owned if act_pf is None else owned & (act_pf > 0.5)
     clamped = 0
     for ti, (t, pve, intmask, h_bound) in enumerate(engines):
-        clamped = clamped + jnp.sum(owned & sels[ti] & (h_pf > h_bound))
+        clamped = clamped + jnp.sum(committed & sels[ti]
+                                    & (h_pf > h_bound))
         h_pf = jnp.where(sels[ti], jnp.minimum(h_pf, h_bound), h_pf)
     h_pf = jnp.where(ps.alive, h_pf, h0)
     r1 = refresh(dict(h=h_pf, xm=st1["xm"]))
@@ -528,7 +545,12 @@ def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
         zip(("kx", "gradh"),
             ((v, 1.0) for v in pve.gradh(base, cm(ps.m), cm(xm_pf),
                                          gate=gate)))))
-    kx_pf, gradh_pf = st2["kx"], st2["gradh"]
+    # kx/gradh refreshed BEFORE the EOS so halo/frozen rows feed it
+    # consistent inputs (the EOS is then recomputed elementwise from
+    # the refreshed inputs + the CURRENT temp — the reference/BDT
+    # semantics: dependent inputs frozen, EOS follows the drifted temp)
+    r2a = refresh(dict(kx=st2["kx"], gradh=st2["gradh"]))
+    kx_pf, gradh_pf = r2a["kx"], r2a["gradh"]
 
     # ---- EOS: elementwise on the particle frame ----
     rho_pf, p_pf, c_pf, prho_pf = eos_ve(ps.temp, ps.m, kx_pf, xm_pf,
@@ -536,9 +558,8 @@ def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
     rho_pf = jnp.where(ps.alive, rho_pf, 1.0)
     c_pf = jnp.where(ps.alive, c_pf, 1.0)
     prho_pf = jnp.where(ps.alive, prho_pf, 0.0)
-    r2 = refresh(dict(kx=kx_pf, prho=prho_pf, c=c_pf, rho=rho_pf))
-    kx_pf, prho_pf, c_pf, rho_pf = (r2["kx"], r2["prho"], r2["c"],
-                                    r2["rho"])
+    r2 = refresh(dict(prho=prho_pf, c=c_pf, rho=rho_pf))
+    prho_pf, c_pf, rho_pf = r2["prho"], r2["c"], r2["rho"]
 
     # ---- stage 3: IAD + divv/curlv ----
     def s_iad(ti, pve, base, cm, gate):
@@ -595,7 +616,12 @@ def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
                 divv=divv_pf, curlv=curlv_pf, nc_sph=nc_sph_pf,
                 rho=rho_pf, p=p_pf, kx=kx_pf, xm=xm_pf,
                 nonconv=nonconv_pf,
-                fold=overflow + unowned + clamped)
+                fold=overflow + unowned + clamped,
+                fold_parts=jnp.stack([
+                    jnp.asarray(overflow, jnp.int32),
+                    jnp.asarray(unowned - miss, jnp.int32),
+                    jnp.asarray(miss, jnp.int32),
+                    jnp.asarray(clamped, jnp.int32)]))
 
 
 
