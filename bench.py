@@ -39,7 +39,7 @@ from sphexa_tpu.init.sedov import init_sedov
 BASELINE_PUPS = 50e6  # particle-updates/sec north star (BASELINE.md)
 
 
-def _pick_cap_grid(state, box, h_eff, n):
+def _pick_cap_grid(state, box, h_eff, n, headroom=0):
     """(cap, grid) for the Pallas engine: SPHEXA_BENCH_CAP override, or
     the joint scan in cellmajor.choose_cap_and_grid (guarantees a legal
     z-supercell AND that the ICs fit the slots — the two constraints
@@ -55,7 +55,8 @@ def _pick_cap_grid(state, box, h_eff, n):
     cap = int(os.environ.get("SPHEXA_BENCH_CAP", 0))
     if cap:
         return cap, choose_cm_grid(box, h_eff, n, cap=cap)
-    return choose_cap_and_grid(box, h_eff, n, xs, ys, zs)
+    return choose_cap_and_grid(box, h_eff, n, xs, ys, zs,
+                               headroom=headroom)
 
 
 def main():
@@ -102,7 +103,7 @@ def main():
 
     bdt = os.environ.get("SPHEXA_BENCH_PROP") == "ve-bdt"
     updates = float(n) * iters
-    if on_tpu and bdt:
+    if bdt and (on_tpu or os.environ.get("SPHEXA_BENCH_FORCE")):
         # block-time-step mode: cycles of gated substeps; throughput
         # counts ACTIVE particle updates (the individual-timestep
         # accounting of ve_hydro_bdt.hpp) — inactive rungs cost ~no
@@ -118,20 +119,48 @@ def main():
 
         h_max = float(np.max(np.asarray(state.p.h)[np.asarray(state.p.alive)]))
         cap, grid = _pick_cap_grid(state, box, h_max * 1.2, n)
+        interp = not on_tpu   # CPU validation runs (SPHEXA_BENCH_FORCE)
         evolve = int(os.environ.get("SPHEXA_BENCH_EVOLVE", 0))
         if evolve:
-            pre = ResidentVE(box, grid, cfg)
+            # chunked evolve with host re-grid on slot overflow (the
+            # CLI loop's fail-stop + re-grid path, main.py:571-586):
+            # Sedov compression outgrows the zero-headroom cap scan
+            # well before 80 steps at side 100.
+            import sys as _sys
+            pre = ResidentVE(box, grid, cfg, interpret=interp)
             rst = pre.bind(state)
-            rst, prediags = pre.steps(rst, evolve)
-            assert int(prediags.overflow[-1]) == 0, "overflow during evolve"
+            done, headroom = 0, 0
+            while done < evolve:
+                chunk = min(evolve - done, 16)
+                # steps() donates its input frame, so snapshot the
+                # retry point BEFORE stepping
+                saved = pre.unbind(rst, state.p.n)
+                rst, prediags = pre.steps(rst, chunk)
+                if int(np.max(np.asarray(prediags.overflow))) != 0:
+                    headroom += 48
+                    if headroom > 192:
+                        raise SystemExit("overflow persists after "
+                                         "repeated evolve re-grids")
+                    state = saved
+                    h_max = float(np.max(np.asarray(state.p.h)
+                                         [np.asarray(state.p.alive)]))
+                    cap, grid = _pick_cap_grid(state, box, h_max * 1.2, n,
+                                               headroom=headroom)
+                    print(f"# evolve re-grid at step {done}: cap->{cap} "
+                          f"(headroom {headroom})", file=_sys.stderr)
+                    pre = ResidentVE(box, grid, cfg, interpret=interp)
+                    rst = pre.bind(state)
+                    continue
+                done += chunk
             state = pre.unbind(rst, state.p.n)
             print(f"# evolved {evolve} steps to t={float(state.ttot):.4g} "
                   f"before BDT binding", file=__import__('sys').stderr)
             # re-pick the slot geometry for the evolved (compressed)
-            # density field
+            # density field, keeping drift headroom for the timed region
             h_max = float(np.max(np.asarray(state.p.h)
                                  [np.asarray(state.p.alive)]))
-            cap2, grid2 = _pick_cap_grid(state, box, h_max * 1.2, n)
+            cap2, grid2 = _pick_cap_grid(state, box, h_max * 1.2, n,
+                                         headroom=max(headroom, 32))
             if grid2 != grid:
                 print(f"# re-grid for evolved state: cap {cap}->{cap2}",
                       file=__import__('sys').stderr)
@@ -143,7 +172,8 @@ def main():
         # is SIM-TIME advanced per wall-second (with exact gating,
         # active-pups <= plain-pups algebraically — the dt hierarchy is
         # where individual timesteps pay, ve_hydro_bdt.hpp's purpose)
-        ref = ResidentVE(box, grid, cfg) if not evolve else pre
+        ref = (ResidentVE(box, grid, cfg, interpret=interp)
+               if not evolve else pre)
         rref = ref.bind(state)
         for _ in range(2):
             rref, _d = ref.steps(rref, 1)
@@ -156,7 +186,7 @@ def main():
         ref_rate = (float(rref.ttot) - t_ref0) / ref_wall
         ref_pups = n * iters / ref_wall
 
-        eng = BdtVE(box, grid, cfg)
+        eng = BdtVE(box, grid, cfg, interpret=interp)
         bst = eng.bind_bdt(state)
         bst, diags = eng.run_cycle(bst)   # warmup cycle (compiles)
         _ = float(diags[-1].dt)

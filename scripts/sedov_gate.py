@@ -76,6 +76,11 @@ def main():
         rst = eng.bind(state)
         overflowed = False
         while float(rst.ttot) < t_end:
+            # snapshot the retry point BEFORE stepping: steps() donates
+            # the frame, and an overflowed frame has silently DROPPED
+            # particles (unbind marks them dead) — retrying from it
+            # would corrupt the gate physics
+            saved = eng.unbind(rst, n)
             rst, diags = eng.steps(rst, 20)
             steps_done += 20
             ovf = int(diags.overflow[-1])
@@ -83,9 +88,9 @@ def main():
                   f"ovf={ovf} steps={steps_done} "
                   f"wall={time.perf_counter() - t0:.0f}s", flush=True)
             if ovf:
-                # re-grid with more headroom from the last good frame
+                # re-grid with more headroom from the last GOOD frame
                 # (main.py's fail-stop + retry semantics)
-                state = eng.unbind(rst, n)
+                state = saved
                 headroom *= 2
                 overflowed = True
                 break

@@ -159,6 +159,22 @@ def choose_cap_and_grid(box: Box, h_eff: float, n_global: int, xs, ys, zs,
     nothing fits below cap_max (pathological clustering)."""
     import math
 
+    def aligned(g0, cap):
+        """A (grid, cap) is VMEM-safe only when every j-window offset is
+        128-lane aligned: cap % 128 == 0 (3-cell windows at aligned
+        offsets), or the parity-4 window scheme of
+        pallas_ve.make_cell_pair_call (cap % 64 == 0 with cap % 128
+        != 0, even z-supercell, even nz). Half-vreg-misaligned caps
+        (96, 160, ...) force Mosaic relayouts that blow the 16 MB
+        scoped-VMEM budget (observed: cap=96 n=26 OOM at 30.9 MB on
+        the v5e while cap=64/128 both fit)."""
+        zg = legal_zgroup(g0.npz, cap)
+        if zg == 0:
+            return False
+        if cap % 128 == 0:
+            return True
+        return cap % 64 == 0 and zg % 2 == 0 and g0.nz % 2 == 0
+
     L = min(box.lx, box.ly, box.lz)
     n_corr = max(2, int(math.floor(L / (2.0 * h_eff * 1.05))))
     best = None
@@ -167,9 +183,9 @@ def choose_cap_and_grid(box: Box, h_eff: float, n_global: int, xs, ys, zs,
     for n in range(n_corr, 1, -1):
         g0 = CMGrid(n=n)
         need = max(cap_min, max_cell_count(g0, box, xs, ys, zs) + headroom)
-        cap = int(np.ceil(need / 32) * 32)
-        while cap <= cap_max and legal_zgroup(g0.npz, cap) == 0:
-            cap += 32
+        cap = int(np.ceil(need / 64) * 64)
+        while cap <= cap_max and not aligned(g0, cap):
+            cap += 64
         if cap > cap_max:
             continue
         g = CMGrid(n=n, cap=cap)

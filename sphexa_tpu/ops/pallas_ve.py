@@ -67,6 +67,20 @@ FILL_POS = 1e8    # invalid-slot position fill: d2 overflows the support
                   # risked Inf*0=NaN in folded tile accumulations)
 _NEG = -1e30
 
+# Mosaic's default scoped-VMEM (kernel stack) limit is 16 MiB; the
+# cap>=96 supercell kernels and the small-grid column kernels need
+# 20-31 MiB of stack (measured OOMs on v5e, artifacts/tpu_queue.log
+# 2026-08-19). The v5e/v5p have 128 MiB of VMEM, so raise the limit —
+# the block working set of these kernels is small (<8 MiB), leaving
+# ample room for double-buffered DMA.
+import os as _os
+
+VMEM_LIMIT_BYTES = int(_os.environ.get("SPHEXA_VMEM_LIMIT_MB", "64")) << 20
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
 
 # --------------------------------------------------------------------------
 # column-grid pallas_call builder
@@ -215,6 +229,7 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
             out_specs=out_specs,
             out_shape=jax.ShapeDtypeStruct((fo, grid.n_slots), jnp.float32),
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(*args)
 
     return call
@@ -284,6 +299,7 @@ def make_column_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
             out_specs=out_specs,
             out_shape=jax.ShapeDtypeStruct((fo, grid.n_slots), jnp.float32),
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(*args)
 
     return call
@@ -391,6 +407,7 @@ def make_ghost_refresh(grid: CMGrid, box: Box, nrows: int,
             out_shape=jax.ShapeDtypeStruct((nrows, grid.n_slots),
                                            jnp.float32),
             interpret=interpret,
+            compiler_params=_compiler_params(),
         )(J)
 
     return call

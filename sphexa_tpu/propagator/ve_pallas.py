@@ -310,10 +310,15 @@ class ResidentVE:
                               alive=ps.alive)
         fields = {f: getattr(ps, f) for f in _RVROWS}
         gid_src = jnp.arange(ps.n, dtype=jnp.float32)
+        # jnp.copy: the scalar buffers must NOT alias the SimState's —
+        # steps() donates the bound frame, and aliased scalars would
+        # delete the caller's state (observed when bench binds the same
+        # evolved state into two engines)
         scalars = dict(drift=jnp.float32(0.0),
                        overflow=layout.overflow.astype(jnp.int32),
-                       ttot=state.ttot, dt=state.dt, dt_m1=state.dt_m1,
-                       iteration=state.iteration)
+                       ttot=jnp.copy(state.ttot), dt=jnp.copy(state.dt),
+                       dt_m1=jnp.copy(state.dt_m1),
+                       iteration=jnp.copy(state.iteration))
         return self._gather(layout, fields, scalars, gid_src)
 
     def _rebin(self, rst: RVState) -> RVState:
