@@ -34,7 +34,8 @@ def parse_args(argv=None):
                             "ve-tiered-resident", "ve-tiered-bdt", "ve-bdt",
                             "nbody", "turbulence-ve", "turbulence-ve-bdt",
                             "std-cooling", "ve-hilbert", "ve-pallas-sharded",
-                            "ve-bdt-sharded", "ve-tiered-sharded"],
+                            "ve-bdt-sharded", "ve-tiered-sharded",
+                            "turbulence-ve-bdt-sharded"],
                    help="propagator choice (reference: --prop); ve-hilbert, "
                         "ve-pallas-sharded and ve-bdt-sharded run multi-chip "
                         "over ALL attached devices (the mpiexec-equivalent "
@@ -156,7 +157,7 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         # mpiexec -np N); the adapter owns distribution + fail-stops
         from sphexa_tpu.propagator.multichip import MultiChipAdapter
         adapter = MultiChipAdapter(args.prop, box, cfg, state, h_max,
-                                   quiet=args.quiet)
+                                   quiet=args.quiet, extras=extras)
         return adapter, adapter.grid
     if args.prop in ("ve-tiered", "ve-tiered-resident", "ve-tiered-bdt"):
         # adaptive-resolution path for clustered density (the focused-

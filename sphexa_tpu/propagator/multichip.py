@@ -29,7 +29,7 @@ from sphexa_tpu.sfc.box import Box
 from sphexa_tpu.state import SimState, _FIELDS
 
 MULTICHIP_PROPS = ("ve-hilbert", "ve-pallas-sharded", "ve-bdt-sharded",
-                   "ve-tiered-sharded")
+                   "ve-tiered-sharded", "turbulence-ve-bdt-sharded")
 
 
 class _MCDiag:
@@ -62,7 +62,9 @@ def _host_fields(ps):
 
 class MultiChipAdapter:
     def __init__(self, prop: str, box: Box, cfg: SphConfig,
-                 state: SimState, h_max: float, quiet: bool = True):
+                 state: SimState, h_max: float, quiet: bool = True,
+                 extras: dict | None = None):
+        extras = extras or {}
         import jax
         from jax.sharding import Mesh
 
@@ -73,6 +75,7 @@ class MultiChipAdapter:
                 f"--prop {prop} needs >= 2 devices (got {D}); for tests "
                 "set SPHEXA_PLATFORM=cpu SPHEXA_NUM_DEVICES=8")
         self.prop, self.box, self.cfg, self.D = prop, box, cfg, D
+        self._bdt_restore = extras.get("bdt")
         host = _host_fields(state.p)
         self.n_global = len(host["x"])
         n_per = self.n_global / D
@@ -152,7 +155,8 @@ class MultiChipAdapter:
                 ps = distribute_hilbert(host, box, hc, mesh)
                 self._step = make_ve_step_hilbert(box, grid, cfg, hc,
                                                   mesh)
-        elif prop in ("ve-pallas-sharded", "ve-bdt-sharded"):
+        elif prop in ("ve-pallas-sharded", "ve-bdt-sharded",
+                      "turbulence-ve-bdt-sharded"):
             grid, sc, mesh, interpret = self._slab_setup(
                 host, box, h_max, devices, quiet)
             if prop == "ve-pallas-sharded":
@@ -162,18 +166,29 @@ class MultiChipAdapter:
                 ps = distribute(host, box, sc, mesh)
                 self._step = make_ve_step_pallas_sharded(
                     box, grid, cfg, sc, mesh, interpret=interpret)
-            else:
+            elif prop == "ve-bdt-sharded":
                 # BDT x sharding: the multi-chip HydroVeBdtProp
                 # (ve_hydro_bdt.hpp:171-212 runs rungs on the full
-                # distributed domain). Pure-hydro fast path.
+                # distributed domain); self-gravity composes via the
+                # hierarchical cross-rank FMM in the substep.
                 from sphexa_tpu.propagator.ve_bdt_sharded import (
                     ShardedBdtVE)
-                if cfg.gravG != 0.0:
-                    raise SystemExit("--prop ve-bdt-sharded is the "
-                                     "pure-hydro BDT pipeline (no "
-                                     "gravity), like --prop ve-bdt")
                 self.bdt = ShardedBdtVE(box, grid, cfg, sc, mesh,
                                         interpret=interpret)
+                self.bst = None
+                ps = None
+            else:
+                # the full production composition: domain x BDT x
+                # gravity x turbulence (TurbVeBdtProp under MPI)
+                from sphexa_tpu.physics.turbulence import TurbulenceData
+                from sphexa_tpu.propagator.ve_bdt_sharded import (
+                    TurbShardedBdtVE)
+                turb = TurbulenceData.create(verbose=not quiet)
+                if "turb" in extras:  # restart: restore OU phases + RNG
+                    turb.restore(extras["turb"])
+                self.bdt = TurbShardedBdtVE(box, grid, cfg, sc, mesh,
+                                            turb=turb, interpret=interpret)
+                self.turb = turb
                 self.bst = None
                 ps = None
         else:
@@ -256,6 +271,12 @@ class MultiChipAdapter:
         import jax.numpy as jnp
         if self.bst is None:
             self.bst = self.bdt.distribute_bind(state)
+            if self._bdt_restore is not None:
+                # restart: resume the checkpointed rung assignment
+                # (timestep.h:29-34) instead of re-deriving it
+                r = self._bdt_restore
+                self.bst = self.bdt.restore_rungs(
+                    self.bst, r["rung"], r["dt_m1k"], r["dt_min"])
         self.bst, diags = self.bdt.run_cycle(self.bst)
         d = diags[-1]
         out = self.bdt.unbind(self.bst, self.n_global)
@@ -266,7 +287,7 @@ class MultiChipAdapter:
         class _D:
             dt, ttot, etot = d.dt, d.ttot, d.etot
             ecin, eint = d.ecin, d.eint
-            egrav = 0.0
+            egrav = float(d.etot) - float(d.ecin) - float(d.eint)
             h_max = jnp.max(jnp.where(out.p.alive, out.p.h, 0.0))
             nc_mean = 0.0
             max_nc = 0

@@ -22,10 +22,11 @@ engines until now):
     grid cells, each owned by exactly one rank, so no collective is
     needed there (same as the reference's per-group rung reduction).
 
-The single-chip BDT propagator composes gravity (recomputed per
-substep, ve_hydro_bdt.hpp:277-288) and turbulence; THIS sharded
-variant is the pure-hydro fast path — distributed self-gravity would
-need the sharded solver in the substep (guarded by an assert).
+Self-gravity composes into the substep: the `_gravity` hook runs the
+hierarchical cross-rank FMM (psum'd moment grid + near-field bands)
+on the resident rows each substep — the distributed analog of the
+reference recomputing gravity per rung step
+(ve_hydro_bdt.hpp:277-288).
 """
 
 from __future__ import annotations
@@ -71,10 +72,14 @@ def make_zxchg(grid: CMGrid, box: Box, D: int):
         if not periodic_z:
             kill_l = (me == 0)
             kill_r = (me == D - 1)
-            from_left = jnp.where(kill_l, FILL_POS if zrow >= 0 else 0.0,
-                                  from_left)
-            from_right = jnp.where(kill_r, FILL_POS if zrow >= 0 else 0.0,
-                                   from_right)
+            # open z: outermost devices hold no images. Position stacks
+            # are invalidated with FILL_POS; everything else gets 1.0 —
+            # NOT 0.0: the pair kernels' frame contract requires finite
+            # DIVIDE-SAFE j rows (volj = xm_j / kx_j in the IAD kernel
+            # is 0/0 = NaN on zero fills, and w=0 cannot mask a NaN)
+            kill_val = FILL_POS if zrow >= 0 else 1.0
+            from_left = jnp.where(kill_l, kill_val, from_left)
+            from_right = jnp.where(kill_r, kill_val, from_right)
         stack = stack.at[:, zmaps["lo_ghost"]].set(from_left)
         stack = stack.at[:, zmaps["hi_ghost"]].set(from_right)
         return stack
@@ -244,17 +249,26 @@ class ShardedBdtVE(BdtVE):
         return jax.tree.map(
             lambda a: P(AXIS) if getattr(a, "ndim", 0) >= 1 else P(), tree)
 
-    def _substep_dispatch(self, bst: BDTState):
+    def _substep_dispatch(self, bst: BDTState, phases_real=None,
+                          phases_imag=None):
+        stirred = phases_real is not None
         if self._substep_sharded is None:
+            self._substep_sharded = {}
+        if stirred not in self._substep_sharded:
             from sphexa_tpu.propagator.ve_bdt import BDTDiag
             spec = self._specs(bst)
             # every diag entry is pmin/pmax/psum-reduced -> replicated
             dspec = BDTDiag(*[P()] * len(BDTDiag._fields))
+            # OU mode phases are global state, replicated on every rank
+            in_specs = (spec, P(), P()) if stirred else (spec,)
             fn = jax.shard_map(super()._substep, mesh=self.mesh,
-                               in_specs=(spec,), out_specs=(spec, dspec),
+                               in_specs=in_specs, out_specs=(spec, dspec),
                                check_vma=False)
-            self._substep_sharded = jax.jit(fn)
-        return self._substep_sharded(bst)
+            self._substep_sharded[stirred] = jax.jit(fn)
+        if stirred:
+            return self._substep_sharded[True](bst, phases_real,
+                                               phases_imag)
+        return self._substep_sharded[False](bst)
 
     def resync(self, bst: BDTState):
         if self._resync_sharded is None:
@@ -317,6 +331,46 @@ class ShardedBdtVE(BdtVE):
         b.update(rv=rv, dt_min=P(), substep=P())
         return BDTState(**b)
 
+    def restore_rungs(self, bst: BDTState, rung_pf, dt_m1k_pf,
+                      dt_min: float) -> BDTState:
+        """Sharded restart: install checkpointed rung state into a
+        freshly distributed BDTState. The particle-frame arrays are
+        global (indexed by gid) and ride in replicated; the cell
+        re-harmonization runs rank-local inside shard_map (the base
+        implementation's _cell_min assumes the single-chip frame)."""
+        spec = self._specs(bst)
+        base_restore = super().restore_rungs
+
+        def local(b, rung_g, dtm_g):
+            return base_restore(b, rung_g, dtm_g, dt_min)
+
+        fn = jax.shard_map(local, mesh=self.mesh,
+                           in_specs=(spec, P(), P()), out_specs=spec,
+                           check_vma=False)
+        return jax.jit(fn)(bst, jnp.asarray(rung_pf, jnp.float32),
+                           jnp.asarray(dt_m1k_pf, jnp.float32))
+
+    def run_cycle_stirred(self, bst: BDTState, turb):
+        """run_cycle with turbulence stirring: the OU noise advances on
+        the host once per substep with the cycle base dt and the
+        projected phases enter every rank's substep replicated — the
+        full production composition (reference TurbVeBdtProp,
+        main/src/propagator/turb_ve.hpp:114-118, under MPI)."""
+        bst, lost = self.resync(bst)
+        if int(lost) != 0:
+            raise RuntimeError(f"sharded BDT sync lost {int(lost)} rows")
+        diags = []
+        for _ in range(1 << (self.num_rungs - 1)):
+            turb.update_noise(float(bst.dt_min))
+            pr, pi = turb.projected_phases()
+            bst, d = self.substep(bst, jnp.asarray(pr, jnp.float32),
+                                  jnp.asarray(pi, jnp.float32))
+            diags.append(d)
+        if any(int(d.overflow) != 0 for d in diags):
+            raise RuntimeError(
+                "sharded BDT slot overflow / gravity band fail-stop")
+        return bst, diags
+
     def checkpoint_rungs(self, bst: BDTState, n_capacity: int) -> dict:
         """Particle-frame rung state from the sharded frame (host-side
         gather; the base implementation assumes the single-chip slot
@@ -368,3 +422,29 @@ class ShardedBdtVE(BdtVE):
         rv = bst.rv
         return SimState(p=p, ttot=rv.ttot, dt=rv.dt, dt_m1=rv.dt_m1,
                         iteration=rv.iteration)
+
+
+class TurbShardedBdtVE(ShardedBdtVE):
+    """Turbulence-stirred sharded BDT — the complete production
+    composition: domain decomposition x block time-steps x self-gravity
+    x turbulence driving, all in one propagator (reference:
+    TurbVeBdtProp under MPI, main/src/propagator/turb_ve.hpp:114-118 +
+    ve_hydro_bdt.hpp:171-288). The OU mode state is global and tiny
+    (~few hundred modes), so it lives on the host and the projected
+    phases are broadcast replicated into every rank's substep — the
+    analog of the reference updating the stirring phases identically on
+    every MPI rank from a shared RNG sequence."""
+
+    def __init__(self, box: Box, grid: CMGrid, cfg: SphConfig,
+                 sc: SlabConfig, mesh: Mesh, turb=None, num_rungs: int = 4,
+                 interpret: bool = False, verbose: bool = False):
+        from sphexa_tpu.physics.turbulence import TurbulenceData
+        self.turb = turb or TurbulenceData.create(verbose=verbose)
+        self._turb_modes = jnp.asarray(self.turb.modes, jnp.float32)
+        self._turb_amps = jnp.asarray(self.turb.amplitudes, jnp.float32)
+        self._turb_norm = self.turb.sol_weight_norm
+        super().__init__(box, grid, cfg, sc, mesh, num_rungs=num_rungs,
+                         interpret=interpret)
+
+    def run_cycle(self, bst: BDTState):
+        return self.run_cycle_stirred(bst, self.turb)

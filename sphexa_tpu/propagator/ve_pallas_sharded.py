@@ -119,11 +119,14 @@ def make_ve_step_pallas_sharded(box: Box, grid: CMGrid, cfg: SphConfig,
         if not periodic_z:
             kill_l = (me == 0)
             kill_r = (me == D - 1)
-            # open z boundary: outermost devices have no z neighbors
-            from_left = jnp.where(kill_l, FILL_POS if zrow >= 0 else 0.0,
-                                  from_left)
-            from_right = jnp.where(kill_r, FILL_POS if zrow >= 0 else 0.0,
-                                   from_right)
+            # open z boundary: outermost devices have no z neighbors.
+            # Position stacks are invalidated with FILL_POS; all other
+            # stacks get 1.0 — NOT 0.0: the frame contract requires
+            # finite divide-safe j rows (volj = xm_j / kx_j in the IAD
+            # kernel is 0/0 = NaN on zero fills; w=0 can't mask a NaN)
+            kill_val = FILL_POS if zrow >= 0 else 1.0
+            from_left = jnp.where(kill_l, kill_val, from_left)
+            from_right = jnp.where(kill_r, kill_val, from_right)
         stack = stack.at[:, zmaps["lo_ghost"]].set(from_left)
         stack = stack.at[:, zmaps["hi_ghost"]].set(from_right)
         return stack

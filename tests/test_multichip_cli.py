@@ -29,6 +29,49 @@ def test_cli_ve_hilbert_evrard(tmp_path):
 
 @pytest.mark.multichip
 @pytest.mark.slow
+def test_cli_turb_bdt_sharded(tmp_path):
+    """The full production composition from the front end: domain
+    decomposition x block time-steps x turbulence driving
+    (TurbVeBdtProp under mpiexec). One CLI step = one rung cycle."""
+    state = main(["--init", "turbulence", "-n", "10", "-s", "2",
+                  "--prop", "turbulence-ve-bdt-sharded", "--quiet",
+                  "-w", "1", "--constants", str(tmp_path / "c.txt"),
+                  "-o", str(tmp_path / "d.h5")])
+    alive = np.asarray(state.p.alive)
+    assert int(alive.sum()) == 10 ** 3
+    vx = np.asarray(state.p.vx)[alive]
+    assert np.isfinite(vx).all()
+    assert np.abs(vx).max() > 0.0  # stirring imparted momentum
+    # the dump carries the OU/RNG state for restart (turbulence
+    # checkpoint contract, turbulence_data.hpp:47)
+    import h5py
+    with h5py.File(tmp_path / "d.h5", "r") as f:
+        last = sorted(f.keys())[-1]
+        assert "turbulence_phases" in f[last]
+
+
+@pytest.mark.multichip
+@pytest.mark.slow
+def test_cli_bdt_sharded_evrard_gravity(tmp_path):
+    """ve-bdt-sharded with SELF-GRAVITY from the CLI (the adapter used
+    to refuse gravG != 0; the substep now runs the hierarchical
+    cross-rank FMM — ve_hydro_bdt.hpp:277-288)."""
+    state = main(["--init", "evrard", "-n", "10", "-s", "1",
+                  "--prop", "ve-bdt-sharded", "--quiet",
+                  "--constants", str(tmp_path / "c.txt")])
+    alive = np.asarray(state.p.alive)
+    assert int(alive.sum()) == 552  # r<=1 sphere cut from the lattice
+    vx = np.asarray(state.p.vx)[alive]
+    assert np.isfinite(vx).all() and np.abs(vx).max() > 0.0
+    # the constants line carries a finite NEGATIVE gravitational energy
+    # (egrav = -0.6 GM^2/R at t=0 for the 1/r profile)
+    row = (tmp_path / "c.txt").read_text().strip().splitlines()[-1].split()
+    egrav = float(row[6])
+    assert np.isfinite(egrav) and egrav < -0.1
+
+
+@pytest.mark.multichip
+@pytest.mark.slow
 def test_cli_ve_pallas_sharded_sedov(tmp_path):
     """Pallas cell-major engine inside shard_map, from the front end
     (interpret mode on the virtual CPU devices)."""
