@@ -84,7 +84,7 @@ class Domain:
 
         ext, maps = exchange_halos(ps, box, hc)
         owned_ext = jnp.concatenate([
-            ps.alive, jnp.zeros((hc.n_ranks * hc.halo_cap,), bool)])
+            ps.alive, jnp.zeros((hc.ext - hc.cap,), bool)])
 
         cl = build_cell_list(grid, box, ext.x, ext.y, ext.z,
                              alive=ext.alive)

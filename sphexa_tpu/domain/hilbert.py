@@ -31,12 +31,20 @@ setup and the octree walk makes the peer set cheap to compute. On TPU
 the equivalent primitive IS `all_to_all` — XLA schedules it as an ICI
 collective whose cost is dominated by the BYTES moved, and ranks that
 have nothing for each other contribute zero-filled (compressible)
-slices. The genuinely scaling-relevant quantity is the per-destination
-buffer: migration moves O(surface drift) rows and halos O(surface)
-rows to O(1) spatial neighbors regardless of D, so mig_cap/halo_cap
-stay constant as D grows while the buffer is mig_cap * D. Past ~64
-ranks the right fix is hierarchical meshes (slab-of-hilbert-domains,
-one all_to_all per sub-axis), not MPI-style peer lists.
+slices. But the all_to_all EXTENDED FRAME is cap + D*halo_cap — it
+grows with rank count even though each rank's true halo count is
+O(surface), set by its O(1) spatial peers. (A +-k curve-hop ring is
+NOT the answer here: measured on uniform/filament/slab geometries,
+per-rank Hilbert ranges interleave enough that peers sit up to D/2
+hops away — curve distance does not bound spatial adjacency, which is
+exactly why the reference computes peer lists from the tree.)
+`halo_pool=P` is the TPU-native fix: the all_to_all stays (its
+transient [D, halo_cap] buffer is freed after each exchange), but the
+received rows are COMPACTED into a pooled frame of P slots, so the
+persistent extended frame — the thing all five pair stages and the
+neighbor structure live on — is cap + P, independent of D. P budgets
+the rank's TOTAL halo count (vs halo_cap budgeting the max PER-PAIR
+count); pool overflow is counted into the lost fail-stop.
 
 All functions here run *inside* shard_map over AXIS.
 """
@@ -73,11 +81,25 @@ class HilbertConfig:
                            # select splits (the KeyType=uint64 analog,
                            # types.hpp:39-46) — keeps balance when
                            # clusters alias whole 30-bit key cells
+    halo_pool: int = 0     # 0 = dense extended frame (cap + D*halo_cap
+                           # halo slots); P>0 = received halos compacted
+                           # into a pooled frame of P slots, so the
+                           # persistent extended frame is cap + P,
+                           # INDEPENDENT of n_ranks (the findPeersMac
+                           # peer-economy analog, traversal/peers.hpp:63
+                           # — P budgets the total halo count set by the
+                           # rank's O(1) spatial peers). Pool overflow
+                           # is counted and must fail-stop the run.
+
+    @property
+    def n_halo_slots(self) -> int:
+        """Halo slots in the persistent extended frame."""
+        return self.halo_pool or self.n_ranks * self.halo_cap
 
     @property
     def ext(self) -> int:
-        """Extended frame: owned + halos from every rank."""
-        return self.cap + self.n_ranks * self.halo_cap
+        """Extended frame: owned + (dense or pooled) halo slots."""
+        return self.cap + self.n_halo_slots
 
 
 def hilbert_keys(box: Box, x, y, z):
@@ -244,8 +266,10 @@ def migrate(ps: Particles, box: Box, splits, hc: HilbertConfig,
 class HaloMaps(NamedTuple):
     send_idx: jnp.ndarray     # [D, halo_cap] owned rows bound for rank d
     send_valid: jnp.ndarray   # [D, halo_cap]
-    halo_valid: jnp.ndarray   # [D * halo_cap] validity of halo slots
-    send_lost: jnp.ndarray    # halo-band capacity overflow count
+    pool_src: jnp.ndarray     # [n_halo_slots] received-row index feeding
+                              # each frame halo slot (identity when dense)
+    pool_valid: jnp.ndarray   # [n_halo_slots] validity of frame halo slots
+    send_lost: jnp.ndarray    # per-pair capacity + pool overflow count
 
 
 def _coarse_cells(box: Box, hc: HilbertConfig, x, y, z):
@@ -297,48 +321,57 @@ def discover_halos(ps: Particles, box: Box, hc: HilbertConfig):
     send_valid = jnp.stack(send_valid)
     counts_r = _all2all(jnp.stack(counts).reshape(D, 1))[:, 0]
     halo_valid = (lane[None, :] < counts_r[:, None]).reshape(-1)
+    if hc.halo_pool:
+        # compact the received rows into the pooled frame slots: the
+        # persistent extended frame holds hc.halo_pool halo slots
+        # regardless of D (peer-economy; module docstring). Overflow of
+        # the pool budget joins the lost fail-stop.
+        pool_src, n_pool = _pack_indices(halo_valid, hc.halo_pool)
+        lost = lost + (jnp.sum(halo_valid.astype(jnp.int32)) - n_pool)
+        pool_valid = jnp.arange(hc.halo_pool, dtype=INDEX_DTYPE) < n_pool
+    else:
+        pool_src = jnp.arange(D * hc.halo_cap, dtype=INDEX_DTYPE)
+        pool_valid = halo_valid
     return HaloMaps(send_idx=send_idx, send_valid=send_valid,
-                    halo_valid=halo_valid, send_lost=lost)
+                    pool_src=pool_src, pool_valid=pool_valid,
+                    send_lost=lost)
 
 
 def refresh_halo_fields(fields: tuple, maps: HaloMaps, hc: HilbertConfig,
                         inv_perm=None):
     """Re-send the packed halo bands with new payloads — the analog of
     the reference's per-stage exchangeHalos (ve_hydro.hpp:156-187).
-    `fields` live on the extended frame [cap + D*halo_cap], optionally
+    `fields` live on the extended frame [cap + n_halo_slots], optionally
     permuted (pass inv_perm: ext -> frame)."""
-    D = hc.n_ranks
-    H = hc.halo_cap
 
     def ext_to_frame(i):
         return i if inv_perm is None else inv_perm[i]
 
     send_rows = ext_to_frame(maps.send_idx)
     halo_rows = ext_to_frame(
-        hc.cap + jnp.arange(D * H, dtype=INDEX_DTYPE))
+        hc.cap + jnp.arange(hc.n_halo_slots, dtype=INDEX_DTYPE))
 
     out = []
     for f in fields:
         payload = jnp.where(maps.send_valid, f[send_rows], 0.0)
-        got = _all2all(payload).reshape(-1)
+        got = _all2all(payload).reshape(-1)[maps.pool_src]
         f = f.at[halo_rows].set(
-            jnp.where(maps.halo_valid, got, f[halo_rows]))
+            jnp.where(maps.pool_valid, got, f[halo_rows]))
         out.append(f)
     return tuple(out)
 
 
 def exchange_halos(ps: Particles, box: Box, hc: HilbertConfig):
-    """Build the extended frame [cap + D*halo_cap] of every conserved
+    """Build the extended frame [cap + n_halo_slots] of every conserved
     field plus the maps for later refreshes."""
     maps = discover_halos(ps, box, hc)
-    D, H = hc.n_ranks, hc.halo_cap
 
     ext_fields = {}
     for name in _FIELDS[:-1]:
         f = getattr(ps, name)
         payload = jnp.where(maps.send_valid, f[maps.send_idx], 0.0)
-        got = _all2all(payload).reshape(-1)
+        got = _all2all(payload).reshape(-1)[maps.pool_src]
         ext_fields[name] = jnp.concatenate([f, got])
-    ext_alive = jnp.concatenate([ps.alive, maps.halo_valid])
+    ext_alive = jnp.concatenate([ps.alive, maps.pool_valid])
     ext_fields["h"] = jnp.where(ext_alive, ext_fields["h"], 1.0)
     return Particles(alive=ext_alive, **ext_fields), maps

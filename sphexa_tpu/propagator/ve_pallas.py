@@ -350,8 +350,13 @@ class ResidentVE:
         alive = jnp.zeros((n_capacity,), bool).at[idx].set(
             validint, mode="drop")
         ps = Particles(alive=alive, **fields)
-        return SimState(p=ps, ttot=rst.ttot, dt=rst.dt, dt_m1=rst.dt_m1,
-                        iteration=rst.iteration)
+        # jnp.copy: the scalars must NOT alias the resident frame's
+        # buffers — steps() donates the frame, and an aliased ttot makes
+        # a snapshot taken before stepping unreadable afterwards
+        # (observed: sedov_gate overflow-retry crash, queue 2026-08-19)
+        return SimState(p=ps, ttot=jnp.copy(rst.ttot), dt=jnp.copy(rst.dt),
+                        dt_m1=jnp.copy(rst.dt_m1),
+                        iteration=jnp.copy(rst.iteration))
 
     # ---- the step ----------------------------------------------------------
     def _step(self, rst: RVState):

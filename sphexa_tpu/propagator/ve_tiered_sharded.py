@@ -87,7 +87,7 @@ def _local_step(ps: Particles, dt_prev, box: Box, engines, cfg: SphConfig,
 
     exts, maps = exchange_halos(ps, box, hc)
     owned = jnp.concatenate([
-        ps.alive, jnp.zeros((hc.n_ranks * hc.halo_cap,), bool)])
+        ps.alive, jnp.zeros((hc.ext - hc.cap,), bool)])
     halo_refresh = functools.partial(refresh_halo_fields, maps=maps, hc=hc)
 
     def refresh(d: dict) -> dict:

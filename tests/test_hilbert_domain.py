@@ -63,7 +63,7 @@ def test_balance_splits_quantiles():
         assert (k >= splits[d]).all() and (k < splits[d + 1]).all()
 
 
-def run_pair(side, n_devices, steps, dt0, key64=False):
+def run_pair(side, n_devices, steps, dt0, key64=False, halo_pool=0):
     # side=16 resolves to a 2-cell grid (~512 particles/cell): cell_cap
     # must cover that or BOTH paths truncate candidates
     cfg = SphConfig(chunk=512, cell_cap=768, ngpad=256)
@@ -80,7 +80,8 @@ def run_pair(side, n_devices, steps, dt0, key64=False):
     mesh = Mesh(devices, (AXIS,))
     hc = HilbertConfig(n_ranks=n_devices, cap=int(n / n_devices * 2.5) + 64,
                        halo_cap=int(n / n_devices * 2.0) + 64, mig_cap=256,
-                       coarse=8, dilate=3, key64=key64)
+                       coarse=8, dilate=3, key64=key64,
+                       halo_pool=halo_pool)
     host = {f: np.asarray(getattr(state.p, f)) for f in _FIELDS[:-1]}
     ps = distribute_hilbert(host, box, hc, mesh)
     sN = SimState(p=ps, ttot=state.ttot, dt=state.dt, dt_m1=state.dt_m1,
@@ -121,6 +122,38 @@ def test_hilbert_sharded_matches_single(n_devices, side):
     assert len(np.unique(j)) == len(j)
     vscale = max(np.abs(a["vx"]).max(), 1e-12)
     assert np.abs(b["vx"] - a["vx"][j]).max() / vscale < 2e-3
+
+
+@pytest.mark.multichip
+def test_hilbert_pooled_halos_match_single():
+    """Pooled halo frame (hc.halo_pool, the findPeersMac peer-economy
+    analog): the persistent extended frame holds a TOTAL halo budget
+    independent of rank count instead of D per-pair bands. Physics must
+    be identical to the single-chip path, with zero loss."""
+    side, n_devices = 12, 2
+    n = side ** 3
+    # total-halo budget: generous but far below D * halo_cap
+    pool = n + 256
+    s1, d1, sN, dN = run_pair(side=side, n_devices=n_devices, steps=3,
+                              dt0=2e-4, halo_pool=pool)
+    assert int(dN.lost) == 0
+    assert int(dN.n_owned) == n
+    np.testing.assert_allclose(float(dN.dt), float(d1.dt), rtol=1e-4)
+    np.testing.assert_allclose(float(dN.ecin), float(d1.ecin), rtol=2e-3,
+                               atol=1e-7)
+    np.testing.assert_allclose(float(dN.eint), float(d1.eint), rtol=1e-5)
+
+
+@pytest.mark.multichip
+def test_hilbert_pooled_halo_overflow_failstop():
+    """A pool budget below the rank's true halo count must be COUNTED
+    into the lost diagnostic (fail-stop signal), never silently
+    truncated into wrong physics."""
+    with pytest.raises(AssertionError):
+        side = 12
+        s1, d1, sN, dN = run_pair(side=side, n_devices=2, steps=1,
+                                  dt0=2e-4, halo_pool=32)
+        assert int(dN.lost) == 0  # the gate a production run enforces
 
 
 @pytest.mark.multichip

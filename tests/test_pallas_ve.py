@@ -125,6 +125,30 @@ def test_resident_engine_matches_compat():
         assert np.abs(b - a).max() / scale < 2e-3, f
 
 
+def test_unbind_snapshot_survives_donation():
+    """bind/unbind snapshots must not alias the resident frame: steps()
+    donates the frame, and an aliased scalar made an overflow-retry
+    snapshot unreadable (sedov_gate crash, artifacts 2026-08-19)."""
+    from sphexa_tpu.propagator.ve_pallas import ResidentVE
+
+    cfg = SphConfig(chunk=512, cell_cap=256, ngpad=256)
+    state, box, cfg = init_sedov(10, cfg, dt0=2e-4)
+    grid = choose_cm_grid(box, float(state.p.h[0]) * 1.3, 10 ** 3, cap=256)
+    eng = ResidentVE(box, grid, cfg, interpret=True)
+
+    rst = eng.bind(state)
+    saved = eng.unbind(rst, state.p.n)        # snapshot BEFORE stepping
+    rst, _ = eng.steps(rst, 2)                # donates rst's buffers
+    # the snapshot (scalars AND fields) must still be readable
+    assert float(saved.ttot) == float(state.ttot)
+    assert np.isfinite(np.asarray(saved.p.x)).all()
+    # and the original state the engine bound from must too (bind copies)
+    assert float(state.ttot) == 0.0
+    rst2 = eng.bind(saved)                    # retry-from-snapshot path
+    rst2, d = eng.steps(rst2, 1)
+    assert int(d.overflow[-1]) == 0
+
+
 @pytest.mark.slow
 def test_pallas_evrard_clustered_density():
     """Evrard-like h contrast (an order of magnitude core-to-edge) on
