@@ -89,11 +89,17 @@ class MultiChipAdapter:
             import jax.numpy as jnp
 
             cap = round_up(int(n_per * 1.7) + 128, 8)
+            halo_cap = round_up(int(n_per) + 128, 8)
+            # pooled halo frame past ~6 ranks: the persistent extended
+            # frame stops growing with D (peer-economy, domain/hilbert
+            # docstring); total budget = 6 peers' worth of halo rows,
+            # overflow rides the lost fail-stop
+            pool = 0 if D <= 6 else round_up(6 * halo_cap, 8)
             hc = HilbertConfig(
                 n_ranks=D, cap=cap,
-                halo_cap=round_up(int(n_per) + 128, 8),
+                halo_cap=halo_cap,
                 mig_cap=round_up(max(int(n_per * 0.5), 256), 8),
-                coarse=8, dilate=3)
+                coarse=8, dilate=3, halo_pool=pool)
 
             if cfg.gravG != 0.0 and cfg.gravity_solver == "fmm" \
                     and cfg.gravity_band_cap == 0:
