@@ -39,4 +39,11 @@ timeout 5400 python scripts/sedov_gate.py 100 0.02 >> "$LOG" 2>&1
 echo "--- q2 job 2: tiered crash debug (eager stepping) ---" >> "$LOG"
 timeout 3600 python scripts/tiered_debug.py 50 12 >> "$LOG" 2>&1
 
+echo "--- q2 job 3: BDT evolved-40 bench (side 100) ---" >> "$LOG"
+# evolve=80 drove the uniform grid to cap 640 (Sedov shell compression)
+# and the Mosaic compile blew the job timeout; at 40 steps the rung
+# hierarchy is developed but cap stays tractable
+SPHEXA_BENCH_PROP=ve-bdt SPHEXA_BENCH_EVOLVE=40 timeout 3600 \
+    python bench.py >> "$LOG" 2>&1
+
 echo "=== tpu_queue2 done $(date -u) ===" >> "$LOG"

@@ -17,6 +17,32 @@ import time
 import numpy as np
 
 
+def _is_output_step(it: int, spec: str) -> bool:
+    """Integer specs trigger every N iterations
+    (reference: isOutputStep, io/arg_parser.hpp)."""
+    try:
+        v = int(spec)
+    except ValueError:
+        return False
+    return v > 0 and it % v == 0
+
+
+def _is_output_time(t1: float, t2: float, spec: str) -> bool:
+    """Float specs trigger when a multiple of the interval falls in
+    (t1, t2] (reference: isOutputTime)."""
+    try:
+        int(spec)
+        return False
+    except ValueError:
+        pass
+    try:
+        f = float(spec)
+    except ValueError:
+        return False
+    import math
+    return f > 0 and math.floor(t2 / f) > math.floor(t1 / f + 1e-12)
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(prog="sphexa-tpu",
                                 description="TPU-native SPH simulation")
@@ -175,20 +201,19 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         # survive many steps between in-graph rebuilds
         res = args.prop == "ve-tiered-resident"
         try:
+            # default slack (1.1) for both variants: h-growth headroom
+            # under the support-bound clamp (see choose_tiers docstring)
             tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                                 cap_max=176 if res else 128,
-                                 grid_slack=1.1 if res else 1.0)
+                                 cap_max=176)
         except ValueError:
-            if not res:
-                raise
             # slack-inflated grids infeasible for this h field: fall
-            # back to tight tiers — the resident engine still runs,
-            # just rebuilds its layouts (at worst) every step
+            # back to tight tiers — runs clamp up against the support
+            # bound sooner (more frequent re-tiers / layout rebuilds)
             tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
                                  cap_max=128, grid_slack=1.0)
             if not args.quiet:
-                print("# ve-tiered-resident: slack-inflated tiers "
-                      "infeasible; using tight tiers (frequent rebuilds)")
+                print("# ve-tiered: slack-inflated tiers infeasible; "
+                      "using tight tiers (frequent re-tiers)")
         v = audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive)
         if v:
             raise RuntimeError(
@@ -412,30 +437,6 @@ def main(argv=None):
     h_max = float(np.max(np.asarray(state.p.h)[alive]))
     step_fn, grid = make_stepper(args, box, cfg, h_max, n_active, extras,
                                  state=state)
-
-    def _is_output_step(it: int, spec: str) -> bool:
-        """Integer specs trigger every N iterations
-        (reference: isOutputStep, io/arg_parser.hpp)."""
-        try:
-            v = int(spec)
-        except ValueError:
-            return False
-        return v > 0 and it % v == 0
-
-    def _is_output_time(t1: float, t2: float, spec: str) -> bool:
-        """Float specs trigger when a multiple of the interval falls in
-        (t1, t2] (reference: isOutputTime)."""
-        try:
-            int(spec)
-            return False
-        except ValueError:
-            pass
-        try:
-            f = float(spec)
-        except ValueError:
-            return False
-        import math
-        return f > 0 and math.floor(t2 / f) > math.floor(t1 / f + 1e-12)
 
     def _is_extra_output(it: int, t1: float, t2: float) -> bool:
         for tok in (args.wextra or "").split(","):
