@@ -303,14 +303,15 @@ def main():
         p = state.p
         alive = np.asarray(p.alive)
         try:
+            # default slack (1.1) for BOTH variants: the rebuild engine
+            # needs h-growth headroom too, or the support-bound clamp
+            # fail-stops on the first adapting step (tpu_queue.log
+            # 2026-08-19: 3600 clamps at Evrard-50 step 1 w/ slack 1.0)
             tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                                 cap_max=176 if resident else 128,
-                                 grid_slack=1.1 if resident else 1.0)
+                                 cap_max=176)
         except ValueError:
-            if not resident:
-                raise
-            # slack-inflated grids infeasible: tight tiers still run
-            # resident, just rebuilding (at worst) every step
+            # slack-inflated grids infeasible: tight tiers still run,
+            # re-tiering (at worst) every step via the fold fail-stop
             tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
                                  cap_max=128, grid_slack=1.0)
         assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h,

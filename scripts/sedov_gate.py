@@ -44,6 +44,71 @@ def compute_rho(eng, state, box, grid, cfg):
     return np.asarray(kx_pf * ps.m / xm_pf)
 
 
+def run_tiered_phase(state, box, cfg, t_end, t0, steps_done):
+    """Advance to t_end on the adaptive h-tier engine, re-tiering from
+    the last good state whenever the fold fail-stop trips (the
+    main-loop re-tier semantics, main.py)."""
+    from sphexa_tpu.propagator.ve_tiered import (audit_tiers, choose_tiers,
+                                                 make_ve_step_pallas_tiered)
+
+    interp = jax.devices()[0].platform != "tpu"
+    retier = 0
+    while float(state.ttot) < t_end:
+        p = state.p
+        alive = np.asarray(p.alive)
+        tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
+                             cap_max=176, grid_slack=1.1 + 0.05 * retier)
+        assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h,
+                           alive=alive) == 0, "tier band audit"
+        print(f"# tiered engine: {[(t.grid.n, t.grid.cap) for t in tiers]} "
+              f"t={float(state.ttot):.5f}", flush=True)
+        step = make_ve_step_pallas_tiered(box, tiers, cfg,
+                                          interpret=interp)
+        folded = False
+        while float(state.ttot) < t_end:
+            saved = state
+            fold = 0
+            for _ in range(10):
+                state, d = step(state)
+                steps_done += 1
+                fold = int(d.max_cell_count)
+                if fold or float(state.ttot) >= t_end:
+                    break
+            print(f"#   t={float(state.ttot):.5f} dt={float(d.dt):.3e} "
+                  f"fold={fold} steps={steps_done} "
+                  f"wall={time.perf_counter() - t0:.0f}s", flush=True)
+            if fold:
+                # h outgrew a tier band / slot overflow: re-tier from
+                # the last good state (fresh bands follow the realized
+                # h distribution)
+                state = saved
+                retier += 1
+                assert retier < 8, "re-tiering does not converge"
+                folded = True
+                break
+        if not folded:
+            break
+    return state, tiers, steps_done
+
+
+def compute_rho_tiered(state, box, cfg, tiers):
+    """VE density from a forces-only tiered pass on the FINAL state
+    (consistent positions/rho, unlike reusing the last step's diag)."""
+    from sphexa_tpu.propagator.ve_tiered import (_build_layouts,
+                                                 _tier_engines,
+                                                 _tiered_forces)
+
+    interp = jax.devices()[0].platform != "tpu"
+    engines = _tier_engines(tiers, cfg, interpret=interp)
+
+    @jax.jit
+    def rho_of(st):
+        layouts = _build_layouts(engines, box, st.p)
+        return _tiered_forces(st.p, st.dt, layouts, engines, box, cfg)["rho"]
+
+    return np.asarray(rho_of(state))
+
+
 def main():
     from sphexa_tpu.config import SphConfig
     from sphexa_tpu.init.sedov import init_sedov
@@ -62,6 +127,14 @@ def main():
     headroom = 8
     t0 = time.perf_counter()
     steps_done = 0
+    # structural VMEM bound of the uniform cell-major kernels: past
+    # this cap the pair windows outgrow VMEM (measured: cap=384/n=16
+    # wants a 121 MiB kernel stack on the v5e). When the developed
+    # shock's h contrast pushes the joint scan past it, the uniform
+    # grid is the wrong tool — switch to the adaptive h-tier engine
+    # (the production progression: ve-pallas -> ve-tiered).
+    CAP_STRUCT = 256
+    tiers = None
 
     while float(state.ttot) < t_end:
         alive = np.asarray(state.p.alive)
@@ -70,6 +143,10 @@ def main():
             box, h_eff, n, np.asarray(state.p.x)[alive],
             np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
             headroom=headroom)
+        if cap > CAP_STRUCT:
+            state, tiers, steps_done = run_tiered_phase(
+                state, box, cfg, t_end, t0, steps_done)
+            break
         print(f"# engine: cap={cap} grid={grid} t={float(state.ttot):.5f}",
               flush=True)
         eng = ResidentVE(box, grid, cfg)
@@ -99,7 +176,10 @@ def main():
             break
 
     t_fin = float(state.ttot)
-    rho = compute_rho(eng, state, box, grid, cfg)
+    if tiers is not None:
+        rho = compute_rho_tiered(state, box, cfg, tiers)
+    else:
+        rho = compute_rho(eng, state, box, grid, cfg)
     alive = np.asarray(state.p.alive)
     centers, rho_sim, counts = radial_profile(
         state.p.x, state.p.y, state.p.z, jnp.asarray(rho), nbins=64,

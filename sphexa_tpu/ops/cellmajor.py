@@ -114,14 +114,35 @@ def choose_cm_grid(box: Box, h_max: float, n_global: int,
     return CMGrid(n=max(n, 1), cap=cap)
 
 
-def legal_zgroup(npz: int, cap: int) -> int:
+def legal_zgroup(npz: int, cap: int, max_lanes: int = 1024) -> int:
     """Largest z-supercell size Z in (8,6,4,3,2,1) such that Z divides the
-    padded z extent and Z*cap tiles to full 128-lane vregs — the geometry
-    contract of ops/pallas_ve.make_cell_pair_call. Returns 0 when no such
-    Z exists (that (grid, cap) pair cannot run on the Pallas engine)."""
+    padded z extent, Z*cap tiles to full 128-lane vregs — the geometry
+    contract of ops/pallas_ve.make_cell_pair_call — and Z*cap stays
+    within `max_lanes`. Returns 0 when no such Z exists (that
+    (grid, cap) pair cannot run on the Pallas engine).
+
+    max_lanes bounds the kernel's scoped-VMEM stack, which scales with
+    the supercell lane width (27 j-blocks + 9 three-block run concats,
+    all [fj, Z*cap]). 1024 lanes (= the long-proven cap-64 x Z-8 /
+    cap-128 x Z-8 working set) keeps the momentum kernel under the
+    64 MiB scoped limit; the unbudgeted Z=8 pick at cap 320/384 built
+    108/122 MiB stacks and failed AOT compilation on the v5e
+    (artifacts/tpu_queue.log 2026-08-19). A cap above max_lanes is
+    allowed at Z=1 when it tiles (the caller's choice to run that
+    deep)."""
+    best = 0
     for z in (8, 6, 4, 3, 2, 1):
         if npz % z == 0 and (z * cap) % 128 == 0:
-            return z
+            if best == 0:
+                best = z          # largest legal, ignoring the budget
+            if z * cap <= max_lanes:
+                return z
+    # every legal Z exceeds the budget (cap itself > max_lanes):
+    # return the smallest legal Z instead of refusing to run
+    if best:
+        for z in (1, 2, 3, 4, 6, 8):
+            if npz % z == 0 and (z * cap) % 128 == 0:
+                return z
     return 0
 
 

@@ -130,7 +130,7 @@ def _subbox(box: Box, xs, ys, zs, margin: float) -> Box:
 
 def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
                  theta: float = 1.5, max_tiers: int = 4,
-                 n_candidates: int = 16, grid_slack: float = 1.0):
+                 n_candidates: int = 16, grid_slack: float = 1.1):
     """Greedy top-down tier construction from the realized h
     distribution: the coarsest tier takes h_hi = h_max and stretches
     h_lo as deep as the cap budget allows; the remainder recurses on
@@ -139,10 +139,15 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
     The theta band must be validated by `audit_tiers` before use.
 
     grid_slack > 1 sizes each tier grid for h_hi * grid_slack instead
-    of h_hi, trading cell occupancy (cap) for headroom the RESIDENT
-    engine spends as drift margin + h-growth room — with slack 1.0 the
-    edges sit exactly at the 2h support bound and the persistent
-    layouts would go stale every step."""
+    of h_hi, trading cell occupancy (cap) for headroom spent as h-growth
+    room (and, on the RESIDENT engine, drift margin). With slack 1.0
+    the tier support bound sits exactly at h_hi, so ANY upward h
+    adaptation — including a particle legitimately crossing into the
+    coarser tier's band — trips the clamp fail-stop on the very next
+    step (measured: 3600 clamps at Evrard-50 step 1,
+    artifacts/tpu_queue.log 2026-08-19). The nc->h controller moves h
+    by at most (ng0/nc)^(1/10) per step, so 1.1 absorbs several steps
+    of growth between host re-tier boundaries."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     z = np.asarray(z, np.float64)
