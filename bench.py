@@ -229,15 +229,13 @@ def main():
         import numpy as np
 
         from sphexa_tpu.propagator.ve_tiered import (
-            audit_tiers, choose_tiers, make_ve_step_pallas_tiered)
+            choose_tiers_auto, make_ve_step_pallas_tiered)
         from sphexa_tpu.propagator.ve_tiered_bdt import TieredBdtVE
 
         p = state.p
         alive = np.asarray(p.alive)
-        tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                             cap_max=128)
-        assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h,
-                           alive=alive) == 0, "tier band audit failed"
+        tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                                  cap_max=128)
         print(f"# tiers: {[(t.grid.n, t.grid.cap) for t in tiers]}",
               file=sys.stderr)
 
@@ -292,7 +290,7 @@ def main():
         import numpy as np
 
         from sphexa_tpu.propagator.ve_tiered import (
-            audit_tiers, choose_tiers, make_ve_step_pallas_tiered,
+            make_ve_step_pallas_tiered,
             make_ve_step_pallas_tiered_resident)
 
         # default: the persistent-layout engine (incremental focus-tree
@@ -302,20 +300,11 @@ def main():
                                   "resident") != "rebuild"
         p = state.p
         alive = np.asarray(p.alive)
-        try:
-            # default slack (1.1) for BOTH variants: the rebuild engine
-            # needs h-growth headroom too, or the support-bound clamp
-            # fail-stops on the first adapting step (tpu_queue.log
-            # 2026-08-19: 3600 clamps at Evrard-50 step 1 w/ slack 1.0)
-            tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                                 cap_max=176)
-        except ValueError:
-            # slack-inflated grids infeasible: tight tiers still run,
-            # re-tiering (at worst) every step via the fold fail-stop
-            tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                                 cap_max=128, grid_slack=1.0)
-        assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h,
-                           alive=alive) == 0, "tier band audit failed"
+        # adaptive (slack, theta) ladder: h-growth headroom first, the
+        # exact band audit as the correctness gate (choose_tiers_auto)
+        from sphexa_tpu.propagator.ve_tiered import choose_tiers_auto
+        tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                                  cap_max=128)
         print(f"# tiers ({'resident' if resident else 'rebuild'}): "
               f"{[(t.grid.n, t.grid.cap) for t in tiers]}",
               file=__import__('sys').stderr)

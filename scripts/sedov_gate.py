@@ -48,7 +48,7 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done):
     """Advance to t_end on the adaptive h-tier engine, re-tiering from
     the last good state whenever the fold fail-stop trips (the
     main-loop re-tier semantics, main.py)."""
-    from sphexa_tpu.propagator.ve_tiered import (audit_tiers, choose_tiers,
+    from sphexa_tpu.propagator.ve_tiered import (choose_tiers_auto,
                                                  make_ve_step_pallas_tiered)
 
     interp = jax.devices()[0].platform != "tpu"
@@ -56,10 +56,8 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done):
     while float(state.ttot) < t_end:
         p = state.p
         alive = np.asarray(p.alive)
-        tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                             cap_max=176, grid_slack=1.1 + 0.05 * retier)
-        assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h,
-                           alive=alive) == 0, "tier band audit"
+        tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                                  cap_max=128, verbose=True)
         print(f"# tiered engine: {[(t.grid.n, t.grid.cap) for t in tiers]} "
               f"t={float(state.ttot):.5f}", flush=True)
         step = make_ve_step_pallas_tiered(box, tiers, cfg,
@@ -127,13 +125,16 @@ def main():
     headroom = 8
     t0 = time.perf_counter()
     steps_done = 0
-    # structural VMEM bound of the uniform cell-major kernels: past
-    # this cap the pair windows outgrow VMEM (measured: cap=384/n=16
-    # wants a 121 MiB kernel stack on the v5e). When the developed
-    # shock's h contrast pushes the joint scan past it, the uniform
-    # grid is the wrong tool — switch to the adaptive h-tier engine
-    # (the production progression: ve-pallas -> ve-tiered).
-    CAP_STRUCT = 256
+    # Engine choice for the developed shock (the h-contrast study,
+    # DESIGN.md 'Tier occupancy algebra'): Sedov's h field is
+    # EQUILIBRATED (nc ~ ng0 everywhere, contrast ~5x) — a tier cell
+    # holds ~0.24*ng0*(SLACK*gs)^3*(theta*h_hi/h_lo)^3 particles, so
+    # cap-128 tiers would need ~10 ultra-thin bands (10 engine
+    # compiles). The deep-cap uniform engine (aligned caps 384/512,
+    # Z*CAP lane budget) is the right tool here; tiers pay off on
+    # spatially-segregated contrast (Evrard). CAP_STRUCT is the
+    # compile-feasibility ceiling of the uniform kernels.
+    CAP_STRUCT = 512
     tiers = None
 
     while float(state.ttot) < t_end:

@@ -175,6 +175,24 @@ def build_sim(args):
     return state, box, cfg, extras
 
 
+def _slot_grid(box, cfg, h_max, n, extras, state):
+    """(cap, grid) for the slot-frame engines. With a state available,
+    the joint scan sizes the cap from the REALIZED max cell count plus
+    the loop's fail-stop headroom (extras['cap_headroom'], bumped on
+    slot overflow — the bench's proven re-grid policy); without one,
+    the occupancy heuristic."""
+    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid, choose_cm_grid
+    if state is None:
+        return choose_cm_grid(box, h_max * 1.25, n)
+    alive = np.asarray(state.p.alive)
+    headroom = int((extras or {}).get("cap_headroom", 8))
+    _, grid = choose_cap_and_grid(
+        box, h_max * 1.25, n, np.asarray(state.p.x)[alive],
+        np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
+        headroom=headroom)
+    return grid
+
+
 def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
     extras = extras or {}
     from sphexa_tpu.propagator.multichip import MULTICHIP_PROPS
@@ -191,7 +209,7 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         import jax
 
         from sphexa_tpu.propagator.ve_tiered import (
-            audit_tiers, choose_tiers, make_ve_step_pallas_tiered,
+            make_ve_step_pallas_tiered,
             make_ve_step_pallas_tiered_resident)
         assert state is not None, "ve-tiered needs the current state"
         p = state.p
@@ -200,25 +218,11 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         # (see choose_tiers grid_slack) so its persistent layouts
         # survive many steps between in-graph rebuilds
         res = args.prop == "ve-tiered-resident"
-        try:
-            # default slack (1.1) for both variants: h-growth headroom
-            # under the support-bound clamp (see choose_tiers docstring)
-            tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                                 cap_max=176)
-        except ValueError:
-            # slack-inflated grids infeasible for this h field: fall
-            # back to tight tiers — runs clamp up against the support
-            # bound sooner (more frequent re-tiers / layout rebuilds)
-            tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                                 cap_max=128, grid_slack=1.0)
-            if not args.quiet:
-                print("# ve-tiered: slack-inflated tiers infeasible; "
-                      "using tight tiers (frequent re-tiers)")
-        v = audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive)
-        if v:
-            raise RuntimeError(
-                f"tier band audit: {v} excluded particles inside an "
-                f"in-tier 2h support (raise theta)")
+        # adaptive (slack, theta) ladder — growth headroom first, the
+        # exact band audit as the correctness gate
+        from sphexa_tpu.propagator.ve_tiered import choose_tiers_auto
+        tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                                  cap_max=128, verbose=not args.quiet)
         if not args.quiet:
             print("# tiers: " + "; ".join(
                 f"h[{t.h_lo:.3g},{t.h_hi:.3g}) n={t.grid.n} "
@@ -329,17 +333,15 @@ def make_stepper(args, box, cfg, h_max, n, extras=None, state=None):
         prop = TurbVeProp(box, grid, cfg, turb=turb, verbose=not args.quiet)
         return prop, grid
     if args.prop == "ve-pallas":
-        from sphexa_tpu.ops.cellmajor import choose_cm_grid
         from sphexa_tpu.propagator.ve_pallas import make_ve_step_pallas
-        grid = choose_cm_grid(box, h_max * 1.25, n)
+        grid = _slot_grid(box, cfg, h_max, n, extras, state)
         import jax
         interpret = jax.devices()[0].platform != "tpu"
         return make_ve_step_pallas(box, grid, cfg, interpret=interpret), grid
     if args.prop in ("ve-bdt", "turbulence-ve-bdt"):
         import jax
-        from sphexa_tpu.ops.cellmajor import choose_cm_grid
         from sphexa_tpu.propagator.ve_bdt import BdtVE, TurbBdtVE
-        grid = choose_cm_grid(box, h_max * 1.25, n)
+        grid = _slot_grid(box, cfg, h_max, n, extras, state)
         interpret = jax.devices()[0].platform != "tpu"
         if args.prop == "turbulence-ve-bdt":
             # reference TurbVeBdtProp (turb_ve.hpp:114-118)
@@ -501,11 +503,77 @@ def main(argv=None):
         profiler_ctx = True
 
     t_start = time.perf_counter()
-    regrew = False
-    for it in range(args.steps):
+    # ve-tiered-resident binds (and then donates) the caller's frame, so
+    # a pre-step retry point cannot be held for it; on fail-stop it
+    # re-tiers from the current state instead of retrying the step
+    can_retry = args.prop != "ve-tiered-resident"
+    consec_fails = 0
+    it = 0
+    while it < args.steps:
         t0 = time.perf_counter()
+        # retry point: a fail-stopped step ran with truncated candidate
+        # sets — its outputs are wrong physics and must be discarded
+        # (the reference throws instead, xmass_gpu.cu:120-128; here the
+        # adaptive engines re-tier/re-grid and retry). The plain
+        # steppers don't donate their input, so holding it is free.
+        prev_state = state if can_retry else None
         state, diag = step_fn(state)
         dt_wall = time.perf_counter() - t0
+
+        # fail-stop check FIRST: a truncated step must not be logged,
+        # written, or used for grid adaptation.
+        # diag.max_cell_count carries two different fail-stop signals:
+        # - slot-frame engines (ve-pallas / ve-bdt / ve-tiered*): a
+        #   COUNT of dropped/folded particles (layout.overflow, tier
+        #   fold) — ANY nonzero value is truncated physics
+        # - XLA gather engines (ve / std / ...): the realized max cell
+        #   occupancy — bad only past the gather capacity cell_cap
+        slot_frame = (args.prop.startswith("ve-tiered")
+                      or args.prop in ("ve-pallas", "ve-bdt",
+                                       "turbulence-ve-bdt"))
+        cell_bad = (int(diag.max_cell_count) > 0 if slot_frame
+                    else int(diag.max_cell_count) > cfg.cell_cap)
+        if int(diag.max_nc) > cfg.ngpad or cell_bad:
+            consec_fails += 1
+            if consec_fails > 3:
+                raise RuntimeError(
+                    f"capacity overflow persists after {consec_fails - 1} "
+                    f"re-grids (max_nc={int(diag.max_nc)}, "
+                    f"max_cell={int(diag.max_cell_count)})")
+            if prev_state is not None:
+                state = prev_state   # discard the truncated step
+            if args.prop.startswith("ve-tiered"):
+                # re-tier: make_stepper re-chooses the h-tier bands from
+                # the restored state's realized h distribution (the
+                # host-boundary analog of the reference's per-sync
+                # focus-tree update, octree_focus_mpi.hpp:138-176)
+                if not args.quiet:
+                    print(f"# tier fold ({int(diag.max_cell_count)}): "
+                          f"re-tiering from "
+                          f"{'restored' if can_retry else 'current'} "
+                          f"state", file=sys.stderr)
+            elif slot_frame:
+                # slot overflow: re-pick (cap, grid) with more headroom
+                # from the restored positions (bench.py's evolve
+                # re-grid policy)
+                extras["cap_headroom"] = int(
+                    extras.get("cap_headroom", 8)) + 48
+                print(f"# slot overflow ({int(diag.max_cell_count)}): "
+                      f"re-gridding with headroom "
+                      f"{extras['cap_headroom']}", file=sys.stderr)
+            else:
+                cfg = cfg.replace(
+                    ngpad=max(cfg.ngpad, 2 * int(diag.max_nc)),
+                    cell_cap=max(cfg.cell_cap,
+                                 2 * int(diag.max_cell_count)))
+                print(f"# re-gridded with larger caps: ngpad={cfg.ngpad} "
+                      f"cell_cap={cfg.cell_cap}", file=sys.stderr)
+            h_max = float(np.max(np.asarray(state.p.h)
+                                 [np.asarray(state.p.alive)]))
+            step_fn, grid = make_stepper(args, box, cfg, h_max,
+                                         n_active, extras, state=state)
+            continue   # retry this iteration (it is not consumed)
+        consec_fails = 0
 
         # grid resolution follows h growth: rebuild (recompile) on violation
         new_h_max = float(diag.h_max)
@@ -562,32 +630,6 @@ def main(argv=None):
                      if getattr(diag, "h_nonconv", None) is not None
                      and int(diag.h_nonconv) else "")
                   + f"wall={dt_wall*1e3:.0f}ms", flush=True)
-        # for the tiered engines max_cell_count is a fail-stop FOLD
-        # (slot overflow + unowned + h clamps + frame misses): any
-        # nonzero value means truncated candidate sets -> re-tier now
-        cell_bad = (int(diag.max_cell_count) > 0
-                    if args.prop.startswith("ve-tiered")
-                    else int(diag.max_cell_count) > cfg.cell_cap)
-        if int(diag.max_nc) > cfg.ngpad or cell_bad:
-            # fail-stop, not a warning: truncated candidate sets are
-            # silently wrong physics (reference throws,
-            # xmass_gpu.cu:120-128). Try one re-grid with larger caps,
-            # then abort.
-            if not regrew:
-                regrew = True
-                cfg = cfg.replace(
-                    ngpad=max(cfg.ngpad, 2 * int(diag.max_nc)),
-                    cell_cap=max(cfg.cell_cap, 2 * int(diag.max_cell_count)))
-                step_fn, grid = make_stepper(args, box, cfg, h_max,
-                                             n_active, extras, state=state)
-                print(f"# re-gridded with larger caps: ngpad={cfg.ngpad} "
-                      f"cell_cap={cfg.cell_cap}", file=sys.stderr)
-            else:
-                raise RuntimeError(
-                    f"capacity overflow persists after re-grid "
-                    f"(max_nc={int(diag.max_nc)}, "
-                    f"max_cell={int(diag.max_cell_count)})")
-
         t_now = float(diag.ttot)
         t_prev = t_now - float(diag.dt)
         wall_exceeded = (args.duration is not None
@@ -617,6 +659,7 @@ def main(argv=None):
         if viz:
             viz.execute(state, box, int(state.iteration) - 1)
 
+        it += 1
         if args.sim_time is not None and float(diag.ttot) >= args.sim_time:
             break
         if wall_exceeded:
@@ -642,7 +685,7 @@ def main(argv=None):
     if not args.quiet:
         its = int(state.iteration) - 1
         print(f"# done: {its} iterations, {wall:.1f}s wall, "
-              f"{n_active * (it + 1) / wall / 1e6:.2f}M particle-updates/s")
+              f"{n_active * max(it, 1) / wall / 1e6:.2f}M particle-updates/s")
     if writer:
         writer.close()
     if const_f:

@@ -181,20 +181,22 @@ def choose_cap_and_grid(box: Box, h_eff: float, n_global: int, xs, ys, zs,
     import math
 
     def aligned(g0, cap):
-        """A (grid, cap) is VMEM-safe only when every j-window offset is
-        128-lane aligned: cap % 128 == 0 (3-cell windows at aligned
-        offsets), or the parity-4 window scheme of
-        pallas_ve.make_cell_pair_call (cap % 64 == 0 with cap % 128
-        != 0, even z-supercell, even nz). Half-vreg-misaligned caps
-        (96, 160, ...) force Mosaic relayouts that blow the 16 MB
-        scoped-VMEM budget (observed: cap=96 n=26 OOM at 30.9 MB on
-        the v5e while cap=64/128 both fit)."""
+        """A (grid, cap) is VMEM-safe only when every j-window offset
+        AND every center slice is 128-lane aligned: cap % 128 == 0, or
+        exactly cap == 64 under the parity-4 window scheme of
+        pallas_ve.make_cell_pair_call (measured working point: windows
+        are two full vregs, centers alternate vreg halves). Any other
+        cap % 64 == 0 (96, 192, 320, ...) puts CENTER slices at
+        half-vreg offsets (1.5, 2.5 vregs) — Mosaic relayouts then
+        blow the scoped-VMEM stack (observed: cap=96 n=26 OOM at
+        30.9 MB with a 16 MB limit; cap=192 n=2 OOM at 114 MB with a
+        64 MB limit, both v5e)."""
         zg = legal_zgroup(g0.npz, cap)
         if zg == 0:
             return False
         if cap % 128 == 0:
             return True
-        return cap % 64 == 0 and zg % 2 == 0 and g0.nz % 2 == 0
+        return cap == 64 and zg % 2 == 0 and g0.nz % 2 == 0
 
     L = min(box.lx, box.ly, box.lz)
     n_corr = max(2, int(math.floor(L / (2.0 * h_eff * 1.05))))

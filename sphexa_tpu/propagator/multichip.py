@@ -134,18 +134,15 @@ class MultiChipAdapter:
                 # structure from the initial state, device-gated zoom
                 # grids over the Hilbert domain (the focused-octree x
                 # MPI composition, octree_focus_mpi.hpp:51)
-                from sphexa_tpu.propagator.ve_tiered import (audit_tiers,
-                                                             choose_tiers)
+                from sphexa_tpu.propagator.ve_tiered import (
+                    choose_tiers_auto)
                 from sphexa_tpu.propagator.ve_tiered_sharded import (
                     make_ve_step_tiered_hilbert)
                 import jax as _jax
-                tiers = choose_tiers(
+                # adaptive (slack, theta) ladder; the exact band audit
+                # gates every rung inside choose_tiers_auto
+                tiers = choose_tiers_auto(
                     box, host["x"], host["y"], host["z"], host["h"])
-                v = audit_tiers(tiers, box, host["x"], host["y"],
-                                host["z"], host["h"])
-                if v:
-                    raise RuntimeError(
-                        f"tier band audit: {v} violations (raise theta)")
                 if not quiet:
                     print("# tiers: " + "; ".join(
                         f"h[{t.h_lo:.3g},{t.h_hi:.3g}) n={t.grid.n} "

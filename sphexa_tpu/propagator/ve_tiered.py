@@ -220,6 +220,49 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
     raise ValueError(f"more than {max_tiers} tiers needed")
 
 
+def choose_tiers_auto(box: Box, x, y, z, h, alive=None,
+                      cap_max: int = 128, max_tiers: int = 4,
+                      verbose: bool = False):
+    """choose_tiers with an adaptive (grid_slack, theta) ladder.
+
+    The two knobs trade off against the cap through the same cell-
+    occupancy bound (fringe count ~ 0.24*ng0*(SLACK*gs*theta*band)^3,
+    DESIGN.md 'Tier occupancy algebra'):
+
+      grid_slack > 1 buys h-GROWTH headroom (without it any upward h
+        adaptation folds the step and forces a host re-tier), at a
+        cubic occupancy cost;
+      theta sets the frame's fine-h fringe (cutoff = h_lo/theta) — the
+        dominant occupancy term. Narrower theta admits fewer fine
+        j-candidates; its correctness is NOT assumed: every rung is
+        validated by the exact audit (audit_tiers == 0) and rejected
+        on violation, exactly like the fail-stops at runtime.
+
+    Measured on Evrard-50 (tpu_queue.log 2026-08-19): slack 1.0 at
+    theta 1.5 is the only feasible fixed combo, and it clamp-folds on
+    the first adapting step; slack 1.05 fits once theta drops to ~1.3.
+    The ladder prefers growth headroom, then fringe width, and falls
+    back to the tight combo (which re-tiers every few steps) last."""
+    last = None
+    for gs, th in ((1.1, 1.5), (1.1, 1.35), (1.075, 1.35), (1.05, 1.3),
+                   (1.05, 1.2), (1.025, 1.2), (1.0, 1.5), (1.0, 1.3)):
+        try:
+            tiers = choose_tiers(box, x, y, z, h, alive=alive,
+                                 cap_max=cap_max, theta=th,
+                                 max_tiers=max_tiers, grid_slack=gs)
+        except ValueError as e:
+            last = e
+            continue
+        if audit_tiers(tiers, box, x, y, z, h, alive=alive) == 0:
+            if verbose:
+                print(f"# tiers: slack={gs} theta={th} "
+                      f"{[(t.grid.n, t.grid.cap) for t in tiers]}")
+            return tiers
+        last = ValueError(f"band audit violations at slack={gs} "
+                          f"theta={th}")
+    raise ValueError(f"no feasible (slack, theta) tier ladder rung: {last}")
+
+
 def audit_tiers(tiers, box: Box, x, y, z, h, alive=None,
                 chunk: int = 8192) -> int:
     """Exact host-side frame-completeness audit: counts (excluded j,

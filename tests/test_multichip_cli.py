@@ -82,3 +82,20 @@ def test_cli_ve_pallas_sharded_sedov(tmp_path):
     assert int(state.iteration) == 3  # initial state carries iteration 1
     assert int(alive.sum()) == 12 ** 3
     assert np.isfinite(np.asarray(state.p.temp)[alive]).all()
+
+
+@pytest.mark.multichip
+@pytest.mark.medium
+def test_cli_ve_tiered_sharded_evrard(tmp_path):
+    """Tiers x sharding from the front end: adaptive h-tier zoom grids
+    (chosen by the audited (slack, theta) ladder, choose_tiers_auto)
+    over the load-balanced Hilbert domain."""
+    state = main(["--init", "evrard", "-n", "10", "-s", "2",
+                  "--prop", "ve-tiered-sharded", "--quiet",
+                  "--constants", str(tmp_path / "c.txt"),
+                  "-o", str(tmp_path / "d.h5")])
+    alive = np.asarray(state.p.alive)
+    assert int(state.iteration) == 3  # initial state carries iteration 1
+    assert int(alive.sum()) > 0      # evrard carves a sphere from the cube
+    assert np.isfinite(np.asarray(state.p.x)[alive]).all()
+    assert np.isfinite(np.asarray(state.p.temp)[alive]).all()

@@ -306,3 +306,26 @@ def test_native_audit_matches_python():
     hit = (d2 < (2.0 * h[sel_i][None, :]) ** 2).any(axis=1)
     assert v_nat == int(hit.sum())
     assert v_nat > 0
+
+
+def test_choose_tiers_auto_ladder():
+    """The adaptive (slack, theta) ladder finds an audited rung with
+    h-growth headroom on the field where the fixed slack-1.1/theta-1.5
+    combo is infeasible (measured on Evrard: the coarse tier's
+    theta-fringe occupancy is cap-marginal at slack 1.0 — the
+    tpu_queue.log 2026-08-19 'no tier with cap <= 176' failure)."""
+    from sphexa_tpu.propagator.ve_tiered import (choose_tiers_auto,
+                                                 tier_support_bound)
+    state, box, cfg = _evrard(20)
+    p = state.p
+    alive = np.asarray(p.alive)
+    tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                              cap_max=128)
+    assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
+    h = np.asarray(p.h)[alive]
+    for t in tiers:
+        assert t.grid.cap <= 128
+        # headroom: the support bound must exceed the band top by the
+        # realized slack so per-step h growth does not clamp-fold
+        # (unless the ladder fell to its tight fallback)
+        assert tier_support_bound(t) >= min(t.h_hi, h.max()) * 0.999
