@@ -1,0 +1,122 @@
+"""TPU-scale Noh implosion physics gate (reference acceptance:
+main/src/analytical_solutions/compare_noh.py — closed-form wall-shock
+solution, L1 density error).
+
+Runs Noh side^3 on the production resident Pallas engine to a target
+simulation time, computes the radial density profile, and writes the
+L1 errors (infall region; post-shock plateau when resolved) to
+artifacts/NOH_L1_<side>.json:
+
+    python scripts/noh_gate.py [side] [t_end]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# CPU-forcing for verification runs (JAX_PLATFORMS is ignored once the
+# axon TPU plugin registers; the config override is authoritative)
+_plat = os.environ.get("SPHEXA_PLATFORM")
+if _plat:
+    os.environ.pop("JAX_PLATFORMS", None)
+    jax.config.update("jax_platforms", _plat)
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from sphexa_tpu.config import SphConfig
+    from sphexa_tpu.init.noh import init_noh
+    from sphexa_tpu.observables.noh_solution import noh_profile
+    from sphexa_tpu.observables.radial import l1_error, radial_profile
+    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
+    from sphexa_tpu.propagator.ve_pallas import ResidentVE
+    from scripts.sedov_gate import compute_rho
+
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
+    cfg = SphConfig()
+    state, box, cfg = init_noh(side, cfg, dt0=1e-5)
+    n = side ** 3
+    headroom = 8
+    t0 = time.perf_counter()
+    steps_done = 0
+    # central compression deepens the cap like Sedov's shell; the
+    # uniform engine rides aligned caps to 512 (DESIGN.md 'Tier
+    # occupancy algebra' — equilibrated fields tier badly)
+    CAP_STRUCT = 512
+
+    eng = grid = None
+    while float(state.ttot) < t_end:
+        alive = np.asarray(state.p.alive)
+        h_eff = float(np.max(np.asarray(state.p.h)[alive])) * 1.2
+        cap, grid = choose_cap_and_grid(
+            box, h_eff, n, np.asarray(state.p.x)[alive],
+            np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
+            headroom=headroom)
+        assert cap <= CAP_STRUCT, f"cap {cap} beyond compile ceiling"
+        print(f"# engine: cap={cap} grid={grid} t={float(state.ttot):.5f}",
+              flush=True)
+        interp = jax.devices()[0].platform != "tpu"
+        eng = ResidentVE(box, grid, cfg, interpret=interp)
+        rst = eng.bind(state)
+        overflowed = False
+        while float(rst.ttot) < t_end:
+            saved = eng.unbind(rst, n)
+            rst, diags = eng.steps(rst, 20)
+            steps_done += 20
+            ovf = int(diags.overflow[-1])
+            print(f"#   t={float(rst.ttot):.5f} dt={float(rst.dt):.3e} "
+                  f"ovf={ovf} steps={steps_done} "
+                  f"wall={time.perf_counter() - t0:.0f}s", flush=True)
+            if ovf:
+                state = saved
+                headroom *= 2
+                overflowed = True
+                break
+        if not overflowed:
+            state = eng.unbind(rst, n)
+            break
+
+    t_fin = float(state.ttot)
+    rho = compute_rho(eng, state, box, grid, cfg)
+    alive = np.asarray(state.p.alive)
+    h_max = float(np.max(np.asarray(state.p.h)[alive]))
+    centers, rho_sim, counts = radial_profile(
+        state.p.x, state.p.y, state.p.z, jnp.asarray(rho), nbins=64,
+        rmax=0.45)
+    rho_ana, _, _ = noh_profile(centers, t_fin, cfg.gamma)
+    rs = 0.5 * (cfg.gamma - 1.0) * t_fin
+    infall = (counts > 10) & (centers > rs + 2 * h_max)
+    err_infall = float(l1_error(rho_sim[infall], rho_ana[infall]))
+    plateau = (counts > 10) & (centers < max(rs - 2 * h_max, 0.0))
+    err_plateau = (float(l1_error(rho_sim[plateau], rho_ana[plateau]))
+                   if plateau.sum() >= 3 else None)
+
+    out = {
+        "side": side, "n": n, "t_end": t_fin, "steps": steps_done,
+        "l1_rho_infall": err_infall, "l1_rho_plateau": err_plateau,
+        "shock_radius": rs, "nbins": 64,
+        "platform": jax.devices()[0].platform,
+        "wall_s": time.perf_counter() - t0,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", f"NOH_L1_{side}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    # production-scale gate: tighter than the 20^3 test tolerance (0.15)
+    assert err_infall < 0.08, f"infall L1 {err_infall} at side {side}"
+    if err_plateau is not None:
+        assert err_plateau < 0.35, f"plateau L1 {err_plateau}"
+
+
+if __name__ == "__main__":
+    main()

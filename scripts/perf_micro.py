@@ -14,7 +14,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+import os
 import jax
+
+# CPU-forcing for verification runs (JAX_PLATFORMS is ignored once the
+# axon TPU plugin registers; the config override is authoritative)
+_plat = os.environ.get("SPHEXA_PLATFORM")
+if _plat:
+    os.environ.pop("JAX_PLATFORMS", None)
+    jax.config.update("jax_platforms", _plat)
 import jax.numpy as jnp
 
 

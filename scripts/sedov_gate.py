@@ -20,6 +20,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# CPU-forcing for verification runs (JAX_PLATFORMS is ignored once the
+# axon TPU plugin registers; the config override is authoritative)
+_plat = os.environ.get("SPHEXA_PLATFORM")
+if _plat:
+    os.environ.pop("JAX_PLATFORMS", None)
+    jax.config.update("jax_platforms", _plat)
 import jax.numpy as jnp
 import numpy as np
 
@@ -150,7 +157,8 @@ def main():
             break
         print(f"# engine: cap={cap} grid={grid} t={float(state.ttot):.5f}",
               flush=True)
-        eng = ResidentVE(box, grid, cfg)
+        interp = jax.devices()[0].platform != "tpu"
+        eng = ResidentVE(box, grid, cfg, interpret=interp)
         rst = eng.bind(state)
         overflowed = False
         while float(rst.ttot) < t_end:

@@ -21,7 +21,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+import os
 import jax
+
+# CPU-forcing for verification runs (JAX_PLATFORMS is ignored once the
+# axon TPU plugin registers; the config override is authoritative)
+_plat = os.environ.get("SPHEXA_PLATFORM")
+if _plat:
+    os.environ.pop("JAX_PLATFORMS", None)
+    jax.config.update("jax_platforms", _plat)
 
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.init.evrard import init_evrard

@@ -12,7 +12,7 @@ fi
 echo "=== tpu_queue2 start $(date -u) ===" >> "$LOG"
 
 probe() {
-    timeout 90 python - <<'EOF' >/dev/null 2>&1
+    timeout 300 python - <<'EOF' >/dev/null 2>&1
 import jax
 assert jax.devices()[0].platform == "tpu"
 import jax.numpy as jnp

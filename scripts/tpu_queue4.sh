@@ -15,7 +15,7 @@ echo $$ > /tmp/tpu_queue.pid
 echo "=== tpu_queue4 start $(date -u) rev=$(git rev-parse --short HEAD) ===" >> "$LOG"
 
 probe() {
-    timeout 90 python - <<'EOF' >/dev/null 2>&1
+    timeout 300 python - <<'EOF' >/dev/null 2>&1
 import jax
 assert jax.devices()[0].platform == "tpu"
 import jax.numpy as jnp
