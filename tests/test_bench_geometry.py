@@ -85,3 +85,34 @@ def test_bench_case_constructs(case, side):
     cap, grid = choose_cap_and_grid(box, h_max * 1.2, side ** 3, xs, ys, zs)
     assert max_cell_count(grid, box, xs, ys, zs) <= cap
     make_cell_pair_call(grid, 5, 1, lambda c, r: None)
+
+
+def test_legal_zgroup_lane_budget():
+    """Z*CAP is budgeted to 1024 lanes (the proven cap-128 x Z-8
+    working set): the unbudgeted Z=8 pick at cap 320/384 built
+    103-122 MiB scoped-VMEM stacks on the v5e (tpu_queue.log
+    2026-08-19)."""
+    assert legal_zgroup(16, 128) == 8      # 1024 exactly: the envelope
+    assert legal_zgroup(16, 256) == 4      # budget halves Z
+    assert legal_zgroup(16, 384) == 2      # 768 lanes
+    assert legal_zgroup(16, 640) == 1      # cap alone under budget
+    # cap itself over budget: smallest legal Z rather than refusal
+    assert legal_zgroup(16, 1280) == 1
+
+
+def test_cap_scan_rejects_half_vreg_centers():
+    """Center slices must be 128-lane aligned: cap 192/320 (1.5 / 2.5
+    vregs) blew Mosaic stacks at 114 / 103 MiB; the scan must step
+    over them to the next k*128 cap (DESIGN.md 'Aligned-cap rule')."""
+    import numpy as np
+
+    from sphexa_tpu.sfc.box import Box
+
+    box = Box(0, 1, 0, 1, 0, 1)
+    rng = np.random.RandomState(0)
+    n = 4096
+    x, y, z = rng.rand(3, n).astype(np.float32)
+    # force a tiny grid so the realized count lands between 129-192:
+    # h_eff ~ 0.25 -> n_corr ~ 2 (8 cells, ~512/cell) ... scan caps
+    cap, grid = choose_cap_and_grid(box, 0.22, n, x, y, z)
+    assert cap == 64 or cap % 128 == 0, (cap, grid)
