@@ -357,13 +357,32 @@ def _m2l_conv_kernels(cell_size: float, min_sep: int = 2):
     at the interaction-list offsets. Levels reuse one cached unit-scale
     tensor: D_k is homogeneous of degree -(k+1), so the entry coupling
     an order-j source channel to an order-l local channel scales as
-    cell_size^-(j + l + 1)."""
+    cell_size^-(j + l + 1).
+
+    Returns UNCOMMITTED device arrays from a process-level cache: the
+    eight parity kernels are ~17 MB per level, and returning fresh
+    numpy each call would embed that as per-program constants — every
+    jitted program tracing the FMM (scan k=1 AND k=8 in the bench,
+    forces-only passes, ...) would hoist its own copy. One shared
+    jax.Array per (cell_size, min_sep) keeps a single HBM copy that
+    all programs reference as a hoisted parameter. Uncommitted (plain
+    jnp.asarray, no device_put) so the sharded paths can close over
+    them inside shard_map without a device-pinning conflict."""
+    key = (float(cell_size), int(min_sep))
+    hit = _M2L_DEVICE_CACHE.get(key)
+    if hit is not None:
+        return hit
     full, masks = _unit_kernel_stack(min_sep)
     expo = _CH_ORDER[:, None] + _CH_ORDER[None, :] + 1
     scaled = full * (float(cell_size) ** (-expo.astype(np.float64))
                      )[:, :, None, None, None]
-    return {p: (scaled * m[None, None]).astype(np.float32)
-            for p, m in masks.items()}
+    out = {p: jnp.asarray((scaled * m[None, None]).astype(np.float32))
+           for p, m in masks.items()}
+    _M2L_DEVICE_CACHE[key] = out
+    return out
+
+
+_M2L_DEVICE_CACHE: dict = {}
 
 
 # --------------------------------------------------------------------------
