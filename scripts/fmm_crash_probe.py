@@ -1,0 +1,68 @@
+"""Minimal TPU repro/validation for the two-big-constant-programs
+failure (DESIGN.md 'Known test-backend pitfall'; reproduced on the v5e
+by the tiered isolation ladder 2026-08-19: the 2nd call of the 2nd
+program tracing the conv-FMM dies with INVALID_ARGUMENT / a worker
+crash).
+
+Drives the EXACT failing shape without the tiered machinery: two
+jitted programs that both trace fmm_gravity (17 MB/level M2L conv
+constants), each called 4 times. With the shared device-array kernel
+cache (_M2L_DEVICE_CACHE) both should survive; the pre-fix behavior
+died at program 2, call 2.
+
+Usage: python scripts/fmm_crash_probe.py [side=24]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+_plat = os.environ.get("SPHEXA_PLATFORM")
+if _plat:
+    os.environ.pop("JAX_PLATFORMS", None)
+    jax.config.update("jax_platforms", _plat)
+
+import jax.numpy as jnp
+import numpy as np
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.gravity.fmm import FmmConfig, fmm_gravity
+from sphexa_tpu.init.evrard import init_evrard
+
+
+def main():
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    cfg = SphConfig()
+    state, box, cfg = init_evrard(side, cfg, dt0=3e-5)
+    p = state.p
+    fc = FmmConfig(level=4, min_sep=3)
+    t0 = time.perf_counter()
+
+    def make(shift):
+        """Distinct programs: a position shift changes the traced
+        graph's constants arrangement enough to force a second
+        executable (and a second round of constant hoisting)."""
+        @jax.jit
+        def f(x, y, z, m, alive):
+            g = fmm_gravity(x + shift, y, z, m, alive, box, 1.0, fc,
+                            eps=0.05)
+            return g.ax.sum() + g.ay.sum() + g.az.sum()
+        return f
+
+    progs = [make(0.0), make(1e-7)]
+    for pi, f in enumerate(progs):
+        for call in range(4):
+            v = float(f(p.x, p.y, p.z, p.m, p.alive))
+            print(f"# prog {pi} call {call}: {v:.6e} "
+                  f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+            assert np.isfinite(v)
+    print("fmm_crash_probe: PASS — both programs survived 4 calls",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -376,8 +376,13 @@ def _m2l_conv_kernels(cell_size: float, min_sep: int = 2):
     expo = _CH_ORDER[:, None] + _CH_ORDER[None, :] + 1
     scaled = full * (float(cell_size) ** (-expo.astype(np.float64))
                      )[:, :, None, None, None]
-    out = {p: jnp.asarray((scaled * m[None, None]).astype(np.float32))
-           for p, m in masks.items()}
+    # ensure_compile_time_eval: this usually runs INSIDE a jit trace,
+    # where a bare jnp.asarray stages the constant as a tracer — caching
+    # that leaks it into every later program (UnexpectedTracerError on
+    # the second). Force concrete device arrays.
+    with jax.ensure_compile_time_eval():
+        out = {p: jnp.asarray((scaled * m[None, None]).astype(np.float32))
+               for p, m in masks.items()}
     _M2L_DEVICE_CACHE[key] = out
     return out
 
