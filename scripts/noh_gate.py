@@ -49,9 +49,9 @@ def main():
     t0 = time.perf_counter()
     steps_done = 0
     # central compression deepens the cap like Sedov's shell; the
-    # uniform engine rides aligned caps to 512 (DESIGN.md 'Tier
+    # uniform engine rides aligned caps to 384 (DESIGN.md 'Tier
     # occupancy algebra' — equilibrated fields tier badly)
-    CAP_STRUCT = 512
+    CAP_STRUCT = 384
 
     eng = grid = None
     while float(state.ttot) < t_end:

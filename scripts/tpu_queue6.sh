@@ -48,7 +48,7 @@ run_job "BDT evolved-40 bench (vmem 116)" 10800 env \
     SPHEXA_BENCH_EVOLVE=40 python bench.py
 
 # 2. Sedov 100^3 L1 gate with the same allowance (uniform engine to
-#    cap 512 per CAP_STRUCT; deep caps need the raised limit)
+#    cap 384 per CAP_STRUCT; deep caps need the raised limit)
 run_job "sedov L1 gate 100^3 (vmem 116)" 21600 env \
     SPHEXA_VMEM_LIMIT_MB=116 python scripts/sedov_gate.py 100 0.02
 

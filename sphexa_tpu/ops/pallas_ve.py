@@ -68,14 +68,18 @@ FILL_POS = 1e8    # invalid-slot position fill: d2 overflows the support
 _NEG = -1e30
 
 # Mosaic's default scoped-VMEM (kernel stack) limit is 16 MiB; the
-# cap>=96 supercell kernels and the small-grid column kernels need
-# 20-31 MiB of stack (measured OOMs on v5e, artifacts/tpu_queue.log
-# 2026-08-19). The v5e/v5p have 128 MiB of VMEM, so raise the limit —
-# the block working set of these kernels is small (<8 MiB), leaving
-# ample room for double-buffered DMA.
+# measured stack of the five pair kernels is ~0.31 MiB * CAP
+# (independent of Z: 128->~40, 320->103, 384->108.7 MiB, queue logs
+# 2026-08-19), so deep aligned caps need most of the v5e's 128 MiB.
+# The limit is an ALLOWANCE, not a reservation — Mosaic still checks
+# the true total (stack + double-buffered blocks) against the chip's
+# capacity at compile time ('Used 149.06M of 128.00M' failures), so a
+# high allowance only admits kernels that genuinely fit. 116 MiB
+# admits cap 384 (108.7 + ~4 blocks) while cap 512 fails cleanly at
+# compile instead of at a lower artificial bar.
 import os as _os
 
-VMEM_LIMIT_BYTES = int(_os.environ.get("SPHEXA_VMEM_LIMIT_MB", "64")) << 20
+VMEM_LIMIT_BYTES = int(_os.environ.get("SPHEXA_VMEM_LIMIT_MB", "116")) << 20
 
 
 def _compiler_params():
