@@ -71,15 +71,17 @@ _NEG = -1e30
 # measured stack of the five pair kernels is ~0.31 MiB * CAP
 # (independent of Z: 128->~40, 320->103, 384->108.7 MiB, queue logs
 # 2026-08-19), so deep aligned caps need most of the v5e's 128 MiB.
-# The limit is an ALLOWANCE, not a reservation — Mosaic still checks
-# the true total (stack + double-buffered blocks) against the chip's
-# capacity at compile time ('Used 149.06M of 128.00M' failures), so a
-# high allowance only admits kernels that genuinely fit. 116 MiB
-# admits cap 384 (108.7 + ~4 blocks) while cap 512 fails cleanly at
-# compile instead of at a lower artificial bar.
+# The limit is an ALLOWANCE Mosaic may also SPEND (scheduling/pipeline
+# choices) — a fresh cap-128 binary compiled at a 116 MiB allowance
+# crashed the worker on a config that runs fine when compiled at 64
+# (queue4 sedov gate 17:57 vs 15:22, 2026-08-19), so the default stays
+# at the proven 64 MiB envelope. Deep-cap experiments (cap 384 needs
+# its measured 108.7 MiB stack admitted) raise it explicitly via
+# SPHEXA_VMEM_LIMIT_MB; Mosaic still checks the true total against the
+# chip's 128 MiB at compile time either way.
 import os as _os
 
-VMEM_LIMIT_BYTES = int(_os.environ.get("SPHEXA_VMEM_LIMIT_MB", "116")) << 20
+VMEM_LIMIT_BYTES = int(_os.environ.get("SPHEXA_VMEM_LIMIT_MB", "64")) << 20
 
 
 def _compiler_params():
