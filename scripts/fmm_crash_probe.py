@@ -53,6 +53,34 @@ def main():
             return g.ax.sum() + g.ay.sum() + g.az.sum()
         return f
 
+    # stage A: conv-only (two programs running just the far-field M2L
+    # conv stack on synthetic moments — no P2P, no binning, no Pallas).
+    # If THIS crashes, the 11^3 conv_general_dilated itself is the
+    # trigger; if it survives and stage B dies, the trigger is in
+    # P2P/binning or program composition.
+    from sphexa_tpu.gravity.fmm import _far_field
+    from sphexa_tpu.sfc.box import Box as _Box
+
+    s = 1 << fc.level
+    rng = np.random.RandomState(0)
+    mom0 = jnp.asarray(rng.randn(20, s, s, s).astype(np.float32))
+
+    def make_conv(scale):
+        @jax.jit
+        def f(mom):
+            loc = _far_field(mom * scale, box, fc)
+            return sum(jnp.sum(v) for v in jax.tree.leaves(loc))
+        return f
+
+    for pi, f in enumerate([make_conv(1.0), make_conv(1.0 + 1e-7)]):
+        for call in range(4):
+            v = float(f(mom0))
+            print(f"# conv prog {pi} call {call}: {v:.6e} "
+                  f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+            assert np.isfinite(v)
+    print("# stage A (conv-only) PASS", flush=True)
+
+    # stage B: the full solver, two programs x 4 calls
     progs = [make(0.0), make(1e-7)]
     for pi, f in enumerate(progs):
         for call in range(4):

@@ -74,19 +74,26 @@ def main():
                                               alive=alive))
     emit("cm_layout_build", timeit(bl, x, y, z))
 
-    # --- fixed-k neighbor list (performance/neighbor_driver.cu analog) ---
+    # --- fixed-k neighbor list (performance/neighbor_driver.cu analog).
+    #     Run at a gather-feasible size: the [N, 27*cell_cap] candidate
+    #     pad at n=262k/cap=1024 is 29 GB (device OOM, queue4
+    #     2026-08-19); 64k particles on a level-5 grid pads ~0.9 GB. ---
     from sphexa_tpu.config import SphConfig
     from sphexa_tpu.neighbors import (CellGrid, build_cell_list,
                                       build_neighbor_list)
-    cfg = SphConfig(chunk=512, cell_cap=1024, ngpad=128)
-    h = jnp.full((n,), 0.02, jnp.float32)
-    cg = CellGrid(level=4)
+    n_nl = min(n, 65536)
+    xs, ys, zs = x[:n_nl], y[:n_nl], z[:n_nl]
+    alive_nl = jnp.ones((n_nl,), bool)
+    cfg = SphConfig(chunk=512, cell_cap=128, ngpad=128)
+    h = jnp.full((n_nl,), 0.02, jnp.float32)
+    cg = CellGrid(level=5)
 
     def nl(a, b, c, hh):
-        cl = build_cell_list(cg, box, a, b, c, alive=alive)
+        cl = build_cell_list(cg, box, a, b, c, alive=alive_nl)
         return build_neighbor_list(cg, box, cl, a, b, c, hh, cfg,
-                                   adapt_h=False, alive=alive).nc
-    emit("neighbor_list", timeit(jax.jit(nl), x, y, z, h))
+                                   adapt_h=False, alive=alive_nl).nc
+    emit("neighbor_list", timeit(jax.jit(nl), xs, ys, zs, h),
+         items=n_nl)
 
     # --- full FMM solve: P2M + M2M + conv-M2L + L2L + near field
     #     (ryoanji traversal timing analog) ---
