@@ -32,6 +32,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.init.sedov import init_sedov
@@ -354,8 +355,22 @@ def main():
             leaf = lambda s: s.p.x
 
         scans = {}
+        split = os.environ.get("SPHEXA_SPLIT_GRAVITY") == "1"
 
         def run(st, k):
+            if split and not resident:
+                # split-gravity steps are python composites of two
+                # programs — scanning would inline them back into ONE
+                # combined executable (the crashing shape). Dispatch is
+                # async, so the python loop still pipelines; the single
+                # trailing readback keeps the timing contract.
+                ds = []
+                for _ in range(k):
+                    st, d = step1(st)
+                    ds.append(d)
+                _ = float(leaf(st)[0])
+                diags = jax.tree.map(lambda *xs: jnp.stack(xs), *ds)
+                return st, diags
             if k not in scans:
                 def body(s, _):
                     s2, d = step1(s)

@@ -88,8 +88,45 @@ def main():
             print(f"# prog {pi} call {call}: {v:.6e} "
                   f"[{time.perf_counter() - t0:.0f}s]", flush=True)
             assert np.isfinite(v)
-    print("fmm_crash_probe: PASS — both programs survived 4 calls",
-          flush=True)
+    print("# stage B (fmm solver alone) PASS", flush=True)
+
+    # stage C: ONE Pallas pair kernel + the FMM in a single program —
+    # the exact composition that dies on the v5e at its SECOND call
+    # (tiered+FMM rung 2; evrard benches) while stages A/B and the
+    # tiered engine alone all pass.
+    from sphexa_tpu.ops.cellmajor import build_layout, choose_cap_and_grid, to_cm
+    from sphexa_tpu.ops.pallas_ve import PallasVE
+
+    alive_np = np.asarray(p.alive)
+    cap, grid = choose_cap_and_grid(
+        box, float(np.asarray(p.h)[alive_np].max()) * 1.25,
+        int(alive_np.sum()), np.asarray(p.x)[alive_np],
+        np.asarray(p.y)[alive_np], np.asarray(p.z)[alive_np])
+    print(f"# stage C grid: cap={cap} {grid}", flush=True)
+    interp = jax.devices()[0].platform != "tpu"
+    pve = PallasVE(grid, cfg, interpret=interp)
+
+    def make_combined(shift):
+        @jax.jit
+        def f(x, y, z, m, alive):
+            layout = build_layout(grid, box, x + shift, y, z, alive=alive)
+            base = pve.base_rows(layout, x + shift, y, z, p.h)
+            xm, h_new, nc, _ = pve.xmass_h(base, to_cm(layout, m))
+            g = fmm_gravity(x + shift, y, z, m, alive, box, 1.0, fc,
+                            eps=0.05)
+            # mask invalid slots: xmass over FILL_POS ghost fills is
+            # garbage by design (the engines mask it the same way)
+            return (jnp.sum(jnp.where(layout.valid, xm, 0.0))
+                    + g.ax.sum() + g.ay.sum())
+        return f
+
+    for pi, f in enumerate([make_combined(0.0), make_combined(1e-7)]):
+        for call in range(4):
+            v = float(f(p.x, p.y, p.z, p.m, p.alive))
+            print(f"# combined prog {pi} call {call}: {v:.6e} "
+                  f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+            assert np.isfinite(v)
+    print("fmm_crash_probe: PASS — all stages survived", flush=True)
 
 
 if __name__ == "__main__":

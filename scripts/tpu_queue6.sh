@@ -41,7 +41,11 @@ run_job() {
     echo "--- q6 job done: $name rc=$? ($(date -u +%H:%M)) ---" >> "$LOG"
 }
 
-# 1. BDT evolved head-to-head with a 116 MB scoped allowance (cap 384
+# 1. the extended crash probe: stage C composes ONE Pallas kernel with
+#    the FMM in a single program (the exact dying shape)
+run_job "fmm+pallas combined probe" 7200 python scripts/fmm_crash_probe.py 24
+
+# 2. BDT evolved head-to-head with a 116 MB scoped allowance (cap 384
 #    kernels measured 108.7 MB; leaves ~19 MB for the block pipeline)
 run_job "BDT evolved-40 bench (vmem 116)" 10800 env \
     SPHEXA_VMEM_LIMIT_MB=116 SPHEXA_BENCH_PROP=ve-bdt \

@@ -351,40 +351,34 @@ def _unit_kernel_stack(min_sep: int = 2):
     return full, masks
 
 
-def _m2l_conv_kernels(cell_size: float, min_sep: int = 2):
-    """For each parity: a [NCH_L, NCH_M, S, S, S] conv kernel (fp32),
-    S = 4*min_sep - 1, whose (o, i, taps) entries are the M2L matrices
-    at the interaction-list offsets. Levels reuse one cached unit-scale
-    tensor: D_k is homogeneous of degree -(k+1), so the entry coupling
-    an order-j source channel to an order-l local channel scales as
-    cell_size^-(j + l + 1).
+def _unit_kernel_device(min_sep: int = 2):
+    """(unit_tensor, parity_masks) as shared device arrays from a
+    process-level cache: the UNIT-cell-size [NCH_L, NCH_M, S, S, S]
+    M2L tensor (S = 4*min_sep - 1, ~2 MB fp32) plus eight f32
+    [S, S, S] tap masks. Per-level kernels are derived in-graph
+    (K = unit * cs^-(order_j + order_l + 1) * mask — D_k homogeneity),
+    so a program tracing the FMM hoists ~2 MB of parameters instead of
+    ~17 MB per level: the big hoisted sets broke SECOND executions of
+    combined Pallas+FMM programs on the v5e (INVALID_ARGUMENT /
+    worker crash; queue4/5 logs 2026-08-19), while the FMM alone and
+    the pair kernels alone were fine.
 
-    Returns UNCOMMITTED device arrays from a process-level cache: the
-    eight parity kernels are ~17 MB per level, and returning fresh
-    numpy each call would embed that as per-program constants — every
-    jitted program tracing the FMM (scan k=1 AND k=8 in the bench,
-    forces-only passes, ...) would hoist its own copy. One shared
-    jax.Array per (cell_size, min_sep) keeps a single HBM copy that
-    all programs reference as a hoisted parameter. Uncommitted (plain
-    jnp.asarray, no device_put) so the sharded paths can close over
-    them inside shard_map without a device-pinning conflict."""
-    key = (float(cell_size), int(min_sep))
+    Uncommitted (plain jnp.asarray, no device_put) so shard_map paths
+    can close over them; built under ensure_compile_time_eval because
+    this usually runs inside a jit trace, where a bare jnp.asarray
+    stages the constant as a tracer — caching that leaks it into every
+    later program (UnexpectedTracerError on the second)."""
+    key = int(min_sep)
     hit = _M2L_DEVICE_CACHE.get(key)
     if hit is not None:
         return hit
     full, masks = _unit_kernel_stack(min_sep)
-    expo = _CH_ORDER[:, None] + _CH_ORDER[None, :] + 1
-    scaled = full * (float(cell_size) ** (-expo.astype(np.float64))
-                     )[:, :, None, None, None]
-    # ensure_compile_time_eval: this usually runs INSIDE a jit trace,
-    # where a bare jnp.asarray stages the constant as a tracer — caching
-    # that leaks it into every later program (UnexpectedTracerError on
-    # the second). Force concrete device arrays.
     with jax.ensure_compile_time_eval():
-        out = {p: jnp.asarray((scaled * m[None, None]).astype(np.float32))
-               for p, m in masks.items()}
-    _M2L_DEVICE_CACHE[key] = out
-    return out
+        unit = jnp.asarray(full.astype(np.float32))
+        pmasks = {p: jnp.asarray(m.astype(np.float32))
+                  for p, m in masks.items()}
+    _M2L_DEVICE_CACHE[key] = (unit, pmasks)
+    return unit, pmasks
 
 
 _M2L_DEVICE_CACHE: dict = {}
@@ -526,14 +520,28 @@ def _far_field(mom, box: Box, fc: FmmConfig):
         s = 1 << lvl
         cs = box.lx / s
         cm = center_moments(raw_levels[lvl], lvl)
-        kernels = _m2l_conv_kernels(cs, min_sep=fc.min_sep)
+        # Per-level kernels derived IN-GRAPH from one shared unit-scale
+        # tensor: D_k is homogeneous, so K_level = unit * cs^-(j+l+1),
+        # and parity only selects taps (a mask multiply). This keeps
+        # the program's hoisted constants at ONE ~2 MB tensor instead
+        # of eight 2 MB parity kernels per level (~17 MB/level): large
+        # hoisted-parameter sets broke second executions of combined
+        # Pallas+FMM programs on the v5e (INVALID_ARGUMENT, queue5
+        # 2026-08-19), and the shared form is also what the M2L math
+        # actually says.
+        unit, pmasks = _unit_kernel_device(fc.min_sep)
+        lvl_scale = jnp.asarray(
+            (float(cs) ** (-(_CH_ORDER[:, None] + _CH_ORDER[None, :] + 1)
+                           .astype(np.float64))).astype(np.float32))
+        Klvl = unit * lvl_scale[:, :, None, None, None]
         H = 2 * fc.min_sep - 1   # kernel half-width
 
         contrib = jnp.zeros((NCH_L, s, s, s), jnp.float32)
         src = cm[None]  # NCHW-style: [1, 20, s, s, s]
-        for (px, py, pz), K in kernels.items():
+        for (px, py, pz), pm in pmasks.items():
+            K = Klvl * pm[None, None]
             out = jax.lax.conv_general_dilated(
-                src, jnp.asarray(K),
+                src, K,
                 window_strides=(2, 2, 2),
                 padding=[(H - px, H - 1 + px), (H - py, H - 1 + py),
                          (H - pz, H - 1 + pz)],

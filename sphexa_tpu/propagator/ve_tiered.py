@@ -175,9 +175,14 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
                  & (y <= sub.ymax) & (z >= sub.zmin) & (z <= sub.zmax))
         frame = inbox & (h >= h_lo / theta)
         try:
+            # headroom=8: slots beyond the realized max count so a few
+            # steps of drift/compression between host re-tierings don't
+            # overflow (measured: fold=29 after 2 rung cycles on the
+            # periodic spiked cluster with zero headroom)
             cap, grid = choose_cap_and_grid(
                 sub, h_hi * grid_slack, int(frame.sum()),
-                x[frame], y[frame], z[frame], cap_min=32, cap_max=cap_max)
+                x[frame], y[frame], z[frame], cap_min=32, cap_max=cap_max,
+                headroom=8)
         except ValueError:
             return None
         return grid, sub
@@ -417,18 +422,73 @@ def _build_layouts(engines, box: Box, ps):
 
 
 def make_ve_step_pallas_tiered(box: Box, tiers, cfg: SphConfig,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               split_gravity: bool | None = None):
     """Particle-frame tiered VE step: same in/out contract as
     make_ve_step_pallas, but each h-tier runs on its own zoom grid.
     Rebuilds every tier layout each step; see
     make_ve_step_pallas_tiered_resident for the persistent-layout
-    variant (the incremental focus-tree analog)."""
+    variant (the incremental focus-tree analog).
+
+    split_gravity (default: the SPHEXA_SPLIT_GRAVITY env var): compute
+    the FMM in its OWN jitted program, python-composed with the SPH
+    program per step. Workaround for the v5e runtime failure where the
+    SECOND program combining Pallas custom calls with the conv-FMM in
+    one executable dies at its first executions (INVALID_ARGUMENT /
+    worker crash — queue4/5 logs 2026-08-19; N Pallas-only and N
+    FMM-only programs are both fine). Costs one extra dispatch per
+    step; the returned step is then a plain python callable (not
+    scannable)."""
+    import os as _os
     engines = _tier_engines(tiers, cfg, interpret)
+    if split_gravity is None:
+        split_gravity = (_os.environ.get("SPHEXA_SPLIT_GRAVITY") == "1"
+                         and cfg.gravG != 0.0)
+
+    if not split_gravity:
+        @jax.jit
+        def step(state):
+            layouts = _build_layouts(engines, box, state.p)
+            return _tiered_body(state, layouts, engines, box, cfg)
+
+        return step
+
+    from sphexa_tpu.propagator.common import finish_step
+    from sphexa_tpu.propagator.ve_pallas import _add_gravity
 
     @jax.jit
-    def step(state):
+    def sph_part(state):
         layouts = _build_layouts(engines, box, state.p)
-        return _tiered_body(state, layouts, engines, box, cfg)
+        return _tiered_forces(state.p, state.dt, layouts, engines, box,
+                              cfg)
+
+    @jax.jit
+    def grav_part(x, y, z, m, alive, ax, ay, az):
+        out = dict(ax=ax, ay=ay, az=az, du=jnp.zeros_like(ax),
+                   maxvsignal=jnp.zeros_like(ax))
+        out, egrav, nf = _add_gravity(out, x, y, z, m, alive, box, cfg)
+        return out["ax"], out["ay"], out["az"], egrav, nf
+
+    @jax.jit
+    def finish(state, fo, ax, ay, az, egrav, nf_trunc):
+        ps = state.p
+        ps2 = ps.replace(h=fo["h"], alpha=fo["alpha"])
+        max_nc = jnp.max(jnp.where(ps.alive, fo["nc_sph"] - 1.0, 0.0))
+        return finish_step(
+            state, ps2, ax, ay, az, fo["du"], fo["maxvsignal"],
+            fo["c"], fo["divv"], fo["nc_sph"], box, cfg,
+            max_nc=max_nc.astype(jnp.int32),
+            max_cell_count=fo["fold"].astype(jnp.int32),
+            egrav=egrav, nf_truncated=nf_trunc, rho=fo["rho"],
+            p=fo["p"])
+
+    def step(state):
+        fo = sph_part(state)
+        ps = state.p
+        ax, ay, az, egrav, nf = grav_part(ps.x, ps.y, ps.z, ps.m,
+                                          ps.alive, fo["ax"], fo["ay"],
+                                          fo["az"])
+        return finish(state, fo, ax, ay, az, egrav, nf)
 
     return step
 

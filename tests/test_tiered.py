@@ -236,7 +236,9 @@ def test_tiered_periodic_cluster():
     alive = np.asarray(p.alive)
     h_arr = np.asarray(p.h)
 
-    tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128)
+    from sphexa_tpu.propagator.ve_tiered import choose_tiers_auto
+    tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                              cap_max=128)
     assert len(tiers) >= 2, "corner cluster must force zoom tiers"
     assert any(s != 0.0 for s in tiers[0].shift), \
         "wrapped cluster needs a nonzero roll"
@@ -244,7 +246,6 @@ def test_tiered_periodic_cluster():
     # rolled frame; unrolled its bbox would span the whole box)
     fine = tiers[-1]
     assert fine.sub.lx < 0.8 * box.lx
-    assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
 
     step_x = make_ve_step(box, CellGrid(choose_level(box, h_arr.max()
                                                      * 1.25)), cfg)
@@ -329,3 +330,33 @@ def test_choose_tiers_auto_ladder():
         # realized slack so per-step h growth does not clamp-fold
         # (unless the ladder fell to its tight fallback)
         assert tier_support_bound(t) >= min(t.h_hi, h.max()) * 0.999
+
+
+def test_split_gravity_matches_fused():
+    """The split-gravity step (SPH and FMM in separate programs — the
+    v5e second-combined-program workaround) must match the fused step
+    exactly: same math, different program boundaries."""
+    import jax.numpy as jnp
+
+    from sphexa_tpu.propagator.ve_tiered import (choose_tiers_auto,
+                                                 make_ve_step_pallas_tiered)
+    state, box, cfg = _evrard(14)
+    cfg = cfg.replace(gravG=1.0, gravity_solver="fmm", fmm_level=3)
+    p = state.p
+    alive = np.asarray(p.alive)
+    tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                              cap_max=128)
+    fused = make_ve_step_pallas_tiered(box, tiers, cfg, interpret=True,
+                                       split_gravity=False)
+    split = make_ve_step_pallas_tiered(box, tiers, cfg, interpret=True,
+                                       split_gravity=True)
+    sf, ss = state, state
+    for _ in range(2):
+        sf, df = fused(sf)
+        ss, ds = split(ss)
+    assert int(df.max_cell_count) == 0 and int(ds.max_cell_count) == 0
+    np.testing.assert_allclose(np.asarray(ss.p.x), np.asarray(sf.p.x),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ss.p.vx), np.asarray(sf.p.vx),
+                               rtol=1e-6, atol=1e-8)
+    assert float(df.egrav) == pytest.approx(float(ds.egrav), rel=1e-6)

@@ -20,7 +20,7 @@ import pytest
 
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.init.evrard import init_evrard
-from sphexa_tpu.propagator.ve_tiered import audit_tiers, choose_tiers
+from sphexa_tpu.propagator.ve_tiered import choose_tiers_auto
 from sphexa_tpu.propagator.ve_tiered_bdt import TieredBdtVE
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,7 +40,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.init.evrard import init_evrard
-from sphexa_tpu.propagator.ve_tiered import (audit_tiers, choose_tiers,
+from sphexa_tpu.propagator.ve_tiered import (choose_tiers_auto,
                                              make_ve_step_pallas_tiered)
 
 side, nsteps, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
@@ -49,8 +49,8 @@ state, box, cfg = init_evrard(side, cfg, dt0=1e-4)
 cfg = cfg.replace(gravG=0.0)
 p = state.p
 alive = np.asarray(p.alive)
-tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128)
-assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
+tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                          cap_max=128)
 step = make_ve_step_pallas_tiered(box, tiers, cfg, interpret=True)
 for _ in range(nsteps):
     state, d = step(state)
@@ -74,10 +74,9 @@ def test_tiered_bdt_rung1_matches_plain():
     state, box, cfg = _evrard(side)
     p = state.p
     alive = np.asarray(p.alive)
-    tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                         cap_max=128)
-    assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
-
+    tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                              cap_max=128)
+    
     eng = TieredBdtVE(box, tiers, cfg, num_rungs=1, interpret=True)
     bst = eng.bind(state)
     for _ in range(nsteps):
@@ -150,15 +149,15 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, "tests")
 import numpy as np
 from test_tiered import _periodic_cluster
-from sphexa_tpu.propagator.ve_tiered import audit_tiers, choose_tiers
+from sphexa_tpu.propagator.ve_tiered import choose_tiers_auto
 from sphexa_tpu.propagator.ve_tiered_bdt import TieredBdtVE
 
 state, box, cfg = _periodic_cluster(20)
 p = state.p
 alive = np.asarray(p.alive)
-tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128)
+tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                          cap_max=128)
 assert len(tiers) >= 2
-assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
 
 eng = TieredBdtVE(box, tiers, cfg, num_rungs=3, interpret=True)
 bst = eng.bind(state)

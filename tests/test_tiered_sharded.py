@@ -12,7 +12,7 @@ from jax.sharding import Mesh
 from sphexa_tpu.config import SphConfig
 from sphexa_tpu.domain.hilbert import AXIS, HilbertConfig
 from sphexa_tpu.init.evrard import init_evrard
-from sphexa_tpu.propagator.ve_tiered import (audit_tiers, choose_tiers,
+from sphexa_tpu.propagator.ve_tiered import (choose_tiers_auto,
                                              make_ve_step_pallas_tiered)
 from sphexa_tpu.propagator.ve_tiered_sharded import (
     make_ve_step_tiered_hilbert)
@@ -31,10 +31,9 @@ def test_tiered_sharded_matches_single():
     p = state.p
     alive = np.asarray(p.alive)
 
-    tiers = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                         cap_max=128)
+    tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                              cap_max=128)
     assert len(tiers) >= 2
-    assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
 
     # single-chip reference (ungated engines)
     step1 = make_ve_step_pallas_tiered(box, tiers, cfg, interpret=True)
