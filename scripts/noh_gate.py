@@ -48,10 +48,12 @@ def main():
     headroom = 8
     t0 = time.perf_counter()
     steps_done = 0
-    # central compression deepens the cap like Sedov's shell; the
-    # uniform engine rides aligned caps to 384 (DESIGN.md 'Tier
-    # occupancy algebra' — equilibrated fields tier badly)
-    CAP_STRUCT = 384
+    # central compression deepens the cap like Sedov's shell; with
+    # i-row blocking (pallas_ve IB sub-blocks) the Mosaic stack is
+    # ~40 MiB at ANY cap, so the ceiling is pair-lane cost, not VMEM
+    # (DESIGN.md 'Tier occupancy algebra' — equilibrated fields tier
+    # badly)
+    CAP_STRUCT = int(os.environ.get("SPHEXA_CAP_STRUCT", "640"))
 
     eng = grid = None
     while float(state.ttot) < t_end:

@@ -137,11 +137,13 @@ def main():
     # EQUILIBRATED (nc ~ ng0 everywhere, contrast ~5x) — a tier cell
     # holds ~0.24*ng0*(SLACK*gs)^3*(theta*h_hi/h_lo)^3 particles, so
     # cap-128 tiers would need ~10 ultra-thin bands (10 engine
-    # compiles). The deep-cap uniform engine (aligned caps up to 384,
-    # Z*CAP lane budget) is the right tool here; tiers pay off on
-    # spatially-segregated contrast (Evrard). CAP_STRUCT is the
-    # compile-feasibility ceiling of the uniform kernels.
-    CAP_STRUCT = 384
+    # compiles). The deep-cap uniform engine is the right tool here;
+    # tiers pay off on spatially-segregated contrast (Evrard).
+    # CAP_STRUCT is the compile-feasibility ceiling of the uniform
+    # kernels: with i-row blocking (pallas_ve IB sub-blocks) the Mosaic
+    # stack is bounded at ~40 MiB for ANY cap, so the ceiling is set by
+    # streamed pair-lane cost, not VMEM.
+    CAP_STRUCT = int(os.environ.get("SPHEXA_CAP_STRUCT", "640"))
     tiers = None
 
     while float(state.ttot) < t_end:

@@ -83,6 +83,14 @@ import os as _os
 
 VMEM_LIMIT_BYTES = int(_os.environ.get("SPHEXA_VMEM_LIMIT_MB", "64")) << 20
 
+def _iblock():
+    """i-row block size for deep-cap kernels: bodies process the center
+    in IB-lane sub-blocks so the Mosaic kernel stack (~0.31 MiB/i-row)
+    is bounded at IB rows for any slot cap. 128 = one full vreg of
+    lanes (the proven cap-128 stack is ~40 MiB at the 64 MiB
+    allowance). Read per-build so tests can override."""
+    return int(_os.environ.get("SPHEXA_IBLOCK", "128"))
+
 
 def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
@@ -122,6 +130,7 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
                 f"always works)")
     Z = zgroup
     assert npz % Z == 0 and (Z * CAP) % 128 == 0, (Z, CAP)
+    IBLOCK = _iblock()
     nzb = npz // Z            # z-blocks per column
     BW = Z * CAP              # lane width of one block
 
@@ -189,6 +198,20 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
             # stay inside the padded column when nz is even.
             par4 = (CAP % 128 != 0 and (2 * CAP) % 128 == 0
                     and Z % 2 == 0 and grid.nz % 2 == 0)
+            # i-row blocking: the body's pair tiles are [i-rows, window]
+            # and the measured Mosaic kernel stack grows ~0.31 MiB per
+            # i-row (queue logs 2026-08-19) — full-cap bodies cap the
+            # engine at ~384 within the v5e's 128 MiB VMEM. Slicing the
+            # center into IB-lane sub-blocks bounds the live tile set at
+            # IB rows regardless of CAP; the j-windows are already
+            # VMEM-resident, so re-streaming them per sub-block costs
+            # VPU reads only, no extra HBM traffic. The MXU hybrid
+            # bodies stay exact: their _cell_means origin is algebraic
+            # (any origin works), it just becomes a per-block mean.
+            # IB = CAP for cap <= IBLOCK keeps the proven fast path
+            # byte-identical.
+            IB = CAP if CAP <= IBLOCK else IBLOCK
+            assert CAP % IB == 0, (CAP, IB)
             for j in range(Z):
                 if par4:
                     # global parity of cell j == parity of j (Z even)
@@ -198,16 +221,22 @@ def make_cell_pair_call(grid: CMGrid, fj: int, fo: int, body: Callable,
                 else:
                     lo = (Z + j - 1) * CAP
                     width = 3 * CAP
-                center = own[:, (Z + j) * CAP:(Z + j + 1) * CAP]
 
                 def get_run(g, lo=lo, width=width):
                     return runs[g][:, lo:lo + width]
 
-                if fi2:
-                    outs.append(body(center, get_run,
-                                     i2ref[:, j * CAP:(j + 1) * CAP]))
-                else:
-                    outs.append(body(center, get_run))
+                cell = []
+                for b in range(CAP // IB):
+                    off = (Z + j) * CAP + b * IB
+                    center = own[:, off:off + IB]
+                    if fi2:
+                        i0 = j * CAP + b * IB
+                        cell.append(body(center, get_run,
+                                         i2ref[:, i0:i0 + IB]))
+                    else:
+                        cell.append(body(center, get_run))
+                outs.append(cell[0] if len(cell) == 1
+                            else jnp.concatenate(cell, axis=1))
             oref[...] = jnp.concatenate(outs, axis=1)
 
         if gated:

@@ -130,7 +130,8 @@ def _subbox(box: Box, xs, ys, zs, margin: float) -> Box:
 
 def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
                  theta: float = 1.5, max_tiers: int = 4,
-                 n_candidates: int = 16, grid_slack: float = 1.1):
+                 n_candidates: int = 16, grid_slack: float = 1.1,
+                 top_headroom: float = 1.6, cap_max_top: int = 384):
     """Greedy top-down tier construction from the realized h
     distribution: the coarsest tier takes h_hi = h_max and stretches
     h_lo as deep as the cap budget allows; the remainder recurses on
@@ -147,7 +148,18 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
     step (measured: 3600 clamps at Evrard-50 step 1,
     artifacts/tpu_queue.log 2026-08-19). The nc->h controller moves h
     by at most (ng0/nc)^(1/10) per step, so 1.1 absorbs several steps
-    of growth between host re-tier boundaries."""
+    of growth between host re-tier boundaries.
+
+    top_headroom > 1 additionally oversizes the COARSEST tier's cells:
+    the top band is open from above (no coarser tier to migrate into),
+    and vacuum-edge dynamics legitimately GROW h_max (Evrard's
+    rarefying envelope: 1680+ clamps/step once collapse starts,
+    tpu_queue7.log 2026-08-19) — without headroom every such growth
+    clamp-folds and forces a host re-tier that lifts the roof by only
+    ~grid_slack. The occupancy cost is cubic but confined to the
+    sparse coarse band; cap_max_top admits the deeper top-tier cap
+    (i-row-blocked kernels hold the Mosaic stack at ~IB rows for any
+    cap, pallas_ve.make_cell_pair_call)."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     z = np.asarray(z, np.float64)
@@ -164,13 +176,16 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
         x, y, z = (np.asarray(v) for v in tier_coords(
             box, shift, jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)))
 
-    def fit(h_hi: float, h_lo: float):
-        """(grid, sub) for tier [h_lo, h_hi) or None if cap > cap_max."""
+    def fit(h_hi: float, h_lo: float, top: bool = False):
+        """(grid, sub) for tier [h_lo, h_hi) or None if cap > cap_max.
+        The top tier sizes cells for h_hi * grid_slack * top_headroom
+        (open-from-above band, see docstring) with its own cap budget."""
+        h_eff = h_hi * grid_slack * (top_headroom if top else 1.0)
         sel = (h >= h_lo) & (h < h_hi)
         if not sel.any():
             return None
         sub = _subbox(box, x[sel], y[sel], z[sel],
-                      margin=2.0 * 2.0 * h_hi * grid_slack * SLACK)
+                      margin=2.0 * 2.0 * h_eff * SLACK)
         inbox = ((x >= sub.xmin) & (x <= sub.xmax) & (y >= sub.ymin)
                  & (y <= sub.ymax) & (z >= sub.zmin) & (z <= sub.zmax))
         frame = inbox & (h >= h_lo / theta)
@@ -180,8 +195,9 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
             # overflow (measured: fold=29 after 2 rung cycles on the
             # periodic spiked cluster with zero headroom)
             cap, grid = choose_cap_and_grid(
-                sub, h_hi * grid_slack, int(frame.sum()),
-                x[frame], y[frame], z[frame], cap_min=32, cap_max=cap_max,
+                sub, h_eff, int(frame.sum()),
+                x[frame], y[frame], z[frame], cap_min=32,
+                cap_max=(cap_max_top if top else cap_max),
                 headroom=8)
         except ValueError:
             return None
@@ -191,11 +207,19 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
     h_hi = h_max * 1.0001
     while len(tiers) < max_tiers:
         cands = np.geomspace(max(h_min * 0.999, 1e-12), h_hi, n_candidates)
+        top = not tiers
         best = None
-        for h_lo in cands:                      # prefer the deepest feasible
-            r = fit(h_hi, float(h_lo))
-            if r is not None:
-                best = (float(h_lo), r)
+        for use_top in ((True, False) if top else (False,)):
+            # graceful degradation: when the oversized top grid cannot
+            # fit its cap budget (small/dense problems), fall back to
+            # the headroom-free top tier rather than failing outright
+            for h_lo in cands:                  # prefer the deepest feasible
+                r = fit(h_hi, float(h_lo), top=use_top)
+                if r is not None:
+                    best = (float(h_lo), r)
+                    break
+            if best is not None:
+                top = use_top
                 break
         if best is None:
             raise ValueError(
@@ -210,7 +234,7 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
                 f"thin; raise cap_max or theta)")
         if h_lo <= h_min * 1.001 or len(tiers) == max_tiers - 1:
             h_lo = 0.0
-        if h_lo == 0.0 and (r := fit(h_hi, 0.0)) is None:
+        if h_lo == 0.0 and (r := fit(h_hi, 0.0, top=top)) is None:
             raise ValueError(
                 f"final tier [0, {h_hi:.4g}) exceeds cap {cap_max} "
                 f"(needs more than {max_tiers} tiers)")
@@ -249,18 +273,24 @@ def choose_tiers_auto(box: Box, x, y, z, h, alive=None,
     The ladder prefers growth headroom, then fringe width, and falls
     back to the tight combo (which re-tiers every few steps) last."""
     last = None
-    for gs, th in ((1.1, 1.5), (1.1, 1.35), (1.075, 1.35), (1.05, 1.3),
-                   (1.05, 1.2), (1.025, 1.2), (1.0, 1.5), (1.0, 1.3)):
+    rungs = [(gs, th, 1.6) for gs, th in
+             ((1.1, 1.5), (1.1, 1.35), (1.075, 1.35), (1.05, 1.3),
+              (1.05, 1.2), (1.025, 1.2), (1.0, 1.5), (1.0, 1.3))]
+    # tight fallback: no top-band growth headroom (re-tiers on every
+    # h_max advance, but feasible where the oversized top grid is not)
+    rungs += [(gs, th, 1.0) for gs, th, _hr in rungs]
+    for gs, th, hr in rungs:
         try:
             tiers = choose_tiers(box, x, y, z, h, alive=alive,
                                  cap_max=cap_max, theta=th,
-                                 max_tiers=max_tiers, grid_slack=gs)
+                                 max_tiers=max_tiers, grid_slack=gs,
+                                 top_headroom=hr)
         except ValueError as e:
             last = e
             continue
         if audit_tiers(tiers, box, x, y, z, h, alive=alive) == 0:
             if verbose:
-                print(f"# tiers: slack={gs} theta={th} "
+                print(f"# tiers: slack={gs} theta={th} top_headroom={hr} "
                       f"{[(t.grid.n, t.grid.cap) for t in tiers]}")
             return tiers
         last = ValueError(f"band audit violations at slack={gs} "

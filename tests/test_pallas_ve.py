@@ -178,3 +178,40 @@ def test_pallas_evrard_clustered_density():
     np.testing.assert_allclose(float(dp.dt), float(dx.dt), rtol=1e-5)
     np.testing.assert_allclose(float(dp.eint), float(dx.eint), rtol=1e-5)
     np.testing.assert_allclose(float(dp.egrav), float(dx.egrav), rtol=1e-4)
+
+
+@pytest.mark.medium
+def test_iblock_deep_cap_matches_unblocked(monkeypatch):
+    """i-row blocking (the deep-cap VMEM-stack fix: bodies process the
+    center in IB-lane sub-blocks, bounding the Mosaic kernel stack at
+    ~0.31 MiB * IB instead of * CAP) must not change the physics: a
+    cap-256 step blocked at IB=64 matches the unblocked body. Direct
+    bodies are bitwise-identical (per-i-row accumulation order is
+    unchanged); only the MXU hybrid bodies shift by ulps (per-block
+    expansion origin)."""
+    cfg = SphConfig(chunk=512, cell_cap=256, ngpad=256)
+    state, box, cfg = init_sedov(10, cfg, dt0=2e-4)
+    h0 = float(state.p.h[0])
+    grid = choose_cm_grid(box, h0 * 1.3, 10 ** 3, cap=256)
+    assert grid.cap == 256
+
+    monkeypatch.setenv("SPHEXA_IBLOCK", "1024")   # unblocked reference
+    step_u = make_ve_step_pallas(box, grid, cfg, interpret=True)
+    monkeypatch.setenv("SPHEXA_IBLOCK", "64")     # 4 sub-blocks per cell
+    step_b = make_ve_step_pallas(box, grid, cfg, interpret=True)
+
+    su, sb = state, state
+    for _ in range(2):
+        su, du = step_u(su)
+        sb, db = step_b(sb)
+    assert int(db.max_cell_count) == 0
+    np.testing.assert_allclose(float(db.dt), float(du.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(db.eint), float(du.eint), rtol=1e-7)
+    np.testing.assert_allclose(float(db.ecin), float(du.ecin), rtol=1e-5,
+                               atol=1e-14)
+    np.testing.assert_allclose(np.asarray(sb.p.x), np.asarray(su.p.x),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sb.p.vx), np.asarray(su.p.vx),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sb.p.h), np.asarray(su.p.h),
+                               rtol=1e-6)

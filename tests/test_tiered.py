@@ -324,8 +324,11 @@ def test_choose_tiers_auto_ladder():
                               cap_max=128)
     assert audit_tiers(tiers, box, p.x, p.y, p.z, p.h, alive=alive) == 0
     h = np.asarray(p.h)[alive]
-    for t in tiers:
-        assert t.grid.cap <= 128
+    for i, t in enumerate(tiers):
+        # the TOP tier may spend a deeper cap (cap_max_top) on h-growth
+        # headroom — its band is open from above (vacuum-edge h growth,
+        # tpu_queue7.log 2026-08-19); lower tiers stay within cap_max
+        assert t.grid.cap <= (384 if i == 0 else 128)
         # headroom: the support bound must exceed the band top by the
         # realized slack so per-step h growth does not clamp-fold
         # (unless the ladder fell to its tight fallback)
