@@ -341,7 +341,12 @@ def main():
 
         resident = os.environ.get("SPHEXA_BENCH_TIERED",
                                   "resident") != "rebuild"
-        split = os.environ.get("SPHEXA_SPLIT_GRAVITY") == "1"
+        # split gravity defaults ON for TPU runs: the fused Pallas+FMM
+        # program crashes the v5e worker at Evrard-50 scale
+        # (queue5/queue7 logs 2026-08-19) while N split programs are
+        # stable; SPHEXA_SPLIT_GRAVITY=0 forces the fused form.
+        split = os.environ.get("SPHEXA_SPLIT_GRAVITY",
+                               "1" if on_tpu else "0") == "1"
 
         def fold_parts_of(tiers, s):
             engs = _tier_engines(tiers, cfg, False)
@@ -365,13 +370,15 @@ def main():
                   file=_sys.stderr)
             if resident:
                 bind, step1 = make_ve_step_pallas_tiered_resident(
-                    box, tiers, cfg, interpret=not on_tpu)
+                    box, tiers, cfg, interpret=not on_tpu,
+                    split_gravity=split)
                 st = bind(state)
                 leaf = lambda s: s.state.p.x
                 pstate = lambda s: s.state
             else:
                 step1 = make_ve_step_pallas_tiered(box, tiers, cfg,
-                                                   interpret=not on_tpu)
+                                                   interpret=not on_tpu,
+                                                   split_gravity=split)
                 st = state
                 leaf = lambda s: s.p.x
                 pstate = lambda s: s
@@ -379,7 +386,7 @@ def main():
             scans = {}
 
             def run(st, k):
-                if split and not resident:
+                if split:
                     # split-gravity steps are python composites of two
                     # programs — scanning would inline them back into
                     # ONE combined executable (the crashing shape).

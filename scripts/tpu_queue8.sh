@@ -55,5 +55,15 @@ run_job "BDT evolved-40 bench (iblock)" 10800 env \
 # 4. noh gate (died at the cap-640 compile-ceiling assert)
 run_job "noh L1 gate 100^3 (iblock)" 14400 python scripts/noh_gate.py 100
 
+# 5-6. evrard tiered benches with the top-headroom ladder (cap-384 top
+#      tier, re-tier-on-fold): rebuild+split first (the combination
+#      that survived the combined-program crash in queue7), then the
+#      resident engine
+run_job "evrard-50 tiered rebuild bench (split, headroom)" 7200 env \
+    SPHEXA_BENCH_CASE=evrard SPHEXA_BENCH_SIDE=50 \
+    SPHEXA_BENCH_TIERED=rebuild SPHEXA_SPLIT_GRAVITY=1 python bench.py
+run_job "evrard-50 tiered resident bench (headroom)" 7200 env \
+    SPHEXA_BENCH_CASE=evrard SPHEXA_BENCH_SIDE=50 python bench.py
+
 echo "=== tpu_queue8 done $(date -u) ===" >> "$LOG"
 rm -f /tmp/tpu_queue.pid

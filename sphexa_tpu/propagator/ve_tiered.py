@@ -809,7 +809,8 @@ def _unstrip_layouts(engines, slim):
 
 
 def make_ve_step_pallas_tiered_resident(box: Box, tiers, cfg: SphConfig,
-                                        interpret: bool = False):
+                                        interpret: bool = False,
+                                        split_gravity: bool | None = None):
     """Persistent-layout tiered VE step. Layouts (the per-tier binning
     sorts — the expensive part of each step at steady state) are CARRIED
     between steps and rebuilt in-graph (lax.cond) only when stale:
@@ -825,14 +826,26 @@ def make_ve_step_pallas_tiered_resident(box: Box, tiers, cfg: SphConfig,
         body's fail-stop fold (max_cell_count), forcing the host-level
         re-tier exactly like a cap overflow.
 
+    split_gravity (default: the SPHEXA_SPLIT_GRAVITY env var): run the
+    conv-FMM in its own jitted program python-composed with the SPH
+    program — the v5e workaround for the fused Pallas+FMM program
+    crashing the TPU worker at scale (queue5/7 logs 2026-08-19; the
+    non-resident twin in make_ve_step_pallas_tiered). The step is then
+    a plain python callable (not scannable) and the carry is NOT
+    donated (three programs share it per step).
+
     Returns (bind, step): bind(state) -> TieredCarry,
     step(carry) -> (carry, diag); carry.state is the current SimState.
     """
+    import os as _os
     engines = _tier_engines(tiers, cfg, interpret)
     edges = [min(t.sub.lx / t.grid.nx, t.sub.ly / t.grid.n,
                  t.sub.lz / t.grid.nz) for t in tiers]
     per = box.periodic
     L = (box.lx, box.ly, box.lz)
+    if split_gravity is None:
+        split_gravity = (_os.environ.get("SPHEXA_SPLIT_GRAVITY") == "1"
+                         and cfg.gravG != 0.0)
 
     @jax.jit
     def bind(state):
@@ -842,11 +855,11 @@ def make_ve_step_pallas_tiered_resident(box: Box, tiers, cfg: SphConfig,
                            drift=jnp.float32(0.0),
                            rebuilds=jnp.int32(0))
 
-    def step(carry: TieredCarry):
-        state = carry.state
-        ps = state.p
+    def _fresh_slim(carry: TieredCarry):
+        """(slim, stale): in-graph rebuild of the carried layouts when
+        the drift margin is exhausted or an owned slot went missing."""
+        ps = carry.state.p
         sels = _tier_sels(engines, ps, ps.h)
-
         stale = jnp.bool_(False)
         for ti, (t, pve, intmask, h_bound) in enumerate(engines):
             h_max_t = jnp.max(jnp.where(sels[ti], ps.h, 0.0))
@@ -855,14 +868,15 @@ def make_ve_step_pallas_tiered_resident(box: Box, tiers, cfg: SphConfig,
             slot_of_t = carry.layouts[ti][2]
             stale = stale | jnp.any(
                 sels[ti] & (slot_of_t >= t.grid.n_slots))
-
         slim = jax.lax.cond(
             stale,
             lambda p: _strip_layouts(_build_layouts(engines, box, p)),
             lambda p: carry.layouts, ps)
-        layouts = _unstrip_layouts(engines, slim)
+        return slim, stale
 
-        new_state, diag = _tiered_body(state, layouts, engines, box, cfg)
+    def _next_carry(carry, new_state, slim, stale, diag):
+        """Drift bookkeeping shared by the fused and split steps."""
+        ps = carry.state.p
 
         # min-image step displacement (positions may fold at the box)
         def mindelta(a, b, axis):
@@ -878,10 +892,62 @@ def make_ve_step_pallas_tiered_resident(box: Box, tiers, cfg: SphConfig,
                            rebuilds=carry.rebuilds
                            + stale.astype(jnp.int32)), diag
 
-    # donate the carry: the resident frame is replaced wholesale each
-    # step, so donation halves peak HBM — and sidesteps an XLA CPU
-    # executable-reuse failure ("supplied N buffers but compiled
-    # program expected M") hit when a carried-pytree program
-    # interleaves with another jitted program (seen on the 8-device
-    # virtual CPU test backend, jax 0.9.0)
-    return bind, jax.jit(step, donate_argnums=0)
+    if not split_gravity:
+        def step(carry: TieredCarry):
+            slim, stale = _fresh_slim(carry)
+            layouts = _unstrip_layouts(engines, slim)
+            new_state, diag = _tiered_body(carry.state, layouts,
+                                           engines, box, cfg)
+            return _next_carry(carry, new_state, slim, stale, diag)
+
+        # donate the carry: the resident frame is replaced wholesale
+        # each step, so donation halves peak HBM — and sidesteps an XLA
+        # CPU executable-reuse failure ("supplied N buffers but
+        # compiled program expected M") hit when a carried-pytree
+        # program interleaves with another jitted program (seen on the
+        # 8-device virtual CPU test backend, jax 0.9.0)
+        return bind, jax.jit(step, donate_argnums=0)
+
+    from sphexa_tpu.propagator.common import finish_step
+    from sphexa_tpu.propagator.ve_pallas import _add_gravity
+
+    @jax.jit
+    def sph_part(carry: TieredCarry):
+        slim, stale = _fresh_slim(carry)
+        layouts = _unstrip_layouts(engines, slim)
+        state = carry.state
+        fo = _tiered_forces(state.p, state.dt, layouts, engines, box,
+                            cfg)
+        return fo, slim, stale
+
+    @jax.jit
+    def grav_part(x, y, z, m, alive, ax, ay, az):
+        out = dict(ax=ax, ay=ay, az=az, du=jnp.zeros_like(ax),
+                   maxvsignal=jnp.zeros_like(ax))
+        out, egrav, nf = _add_gravity(out, x, y, z, m, alive, box, cfg)
+        return out["ax"], out["ay"], out["az"], egrav, nf
+
+    @jax.jit
+    def finish(carry, fo, slim, stale, ax, ay, az, egrav, nf_trunc):
+        state = carry.state
+        ps = state.p
+        ps2 = ps.replace(h=fo["h"], alpha=fo["alpha"])
+        max_nc = jnp.max(jnp.where(ps.alive, fo["nc_sph"] - 1.0, 0.0))
+        new_state, diag = finish_step(
+            state, ps2, ax, ay, az, fo["du"], fo["maxvsignal"],
+            fo["c"], fo["divv"], fo["nc_sph"], box, cfg,
+            max_nc=max_nc.astype(jnp.int32),
+            max_cell_count=fo["fold"].astype(jnp.int32),
+            egrav=egrav, nf_truncated=nf_trunc, rho=fo["rho"],
+            p=fo["p"])
+        return _next_carry(carry, new_state, slim, stale, diag)
+
+    def step(carry: TieredCarry):
+        fo, slim, stale = sph_part(carry)
+        ps = carry.state.p
+        ax, ay, az, egrav, nf = grav_part(ps.x, ps.y, ps.z, ps.m,
+                                          ps.alive, fo["ax"], fo["ay"],
+                                          fo["az"])
+        return finish(carry, fo, slim, stale, ax, ay, az, egrav, nf)
+
+    return bind, step

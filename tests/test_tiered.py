@@ -363,3 +363,24 @@ def test_split_gravity_matches_fused():
     np.testing.assert_allclose(np.asarray(ss.p.vx), np.asarray(sf.p.vx),
                                rtol=1e-6, atol=1e-8)
     assert float(df.egrav) == pytest.approx(float(ds.egrav), rel=1e-6)
+
+    # the RESIDENT twin of the same workaround (three programs:
+    # SPH+rebuild-cond / FMM / finish) must also match
+    from sphexa_tpu.propagator.ve_tiered import (
+        make_ve_step_pallas_tiered_resident)
+    bind_f, step_rf = make_ve_step_pallas_tiered_resident(
+        box, tiers, cfg, interpret=True, split_gravity=False)
+    bind_s, step_rs = make_ve_step_pallas_tiered_resident(
+        box, tiers, cfg, interpret=True, split_gravity=True)
+    rf, rs = bind_f(state), bind_s(state)
+    for _ in range(2):
+        rf, drf = step_rf(rf)
+        rs, drs = step_rs(rs)
+    assert int(drf.max_cell_count) == 0 and int(drs.max_cell_count) == 0
+    np.testing.assert_allclose(np.asarray(rs.state.p.x),
+                               np.asarray(rf.state.p.x), rtol=0,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rs.state.p.vx),
+                               np.asarray(rf.state.p.vx), rtol=1e-6,
+                               atol=1e-8)
+    assert float(drf.egrav) == pytest.approx(float(drs.egrav), rel=1e-6)
