@@ -38,7 +38,9 @@ def main():
     from sphexa_tpu.observables.radial import l1_error, radial_profile
     from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
     from sphexa_tpu.propagator.ve_pallas import ResidentVE
-    from scripts.sedov_gate import compute_rho
+    from scripts.sedov_gate import (compute_rho, compute_rho_tiered,
+                                    compute_rho_xla, run_tiered_phase,
+                                    run_xla_phase)
 
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
@@ -48,12 +50,16 @@ def main():
     headroom = 8
     t0 = time.perf_counter()
     steps_done = 0
-    # central compression deepens the cap like Sedov's shell; with
-    # i-row blocking (pallas_ve IB sub-blocks) the Mosaic stack is
-    # ~40 MiB at ANY cap, so the ceiling is pair-lane cost, not VMEM
-    # (DESIGN.md 'Tier occupancy algebra' — equilibrated fields tier
-    # badly)
-    CAP_STRUCT = int(os.environ.get("SPHEXA_CAP_STRUCT", "640"))
+    # central compression deepens the cap like Sedov's shell. The
+    # remote v5e compile helper dies at caps >= 256 even with i-row
+    # blocking (tpu_queue8), so the structural ceiling is 128; past it
+    # the gate rides the adaptive tiered engine (same fallback as
+    # sedov_gate — Noh's h contrast is spatially segregated, which is
+    # the geometry tiers handle well, DESIGN.md 'Tier occupancy
+    # algebra').
+    CAP_STRUCT = int(os.environ.get("SPHEXA_CAP_STRUCT", "128"))
+    tiers = None
+    xla_mode = False
 
     eng = grid = None
     while float(state.ttot) < t_end:
@@ -63,7 +69,20 @@ def main():
             box, h_eff, n, np.asarray(state.p.x)[alive],
             np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
             headroom=headroom)
-        assert cap <= CAP_STRUCT, f"cap {cap} beyond compile ceiling"
+        if cap > CAP_STRUCT:
+            # Noh's contrast is spatially segregated (dense center,
+            # rarefied infall) — the tier geometry handles it well, so
+            # tiered is the default deep engine; the XLA gather path
+            # is the infeasibility fallback (SPHEXA_GATE_DEEP=xla to
+            # force it).
+            if os.environ.get("SPHEXA_GATE_DEEP", "tiered") == "tiered":
+                state, tiers, steps_done = run_tiered_phase(
+                    state, box, cfg, t_end, t0, steps_done)
+            if tiers is None and float(state.ttot) < t_end:
+                state, steps_done = run_xla_phase(
+                    state, box, cfg, t_end, t0, steps_done)
+                xla_mode = True
+            break
         print(f"# engine: cap={cap} grid={grid} t={float(state.ttot):.5f}",
               flush=True)
         interp = jax.devices()[0].platform != "tpu"
@@ -88,11 +107,18 @@ def main():
             break
 
     t_fin = float(state.ttot)
-    rho = compute_rho(eng, state, box, grid, cfg)
+    px, py, pz = state.p.x, state.p.y, state.p.z
+    if xla_mode:
+        ps, rho = compute_rho_xla(state, box, cfg)
+        px, py, pz = ps.x, ps.y, ps.z
+    elif tiers is not None:
+        rho = compute_rho_tiered(state, box, cfg, tiers)
+    else:
+        rho = compute_rho(eng, state, box, grid, cfg)
     alive = np.asarray(state.p.alive)
     h_max = float(np.max(np.asarray(state.p.h)[alive]))
     centers, rho_sim, counts = radial_profile(
-        state.p.x, state.p.y, state.p.z, jnp.asarray(rho), nbins=64,
+        px, py, pz, jnp.asarray(rho), nbins=64,
         rmax=0.45)
     rho_ana, _, _ = noh_profile(centers, t_fin, cfg.gamma)
     rs = 0.5 * (cfg.gamma - 1.0) * t_fin

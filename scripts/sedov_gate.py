@@ -51,20 +51,81 @@ def compute_rho(eng, state, box, grid, cfg):
     return np.asarray(kx_pf * ps.m / xm_pf)
 
 
+def run_xla_phase(state, box, cfg, t_end, t0, steps_done):
+    """Deep-contrast fallback: the XLA gather path (fixed-k neighbor
+    lists, propagator/ve.py). Compile-safe at ANY h contrast — no
+    Mosaic deep-cap kernels — and physics-identical to the Pallas
+    engines (golden 99-particle parity, tests/test_golden_ve.py).
+    Used where neither the uniform engine (cap > 128 fails the v5e
+    remote compile) nor a cap<=128 tier ladder fits (equilibrated
+    contrast needs ~10 thin bands, DESIGN.md 'Tier occupancy
+    algebra')."""
+    from sphexa_tpu.neighbors import CellGrid, choose_level
+    from sphexa_tpu.propagator.ve import make_ve_step
+
+    while float(state.ttot) < t_end:
+        alive = np.asarray(state.p.alive)
+        h_max = float(np.max(np.asarray(state.p.h)[alive]))
+        grid = CellGrid(choose_level(box, h_max * 1.25))
+        step = make_ve_step(box, grid, cfg)
+        print(f"# xla engine: level={grid.level} t={float(state.ttot):.5f}",
+              flush=True)
+        while float(state.ttot) < t_end:
+            for _ in range(10):
+                state, d = step(state)
+                steps_done += 1
+                if float(state.ttot) >= t_end:
+                    break
+            nc_max = int(d.max_nc)
+            print(f"#   t={float(state.ttot):.5f} dt={float(d.dt):.3e} "
+                  f"max_nc={nc_max} steps={steps_done} "
+                  f"wall={time.perf_counter() - t0:.0f}s", flush=True)
+            assert nc_max <= cfg.ngpad, (
+                f"neighbor-list truncation: max_nc {nc_max} > ngpad "
+                f"{cfg.ngpad}")
+            alive = np.asarray(state.p.alive)
+            h_now = float(np.max(np.asarray(state.p.h)[alive]))
+            if choose_level(box, h_now * 1.25) != grid.level:
+                break   # h outgrew the search grid: rebuild
+    return state, steps_done
+
+
+def compute_rho_xla(state, box, cfg):
+    """(sorted particles, VE density) from a forces-only gather pass on
+    the final state."""
+    from sphexa_tpu.neighbors import CellGrid, choose_level
+    from sphexa_tpu.propagator.ve import compute_forces_ve
+
+    alive = np.asarray(state.p.alive)
+    h_max = float(np.max(np.asarray(state.p.h)[alive]))
+    grid = CellGrid(choose_level(box, h_max * 1.25))
+    ps, _me, aux = jax.jit(
+        lambda p, dt: compute_forces_ve(p, box, grid, cfg, dt)
+    )(state.p, state.dt)
+    return ps, np.asarray(aux["rho"])
+
+
 def run_tiered_phase(state, box, cfg, t_end, t0, steps_done):
     """Advance to t_end on the adaptive h-tier engine, re-tiering from
     the last good state whenever the fold fail-stop trips (the
-    main-loop re-tier semantics, main.py)."""
+    main-loop re-tier semantics, main.py). Returns tiers=None (with
+    the state advanced as far as tiering got) when no feasible ladder
+    exists — the caller falls back to the XLA gather phase."""
     from sphexa_tpu.propagator.ve_tiered import (choose_tiers_auto,
                                                  make_ve_step_pallas_tiered)
 
     interp = jax.devices()[0].platform != "tpu"
     retier = 0
+    tiers = None
     while float(state.ttot) < t_end:
         p = state.p
         alive = np.asarray(p.alive)
-        tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
-                                  cap_max=128, verbose=True)
+        try:
+            tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                                      cap_max=128, verbose=True)
+        except ValueError as e:
+            print(f"# tiering infeasible ({e}); falling back", flush=True)
+            return state, None, steps_done
         print(f"# tiered engine: {[(t.grid.n, t.grid.cap) for t in tiers]} "
               f"t={float(state.ttot):.5f}", flush=True)
         step = make_ve_step_pallas_tiered(box, tiers, cfg,
@@ -88,7 +149,10 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done):
                 # h distribution)
                 state = saved
                 retier += 1
-                assert retier < 8, "re-tiering does not converge"
+                if retier >= 8:
+                    print("# re-tiering does not converge; falling back",
+                          flush=True)
+                    return state, None, steps_done
                 folded = True
                 break
         if not folded:
@@ -140,11 +204,14 @@ def main():
     # compiles). The deep-cap uniform engine is the right tool here;
     # tiers pay off on spatially-segregated contrast (Evrard).
     # CAP_STRUCT is the compile-feasibility ceiling of the uniform
-    # kernels: with i-row blocking (pallas_ve IB sub-blocks) the Mosaic
-    # stack is bounded at ~40 MiB for ANY cap, so the ceiling is set by
-    # streamed pair-lane cost, not VMEM.
-    CAP_STRUCT = int(os.environ.get("SPHEXA_CAP_STRUCT", "640"))
+    # kernels. i-row blocking bounds the Mosaic VMEM stack, but the
+    # remote v5e compile helper still dies at caps >= 256 even with
+    # IB=128 (tpu_queue8 probes: HTTP 500 at cap 256/384) — so the
+    # measured structural ceiling on this chip is 128; beyond it the
+    # gate rides the adaptive tiered engine (cap<=128 per tier).
+    CAP_STRUCT = int(os.environ.get("SPHEXA_CAP_STRUCT", "128"))
     tiers = None
+    xla_mode = False
 
     while float(state.ttot) < t_end:
         alive = np.asarray(state.p.alive)
@@ -154,8 +221,18 @@ def main():
             np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
             headroom=headroom)
         if cap > CAP_STRUCT:
-            state, tiers, steps_done = run_tiered_phase(
-                state, box, cfg, t_end, t0, steps_done)
+            # deep-contrast phase: Sedov's h field is equilibrated, so
+            # cap-128 tiers need ~10 thin bands (10 Mosaic compiles) —
+            # the XLA gather path is the default deep engine here;
+            # SPHEXA_GATE_DEEP=tiered opts into the tier ladder (with
+            # the same gather fallback on infeasibility).
+            if os.environ.get("SPHEXA_GATE_DEEP", "xla") == "tiered":
+                state, tiers, steps_done = run_tiered_phase(
+                    state, box, cfg, t_end, t0, steps_done)
+            if tiers is None and float(state.ttot) < t_end:
+                state, steps_done = run_xla_phase(
+                    state, box, cfg, t_end, t0, steps_done)
+                xla_mode = True
             break
         print(f"# engine: cap={cap} grid={grid} t={float(state.ttot):.5f}",
               flush=True)
@@ -187,20 +264,23 @@ def main():
             break
 
     t_fin = float(state.ttot)
-    if tiers is not None:
+    px, py, pz = state.p.x, state.p.y, state.p.z
+    if xla_mode:
+        ps, rho = compute_rho_xla(state, box, cfg)
+        px, py, pz = ps.x, ps.y, ps.z
+    elif tiers is not None:
         rho = compute_rho_tiered(state, box, cfg, tiers)
     else:
         rho = compute_rho(eng, state, box, grid, cfg)
-    alive = np.asarray(state.p.alive)
     centers, rho_sim, counts = radial_profile(
-        state.p.x, state.p.y, state.p.z, jnp.asarray(rho), nbins=64,
+        px, py, pz, jnp.asarray(rho), nbins=64,
         rmax=0.45)
     rho_ana, _, _ = sedov_profile(centers, t_fin, E=1.0, rho0=1.0,
                                   gamma=cfg.gamma)
     ok = counts > 10
     err = float(l1_error(rho_sim[ok], rho_ana[ok]))
     rs_meas, rho_pk = shock_radius_from_density(
-        state.p.x, state.p.y, state.p.z, jnp.asarray(rho), nbins=96,
+        px, py, pz, jnp.asarray(rho), nbins=96,
         rmax=0.45)
     rs_exp = float(shock_radius(t_fin, 1.0, 1.0, cfg.gamma))
 

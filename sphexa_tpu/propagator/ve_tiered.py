@@ -36,6 +36,7 @@ CAP^2 overcompute.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -131,7 +132,7 @@ def _subbox(box: Box, xs, ys, zs, margin: float) -> Box:
 def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
                  theta: float = 1.5, max_tiers: int = 4,
                  n_candidates: int = 16, grid_slack: float = 1.1,
-                 top_headroom: float = 1.6, cap_max_top: int = 384):
+                 top_headroom: float = 1.6, cap_max_top: int | None = None):
     """Greedy top-down tier construction from the realized h
     distribution: the coarsest tier takes h_hi = h_max and stretches
     h_lo as deep as the cap budget allows; the remainder recurses on
@@ -160,6 +161,13 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
     sparse coarse band; cap_max_top admits the deeper top-tier cap
     (i-row-blocked kernels hold the Mosaic stack at ~IB rows for any
     cap, pallas_ve.make_cell_pair_call)."""
+    if cap_max_top is None:
+        # 384 is the i-row-blocked design ceiling; the v5e remote
+        # compile helper still dies at caps >= 256 (tpu_queue8 probes),
+        # so TPU runs pin this to 128 via the env knob — the ladder
+        # then degrades to headroom-free top tiers where the oversized
+        # grid can't fit its cap budget.
+        cap_max_top = int(os.environ.get("SPHEXA_CAP_MAX_TOP", "384"))
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     z = np.asarray(z, np.float64)
