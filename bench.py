@@ -172,20 +172,37 @@ def main():
         # plain-engine reference on the SAME state: BDT's honest win
         # is SIM-TIME advanced per wall-second (with exact gating,
         # active-pups <= plain-pups algebraically — the dt hierarchy is
-        # where individual timesteps pay, ve_hydro_bdt.hpp's purpose)
+        # where individual timesteps pay, ve_hydro_bdt.hpp's purpose).
+        # BOTH scan lengths are warmed before the timed region (the
+        # round-4 numbers timed the iters-scan's ~50 s Mosaic compile
+        # inside the plain side, inflating the "speedup" to 280x —
+        # BENCH_HISTORY entries at ea5e120, invalidated below), and the
+        # fixed ~100 ms tunnel dispatch+readback latency is cancelled
+        # long-minus-short exactly like the plain-bench path.
         ref = (ResidentVE(box, grid, cfg, interpret=interp)
                if not evolve else pre)
         rref = ref.bind(state)
-        for _ in range(2):
-            rref, _d = ref.steps(rref, 1)
-            _ = float(rref.x[0])
+        rref, _d = ref.steps(rref, 1)        # compiles the 1-step scan
+        _ = float(rref.x[0])
+        rref, _d = ref.steps(rref, iters)    # compiles + warms the iters scan
+        _ = float(rref.x[0])
         t_ref0 = float(rref.ttot)
         t0 = time.perf_counter()
         rref, refdiags = ref.steps(rref, iters)
         _ = float(rref.x[0])
-        ref_wall = time.perf_counter() - t0
-        ref_rate = (float(rref.ttot) - t_ref0) / ref_wall
-        ref_pups = n * iters / ref_wall
+        t_long = time.perf_counter() - t0
+        sim_long = float(rref.ttot) - t_ref0
+        t_ref0 = float(rref.ttot)
+        t0 = time.perf_counter()
+        rref, _d = ref.steps(rref, 1)
+        _ = float(rref.x[0])
+        t_short = time.perf_counter() - t0
+        sim_short = float(rref.ttot) - t_ref0
+        assert int(np.max(np.asarray(refdiags.overflow))) == 0, (
+            "plain reference overflowed during the timed region")
+        ref_wall = max(t_long - t_short, 1e-9)
+        ref_rate = (sim_long - sim_short) / ref_wall
+        ref_pups = n * (iters - 1) / ref_wall
 
         eng = BdtVE(box, grid, cfg, interpret=interp)
         bst = eng.bind_bdt(state)
@@ -560,6 +577,8 @@ def _append_history(pups: float, side: int, platform: str,
         with open(path) as f:
             for line in f:
                 r = json.loads(line)
+                if r.get("invalid"):
+                    continue   # tagged measurement-methodology victims
                 if r.get("side") == side and r.get("platform") == platform \
                         and r.get("case", "sedov") == case:
                     best = max(best, r.get("pups", 0.0))

@@ -1,18 +1,25 @@
-"""TPU-scale Noh implosion physics gate (reference acceptance:
-main/src/analytical_solutions/compare_noh.py — closed-form wall-shock
-solution, L1 density error).
+"""TPU-scale Noh implosion physics gate, crash-resumable (reference
+acceptance: main/src/analytical_solutions/compare_noh.py — closed-form
+wall-shock solution, L1 density error).
 
 Runs Noh side^3 on the production resident Pallas engine to a target
 simulation time, computes the radial density profile, and writes the
-L1 errors (infall region; post-shock plateau when resolved) to
-artifacts/NOH_L1_<side>.json:
+L1 errors — with an explicit "pass" flag — to
+artifacts/NOH_L1_<side>.json (artifacts/failed/... when the gate
+fails). Noh's contrast is spatially segregated (dense center, rarefied
+infall/envelope) — the geometry the adaptive h-tier engine handles
+well (DESIGN.md 'Tier occupancy algebra') — so the deep phase is
+tiered (robust clip ladder, top cap pinned to the proven 128
+envelope), with the XLA gather path as the infeasibility fallback.
+Crash-resume like sedov_gate; drive through the retry loop:
 
-    python scripts/noh_gate.py [side] [t_end]
+    bash scripts/gate_loop.sh python scripts/noh_gate.py [side] [t_end]
+
+Exit codes: 0 = pass, 2 = completed but failed (no retry), else crash.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
@@ -21,90 +28,65 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# CPU-forcing for verification runs (JAX_PLATFORMS is ignored once the
-# axon TPU plugin registers; the config override is authoritative)
-_plat = os.environ.get("SPHEXA_PLATFORM")
-if _plat:
-    os.environ.pop("JAX_PLATFORMS", None)
-    jax.config.update("jax_platforms", _plat)
+from scripts.gate_common import (GATE_FAIL_RC, GateCkpt,
+                                 force_platform_from_env, gate_wall,
+                                 resident_advance, write_artifact)
+
+force_platform_from_env()
 import jax.numpy as jnp
 import numpy as np
 
+INFALL_THRESHOLD = 0.08   # tighter than the 20^3 test tolerance (0.15)
+PLATEAU_THRESHOLD = 0.35
+
 
 def main():
+    from scripts.sedov_gate import (compute_rho, compute_rho_tiered,
+                                    compute_rho_xla, run_tiered_phase,
+                                    run_xla_phase)
     from sphexa_tpu.config import SphConfig
     from sphexa_tpu.init.noh import init_noh
     from sphexa_tpu.observables.noh_solution import noh_profile
     from sphexa_tpu.observables.radial import l1_error, radial_profile
-    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
-    from sphexa_tpu.propagator.ve_pallas import ResidentVE
-    from scripts.sedov_gate import (compute_rho, compute_rho_tiered,
-                                    compute_rho_xla, run_tiered_phase,
-                                    run_xla_phase)
 
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
     cfg = SphConfig()
-    state, box, cfg = init_noh(side, cfg, dt0=1e-5)
     n = side ** 3
-    headroom = 8
+    ck = GateCkpt(f"noh_{side}")
     t0 = time.perf_counter()
-    steps_done = 0
-    # central compression deepens the cap like Sedov's shell. The
-    # remote v5e compile helper dies at caps >= 256 even with i-row
-    # blocking (tpu_queue8), so the structural ceiling is 128; past it
-    # the gate rides the adaptive tiered engine (same fallback as
-    # sedov_gate — Noh's h contrast is spatially segregated, which is
-    # the geometry tiers handle well, DESIGN.md 'Tier occupancy
-    # algebra').
-    CAP_STRUCT = int(os.environ.get("SPHEXA_CAP_STRUCT", "128"))
+    if ck.exists():
+        state, box, cfg = ck.load(cfg, capacity=n)
+        print(f"# RESUME from snapshot: t={float(state.ttot):.5f} "
+              f"steps={ck.meta.get('steps_done')} phase="
+              f"{ck.meta.get('phase')} resumes={ck.meta['resumes']}",
+              flush=True)
+    else:
+        state, box, cfg = init_noh(side, cfg, dt0=1e-5)
+
     tiers = None
     xla_mode = False
-
     eng = grid = None
-    while float(state.ttot) < t_end:
-        alive = np.asarray(state.p.alive)
-        h_eff = float(np.max(np.asarray(state.p.h)[alive])) * 1.2
-        cap, grid = choose_cap_and_grid(
-            box, h_eff, n, np.asarray(state.p.x)[alive],
-            np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
-            headroom=headroom)
-        if cap > CAP_STRUCT:
-            # Noh's contrast is spatially segregated (dense center,
-            # rarefied infall) — the tier geometry handles it well, so
-            # tiered is the default deep engine; the XLA gather path
-            # is the infeasibility fallback (SPHEXA_GATE_DEEP=xla to
-            # force it).
-            if os.environ.get("SPHEXA_GATE_DEEP", "tiered") == "tiered":
-                state, tiers, steps_done = run_tiered_phase(
-                    state, box, cfg, t_end, t0, steps_done)
-            if tiers is None and float(state.ttot) < t_end:
-                state, steps_done = run_xla_phase(
-                    state, box, cfg, t_end, t0, steps_done)
-                xla_mode = True
-            break
-        print(f"# engine: cap={cap} grid={grid} t={float(state.ttot):.5f}",
-              flush=True)
-        interp = jax.devices()[0].platform != "tpu"
-        eng = ResidentVE(box, grid, cfg, interpret=interp)
-        rst = eng.bind(state)
-        overflowed = False
-        while float(rst.ttot) < t_end:
-            saved = eng.unbind(rst, n)
-            rst, diags = eng.steps(rst, 20)
-            steps_done += 20
-            ovf = int(diags.overflow[-1])
-            print(f"#   t={float(rst.ttot):.5f} dt={float(rst.dt):.3e} "
-                  f"ovf={ovf} steps={steps_done} "
-                  f"wall={time.perf_counter() - t0:.0f}s", flush=True)
-            if ovf:
-                state = saved
-                headroom *= 2
-                overflowed = True
-                break
-        if not overflowed:
-            state = eng.unbind(rst, n)
-            break
+    cfg_run = cfg
+    steps_done = int(ck.meta.get("steps_done", 0))
+    if ck.meta.get("phase") in ("tiered", "xla"):
+        # resume directly into the deep phase (re-planning the uniform
+        # engine at the snapshot's contrast would just bounce back)
+        pass
+    else:
+        state, cfg_run, eng, grid, steps_done = resident_advance(
+            state, box, cfg, t_end, t0, ck, side, deep="return")
+    if float(state.ttot) < t_end:
+        wall0 = float(ck.meta.get("wall_s", 0.0))
+        if ck.meta.get("phase") != "xla":
+            state, tiers, cfg_run, steps_done = run_tiered_phase(
+                state, box, cfg, t_end, t0, steps_done, ck=ck, side=side,
+                wall0=wall0)
+        if tiers is None and float(state.ttot) < t_end:
+            state, steps_done = run_xla_phase(
+                state, box, cfg, t_end, t0, steps_done, ck=ck, side=side,
+                wall0=wall0)
+            xla_mode = True
 
     t_fin = float(state.ttot)
     px, py, pz = state.p.x, state.p.y, state.p.z
@@ -112,14 +94,13 @@ def main():
         ps, rho = compute_rho_xla(state, box, cfg)
         px, py, pz = ps.x, ps.y, ps.z
     elif tiers is not None:
-        rho = compute_rho_tiered(state, box, cfg, tiers)
+        rho = compute_rho_tiered(state, box, cfg_run, tiers)
     else:
-        rho = compute_rho(eng, state, box, grid, cfg)
+        rho = compute_rho(eng, state, box, grid, cfg_run)
     alive = np.asarray(state.p.alive)
     h_max = float(np.max(np.asarray(state.p.h)[alive]))
     centers, rho_sim, counts = radial_profile(
-        px, py, pz, jnp.asarray(rho), nbins=64,
-        rmax=0.45)
+        px, py, pz, jnp.asarray(rho), nbins=64, rmax=0.45)
     rho_ana, _, _ = noh_profile(centers, t_fin, cfg.gamma)
     rs = 0.5 * (cfg.gamma - 1.0) * t_fin
     infall = (counts > 10) & (centers > rs + 2 * h_max)
@@ -128,22 +109,24 @@ def main():
     err_plateau = (float(l1_error(rho_sim[plateau], rho_ana[plateau]))
                    if plateau.sum() >= 3 else None)
 
+    passed = err_infall < INFALL_THRESHOLD and (
+        err_plateau is None or err_plateau < PLATEAU_THRESHOLD)
     out = {
         "side": side, "n": n, "t_end": t_fin, "steps": steps_done,
         "l1_rho_infall": err_infall, "l1_rho_plateau": err_plateau,
+        "thresholds": {"infall": INFALL_THRESHOLD,
+                       "plateau": PLATEAU_THRESHOLD},
         "shock_radius": rs, "nbins": 64,
+        "engine": ("xla" if xla_mode else
+                   "tiered" if tiers is not None else "resident"),
+        "h_cap": cfg_run.h_cap or None,
+        "resumes": int(ck.meta.get("resumes", 0)),
         "platform": jax.devices()[0].platform,
-        "wall_s": time.perf_counter() - t0,
+        "wall_s": gate_wall(ck, t0),
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", f"NOH_L1_{side}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
-    # production-scale gate: tighter than the 20^3 test tolerance (0.15)
-    assert err_infall < 0.08, f"infall L1 {err_infall} at side {side}"
-    if err_plateau is not None:
-        assert err_plateau < 0.35, f"plateau L1 {err_plateau}"
+    write_artifact(f"NOH_L1_{side}", out, passed)
+    ck.clear()
+    raise SystemExit(0 if passed else GATE_FAIL_RC)
 
 
 if __name__ == "__main__":

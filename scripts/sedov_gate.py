@@ -1,18 +1,31 @@
-"""TPU-scale Sedov physics gate (VERDICT r2 item 10; reference
+"""TPU-scale Sedov physics gate, crash-resumable (reference
 acceptance: main/src/analytical_solutions/compare_solutions.py:85
 computeL1Error at production sizes).
 
 Runs Sedov side^3 on the production resident Pallas engine to a target
 simulation time, computes the radial density profile, and writes the
-L1 error vs the exact self-similar solution to
-artifacts/SEDOV_L1_<side>.json. Run on the real chip:
+L1 error vs the exact self-similar solution — with an explicit "pass"
+flag — to artifacts/SEDOV_L1_<side>.json (artifacts/failed/... when
+the gate fails). The whole run stays inside the proven cap-128 Mosaic
+compile envelope: once the developed shock's h contrast would force a
+coarser grid past the ceiling, the gate switches to the bounded-h plan
+(SphConfig.h_cap, see gate_common.resident_advance) instead of the
+deep-cap compiles the v5e cannot hold (tpu_queue8) or the XLA gather
+fallback that crashed the worker (tpu_queue9).
 
-    python scripts/sedov_gate.py [side] [t_end]
+Crash-resume (VERDICT r4 item 1): conserved state is checkpointed to
+artifacts/ckpt/ every ~40 steps through the framework's own HDF5
+checkpoint writer; rerunning the script resumes from the newest
+snapshot. Drive it through the retry loop:
+
+    bash scripts/gate_loop.sh python scripts/sedov_gate.py [side] [t_end]
+
+Exit codes: 0 = pass, 2 = completed but failed the L1 threshold
+(no retry), else crash (retry + resume).
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
@@ -21,14 +34,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# CPU-forcing for verification runs (JAX_PLATFORMS is ignored once the
-# axon TPU plugin registers; the config override is authoritative)
-_plat = os.environ.get("SPHEXA_PLATFORM")
-if _plat:
-    os.environ.pop("JAX_PLATFORMS", None)
-    jax.config.update("jax_platforms", _plat)
+from scripts.gate_common import (GATE_FAIL_RC, GateCkpt,
+                                 force_platform_from_env, gate_wall,
+                                 resident_advance, write_artifact)
+
+force_platform_from_env()
 import jax.numpy as jnp
 import numpy as np
+
+L1_THRESHOLD = 0.2   # substantially tighter than the 24^3 test
+                     # tolerance (0.35); shock smearing at 100^3 is
+                     # ~2-3 h wide
 
 
 def compute_rho(eng, state, box, grid, cfg):
@@ -51,15 +67,16 @@ def compute_rho(eng, state, box, grid, cfg):
     return np.asarray(kx_pf * ps.m / xm_pf)
 
 
-def run_xla_phase(state, box, cfg, t_end, t0, steps_done):
+def run_xla_phase(state, box, cfg, t_end, t0, steps_done, ck=None,
+                  side=0, wall0=0.0):
     """Deep-contrast fallback: the XLA gather path (fixed-k neighbor
     lists, propagator/ve.py). Compile-safe at ANY h contrast — no
     Mosaic deep-cap kernels — and physics-identical to the Pallas
     engines (golden 99-particle parity, tests/test_golden_ve.py).
-    Used where neither the uniform engine (cap > 128 fails the v5e
-    remote compile) nor a cap<=128 tier ladder fits (equilibrated
-    contrast needs ~10 thin bands, DESIGN.md 'Tier occupancy
-    algebra')."""
+    ~5x slower than the Pallas engines; last-resort phase only.
+    Capacity checks (ADVICE r4): the batch-max neighbor count must stay
+    under ngpad AND the realized max cell occupancy under cell_cap —
+    either overflow silently truncates candidate sets."""
     from sphexa_tpu.neighbors import CellGrid, choose_level
     from sphexa_tpu.propagator.ve import make_ve_step
 
@@ -67,22 +84,38 @@ def run_xla_phase(state, box, cfg, t_end, t0, steps_done):
         alive = np.asarray(state.p.alive)
         h_max = float(np.max(np.asarray(state.p.h)[alive]))
         grid = CellGrid(choose_level(box, h_max * 1.25))
+        cfg = _size_cell_cap(state, box, cfg, grid)
         step = make_ve_step(box, grid, cfg)
-        print(f"# xla engine: level={grid.level} t={float(state.ttot):.5f}",
+        print(f"# xla engine: level={grid.level} "
+              f"cell_cap={cfg.cell_cap} t={float(state.ttot):.5f}",
               flush=True)
         while float(state.ttot) < t_end:
+            nc_max = cc_max = 0
             for _ in range(10):
                 state, d = step(state)
                 steps_done += 1
+                # accumulate the BATCH maximum: a transient truncation
+                # at steps 1-9 that the h controller pulls back by step
+                # 10 must still fail the gate (ADVICE r4 #3)
+                nc_max = max(nc_max, int(d.max_nc))
+                cc_max = max(cc_max, int(d.max_cell_count))
                 if float(state.ttot) >= t_end:
                     break
-            nc_max = int(d.max_nc)
             print(f"#   t={float(state.ttot):.5f} dt={float(d.dt):.3e} "
-                  f"max_nc={nc_max} steps={steps_done} "
-                  f"wall={time.perf_counter() - t0:.0f}s", flush=True)
+                  f"max_nc={nc_max} max_cell={cc_max} steps={steps_done} "
+                  f"wall={wall0 + time.perf_counter() - t0:.0f}s",
+                  flush=True)
             assert nc_max <= cfg.ngpad, (
                 f"neighbor-list truncation: max_nc {nc_max} > ngpad "
                 f"{cfg.ngpad}")
+            assert cc_max <= cfg.cell_cap, (
+                f"cell-capacity truncation: max_cell_count {cc_max} > "
+                f"cell_cap {cfg.cell_cap} (per-cell candidate gather "
+                f"dropped neighbors)")
+            if ck is not None:
+                ck.save(state, cfg, box, steps_done=steps_done, side=side,
+                        phase="xla",
+                        wall_s=wall0 + time.perf_counter() - t0)
             alive = np.asarray(state.p.alive)
             h_now = float(np.max(np.asarray(state.p.h)[alive]))
             if choose_level(box, h_now * 1.25) != grid.level:
@@ -90,46 +123,98 @@ def run_xla_phase(state, box, cfg, t_end, t0, steps_done):
     return state, steps_done
 
 
+def _size_cell_cap(state, box, cfg, grid):
+    """Size the XLA gather path's static per-cell capacity from the
+    REALIZED occupancy of the chosen search grid (+30% compression
+    margin, rounded to 32). A fixed cell_cap silently truncates
+    candidate sets whenever a coarse level (large h relative to the
+    box) packs more particles per cell — the failure the batch
+    max_cell_count assert now catches."""
+    alive = np.asarray(state.p.alive)
+    nd = grid.cells_per_dim
+    ix = np.clip(((np.asarray(state.p.x)[alive] - box.xmin)
+                  / box.lx * nd).astype(int), 0, nd - 1)
+    iy = np.clip(((np.asarray(state.p.y)[alive] - box.ymin)
+                  / box.ly * nd).astype(int), 0, nd - 1)
+    iz = np.clip(((np.asarray(state.p.z)[alive] - box.zmin)
+                  / box.lz * nd).astype(int), 0, nd - 1)
+    occ = int(np.bincount((ix * nd + iy) * nd + iz,
+                          minlength=nd ** 3).max())
+    cap = int(np.ceil(occ * 1.3 / 32) * 32)
+    return cfg.replace(cell_cap=max(cfg.cell_cap, cap))
+
+
 def compute_rho_xla(state, box, cfg):
     """(sorted particles, VE density) from a forces-only gather pass on
-    the final state."""
+    the final state. Asserts the pass's own capacity diagnostics
+    (ADVICE r4 #4: this fresh grid may differ from the stepped one)."""
     from sphexa_tpu.neighbors import CellGrid, choose_level
     from sphexa_tpu.propagator.ve import compute_forces_ve
 
     alive = np.asarray(state.p.alive)
     h_max = float(np.max(np.asarray(state.p.h)[alive]))
     grid = CellGrid(choose_level(box, h_max * 1.25))
+    cfg = _size_cell_cap(state, box, cfg, grid)
     ps, _me, aux = jax.jit(
         lambda p, dt: compute_forces_ve(p, box, grid, cfg, dt)
     )(state.p, state.dt)
+    assert int(aux["max_nc"]) <= cfg.ngpad, (
+        f"rho pass neighbor truncation: {int(aux['max_nc'])} > "
+        f"{cfg.ngpad}")
+    assert int(aux["max_cell_count"]) <= cfg.cell_cap, (
+        f"rho pass cell-cap truncation: {int(aux['max_cell_count'])} > "
+        f"{cfg.cell_cap}")
     return ps, np.asarray(aux["rho"])
 
 
-def run_tiered_phase(state, box, cfg, t_end, t0, steps_done):
+def run_tiered_phase(state, box, cfg, t_end, t0, steps_done, ck=None,
+                     side=0, wall0=0.0):
     """Advance to t_end on the adaptive h-tier engine, re-tiering from
-    the last good state whenever the fold fail-stop trips (the
-    main-loop re-tier semantics, main.py). Returns tiers=None (with
-    the state advanced as far as tiering got) when no feasible ladder
-    exists — the caller falls back to the XLA gather phase."""
-    from sphexa_tpu.propagator.ve_tiered import (choose_tiers_auto,
-                                                 make_ve_step_pallas_tiered)
+    the last good state whenever the fold fail-stop trips. Uses the
+    robust ladder (clip fallback) and pins the top-tier cap to the
+    proven compile envelope (ADVICE r4 #2: an unpinned top tier
+    defaults to 384 — the documented v5e compile-killer). A Mosaic
+    compile failure falls back to (state, None) — the XLA phase —
+    instead of crashing. Returns (state, tiers, cfg_used, steps)."""
+    from sphexa_tpu.propagator.ve_tiered import (
+        choose_tiers_robust, make_ve_step_pallas_tiered)
 
     interp = jax.devices()[0].platform != "tpu"
     retier = 0
     tiers = None
+    cfg_run = cfg
     while float(state.ttot) < t_end:
         p = state.p
         alive = np.asarray(p.alive)
-        try:
-            tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
-                                      cap_max=128, verbose=True)
-        except ValueError as e:
-            print(f"# tiering infeasible ({e}); falling back", flush=True)
-            return state, None, steps_done
+        tiers, h_clip = choose_tiers_robust(
+            box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128,
+            cap_max_top=128, verbose=True)
+        if tiers is None:
+            print("# tiering infeasible even with h-clip; falling back",
+                  flush=True)
+            return state, None, cfg_run, steps_done
+        if h_clip is not None:
+            cfg_run = cfg.replace(h_cap=float(h_clip))
+            state = state.replace(p=state.p.replace(
+                h=jnp.minimum(state.p.h, h_clip)))
+        else:
+            cfg_run = cfg
         print(f"# tiered engine: {[(t.grid.n, t.grid.cap) for t in tiers]} "
-              f"t={float(state.ttot):.5f}", flush=True)
-        step = make_ve_step_pallas_tiered(box, tiers, cfg,
-                                          interpret=interp)
+              f"t={float(state.ttot):.5f} hcap={cfg_run.h_cap:.4g}",
+              flush=True)
+        try:
+            step = make_ve_step_pallas_tiered(box, tiers, cfg_run,
+                                              interpret=interp)
+            state_try, d = step(state)   # first step compiles
+            steps_done += 1
+        except Exception as e:   # Mosaic compile / VMEM failure
+            print(f"# tiered compile failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); falling back", flush=True)
+            return state, None, cfg, steps_done
+        if int(d.max_cell_count):
+            state_try = state    # discard the folded first step
+        else:
+            state = state_try
         folded = False
         while float(state.ttot) < t_end:
             saved = state
@@ -142,7 +227,8 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done):
                     break
             print(f"#   t={float(state.ttot):.5f} dt={float(d.dt):.3e} "
                   f"fold={fold} steps={steps_done} "
-                  f"wall={time.perf_counter() - t0:.0f}s", flush=True)
+                  f"wall={wall0 + time.perf_counter() - t0:.0f}s",
+                  flush=True)
             if fold:
                 # h outgrew a tier band / slot overflow: re-tier from
                 # the last good state (fresh bands follow the realized
@@ -152,12 +238,16 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done):
                 if retier >= 8:
                     print("# re-tiering does not converge; falling back",
                           flush=True)
-                    return state, None, steps_done
+                    return state, None, cfg_run, steps_done
                 folded = True
                 break
+            if ck is not None:
+                ck.save(state, cfg_run, box, steps_done=steps_done,
+                        side=side, phase="tiered",
+                        wall_s=wall0 + time.perf_counter() - t0)
         if not folded:
             break
-    return state, tiers, steps_done
+    return state, tiers, cfg_run, steps_done
 
 
 def compute_rho_tiered(state, box, cfg, tiers):
@@ -185,124 +275,53 @@ def main():
                                                shock_radius_from_density)
     from sphexa_tpu.observables.sedov_solution import (sedov_profile,
                                                        shock_radius)
-    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
-    from sphexa_tpu.propagator.ve_pallas import ResidentVE
 
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
     cfg = SphConfig()
-    state, box, cfg = init_sedov(side, cfg, dt0=1e-5)
     n = side ** 3
-    headroom = 8
+    ck = GateCkpt(f"sedov_{side}")
     t0 = time.perf_counter()
-    steps_done = 0
-    # Engine choice for the developed shock (the h-contrast study,
-    # DESIGN.md 'Tier occupancy algebra'): Sedov's h field is
-    # EQUILIBRATED (nc ~ ng0 everywhere, contrast ~5x) — a tier cell
-    # holds ~0.24*ng0*(SLACK*gs)^3*(theta*h_hi/h_lo)^3 particles, so
-    # cap-128 tiers would need ~10 ultra-thin bands (10 engine
-    # compiles). The deep-cap uniform engine is the right tool here;
-    # tiers pay off on spatially-segregated contrast (Evrard).
-    # CAP_STRUCT is the compile-feasibility ceiling of the uniform
-    # kernels. i-row blocking bounds the Mosaic VMEM stack, but the
-    # remote v5e compile helper still dies at caps >= 256 even with
-    # IB=128 (tpu_queue8 probes: HTTP 500 at cap 256/384) — so the
-    # measured structural ceiling on this chip is 128; beyond it the
-    # gate rides the adaptive tiered engine (cap<=128 per tier).
-    CAP_STRUCT = int(os.environ.get("SPHEXA_CAP_STRUCT", "128"))
-    tiers = None
-    xla_mode = False
+    if ck.exists():
+        state, box, cfg = ck.load(cfg, capacity=n)
+        print(f"# RESUME from snapshot: t={float(state.ttot):.5f} "
+              f"steps={ck.meta.get('steps_done')} "
+              f"resumes={ck.meta['resumes']}", flush=True)
+    else:
+        state, box, cfg = init_sedov(side, cfg, dt0=1e-5)
 
-    while float(state.ttot) < t_end:
-        alive = np.asarray(state.p.alive)
-        h_eff = float(np.max(np.asarray(state.p.h)[alive])) * 1.2
-        cap, grid = choose_cap_and_grid(
-            box, h_eff, n, np.asarray(state.p.x)[alive],
-            np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
-            headroom=headroom)
-        if cap > CAP_STRUCT:
-            # deep-contrast phase: Sedov's h field is equilibrated, so
-            # cap-128 tiers need ~10 thin bands (10 Mosaic compiles) —
-            # the XLA gather path is the default deep engine here;
-            # SPHEXA_GATE_DEEP=tiered opts into the tier ladder (with
-            # the same gather fallback on infeasibility).
-            if os.environ.get("SPHEXA_GATE_DEEP", "xla") == "tiered":
-                state, tiers, steps_done = run_tiered_phase(
-                    state, box, cfg, t_end, t0, steps_done)
-            if tiers is None and float(state.ttot) < t_end:
-                state, steps_done = run_xla_phase(
-                    state, box, cfg, t_end, t0, steps_done)
-                xla_mode = True
-            break
-        print(f"# engine: cap={cap} grid={grid} t={float(state.ttot):.5f}",
-              flush=True)
-        interp = jax.devices()[0].platform != "tpu"
-        eng = ResidentVE(box, grid, cfg, interpret=interp)
-        rst = eng.bind(state)
-        overflowed = False
-        while float(rst.ttot) < t_end:
-            # snapshot the retry point BEFORE stepping: steps() donates
-            # the frame, and an overflowed frame has silently DROPPED
-            # particles (unbind marks them dead) — retrying from it
-            # would corrupt the gate physics
-            saved = eng.unbind(rst, n)
-            rst, diags = eng.steps(rst, 20)
-            steps_done += 20
-            ovf = int(diags.overflow[-1])
-            print(f"#   t={float(rst.ttot):.5f} dt={float(rst.dt):.3e} "
-                  f"ovf={ovf} steps={steps_done} "
-                  f"wall={time.perf_counter() - t0:.0f}s", flush=True)
-            if ovf:
-                # re-grid with more headroom from the last GOOD frame
-                # (main.py's fail-stop + retry semantics)
-                state = saved
-                headroom *= 2
-                overflowed = True
-                break
-        if not overflowed:
-            state = eng.unbind(rst, n)
-            break
+    state, cfg_run, eng, grid, steps_done = resident_advance(
+        state, box, cfg, t_end, t0, ck, side)
 
     t_fin = float(state.ttot)
+    rho = compute_rho(eng, state, box, grid, cfg_run)
     px, py, pz = state.p.x, state.p.y, state.p.z
-    if xla_mode:
-        ps, rho = compute_rho_xla(state, box, cfg)
-        px, py, pz = ps.x, ps.y, ps.z
-    elif tiers is not None:
-        rho = compute_rho_tiered(state, box, cfg, tiers)
-    else:
-        rho = compute_rho(eng, state, box, grid, cfg)
     centers, rho_sim, counts = radial_profile(
-        px, py, pz, jnp.asarray(rho), nbins=64,
-        rmax=0.45)
+        px, py, pz, jnp.asarray(rho), nbins=64, rmax=0.45)
     rho_ana, _, _ = sedov_profile(centers, t_fin, E=1.0, rho0=1.0,
                                   gamma=cfg.gamma)
     ok = counts > 10
     err = float(l1_error(rho_sim[ok], rho_ana[ok]))
     rs_meas, rho_pk = shock_radius_from_density(
-        px, py, pz, jnp.asarray(rho), nbins=96,
-        rmax=0.45)
+        px, py, pz, jnp.asarray(rho), nbins=96, rmax=0.45)
     rs_exp = float(shock_radius(t_fin, 1.0, 1.0, cfg.gamma))
 
+    passed = err < L1_THRESHOLD
     out = {
         "side": side, "n": n, "t_end": t_fin, "steps": steps_done,
-        "l1_rho": err, "nbins": 64,
+        "l1_rho": err, "threshold": L1_THRESHOLD, "nbins": 64,
         "shock_radius_measured": float(rs_meas),
         "shock_radius_expected": rs_exp,
         "rho_peak": float(rho_pk),
+        "engine": "resident-hcap" if cfg_run.h_cap > 0 else "resident",
+        "h_cap": cfg_run.h_cap or None,
+        "resumes": int(ck.meta.get("resumes", 0)),
         "platform": jax.devices()[0].platform,
-        "wall_s": time.perf_counter() - t0,
+        "wall_s": gate_wall(ck, t0),
     }
-    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts"), exist_ok=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", f"SEDOV_L1_{side}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
-    # the production-scale gate: substantially tighter than the 24^3
-    # test tolerance (0.35); shock smearing at 100^3 is ~2-3 h wide
-    assert err < 0.2, f"L1 density error {err} at side {side}"
+    write_artifact(f"SEDOV_L1_{side}", out, passed)
+    ck.clear()
+    raise SystemExit(0 if passed else GATE_FAIL_RC)
 
 
 if __name__ == "__main__":

@@ -115,6 +115,27 @@ class SphConfig:
                                # band-overflow counter fail-stops when
                                # too small
 
+    # Bounded smoothing length (0 = unbounded). When > 0, the nc->h
+    # controller (sph/kernels.py update_h AND the in-kernel h iteration
+    # of the Pallas xmass stage) clamps h at this value. Standard
+    # production-SPH practice for rarefied regions; on TPU it is the
+    # lever that keeps the cell-major grid inside the proven cap-128
+    # compile envelope when a low-density cavity (Sedov interior,
+    # vacuum edges) grows h without bound — the reference instead
+    # re-sizes its octree leaves per sync (csarray.hpp:433), which has
+    # no static-shape analog. Clamped particles carry nc < ng0; the
+    # engines report the clamp count in their diagnostics.
+    h_cap: float = 0.0
+
+    # Fraction of alive particles allowed to sit at a tier's h support
+    # bound before the tiered engines fold the step (ve_tiered.py).
+    # The vacuum-edge envelope of a collapsing cloud legitimately and
+    # PREDICTABLY outgrows the top band (queue9 2026-08-20: every
+    # Evrard-50 fold was pure clamp, 1.4% of N) — a bounded clamp
+    # population is the h_cap semantics, not an error. 0 restores the
+    # strict any-clamp-folds behavior.
+    clamp_frac_budget: float = 0.02
+
     # neighbor-engine shape parameters (static!)
     cell_cap: int = 64        # max particles per search cell
     chunk: int = 4096         # i-particle chunk size for pair stages

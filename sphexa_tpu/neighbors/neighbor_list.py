@@ -149,7 +149,8 @@ def build_neighbor_list(grid: CellGrid, box: Box, cl: CellList,
                 need = (nc_sph < ngmin) | (nc_true > cfg.ngmax)
                 if alive is not None:
                     need &= alive[i_idx]
-                return jnp.where(need, update_h(cfg.ng0, nc_sph, hh), hh)
+                return jnp.where(need, update_h(cfg.ng0, nc_sph, hh,
+                                                h_cap=cfg.h_cap), hh)
 
             hi = jax.lax.fori_loop(0, cfg.h_iter, h_iter, hi)
 

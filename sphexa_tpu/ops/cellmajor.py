@@ -180,23 +180,17 @@ def choose_cap_and_grid(box: Box, h_eff: float, n_global: int, xs, ys, zs,
     nothing fits below cap_max (pathological clustering)."""
     import math
 
-    def aligned(g0, cap):
-        """A (grid, cap) is VMEM-safe only when every j-window offset
-        AND every center slice is 128-lane aligned: cap % 128 == 0, or
-        exactly cap == 64 under the parity-4 window scheme of
-        pallas_ve.make_cell_pair_call (measured working point: windows
-        are two full vregs, centers alternate vreg halves). Any other
-        cap % 64 == 0 (96, 192, 320, ...) puts CENTER slices at
-        half-vreg offsets (1.5, 2.5 vregs) — Mosaic relayouts then
-        blow the scoped-VMEM stack (observed: cap=96 n=26 OOM at
-        30.9 MB with a 16 MB limit; cap=192 n=2 OOM at 114 MB with a
-        64 MB limit, both v5e)."""
-        zg = legal_zgroup(g0.npz, cap)
-        if zg == 0:
-            return False
-        if cap % 128 == 0:
-            return True
-        return cap == 64 and zg % 2 == 0 and g0.nz % 2 == 0
+    # A (grid, cap) is VMEM-safe only when every j-window offset AND
+    # every center slice is 128-lane aligned: cap % 128 == 0, or
+    # exactly cap == 64 under the parity-4 window scheme of
+    # pallas_ve.make_cell_pair_call (measured working point: windows
+    # are two full vregs, centers alternate vreg halves). Any other
+    # cap % 64 == 0 (96, 192, 320, ...) puts CENTER slices at
+    # half-vreg offsets (1.5, 2.5 vregs) — Mosaic relayouts then blow
+    # the scoped-VMEM stack (observed: cap=96 n=26 OOM at 30.9 MB with
+    # a 16 MB limit; cap=192 n=2 OOM at 114 MB with a 64 MB limit,
+    # both v5e).
+    aligned = _cap_aligned
 
     L = min(box.lx, box.ly, box.lz)
     n_corr = max(2, int(math.floor(L / (2.0 * h_eff * 1.05))))
@@ -220,6 +214,60 @@ def choose_cap_and_grid(box: Box, h_eff: float, n_global: int, xs, ys, zs,
             f"no (cap, grid) with a legal z-group fits these positions "
             f"below cap_max={cap_max}")
     return best[1], best[2]
+
+
+def choose_grid_with_hcap(box: Box, n_global: int, xs, ys, zs,
+                          cap_max: int = 128, headroom: int = 8,
+                          margin: float = 1.15):
+    """(cap, grid, h_cap): the COARSEST interior resolution whose
+    realized occupancy (+headroom) fits a legal aligned cap <= cap_max,
+    plus the bounded smoothing length that grid supports.
+
+    This is the deep-contrast companion of `choose_cap_and_grid`: when
+    the realized h_max forces a grid so coarse that dense cells exceed
+    the structural cap ceiling (the v5e Mosaic compile wall at cap 256,
+    artifacts/tpu_queue8.log), the way back INSIDE the proven envelope
+    is to bound h instead of deepening the cap — SphConfig.h_cap set to
+    the returned value keeps every particle's 2h support within the
+    27-stencil of this grid (2 * h_cap * margin <= cell_edge, with
+    `margin` also covering the resident engine's drift-rebin slack).
+    Only particles whose controller h exceeds h_cap (rarefied cavities/
+    envelopes) are affected; the caller should check the clamped
+    fraction against its physics budget. Scans n upward (coarse ->
+    fine), so the first feasible grid maximizes h_cap and therefore
+    minimizes clamping. Raises ValueError if nothing fits below
+    cap_max (pathological clustering at every resolution)."""
+    import math
+
+    L = min(box.lx, box.ly, box.lz)
+    n_max = max(4, int(math.ceil((4.0 * max(n_global, 1)) ** (1.0 / 3.0))))
+    for n in range(2, n_max + 1):
+        g0 = CMGrid(n=n)
+        need = max(64, max_cell_count(g0, box, xs, ys, zs) + headroom)
+        cap = int(np.ceil(need / 64) * 64)
+        while cap <= cap_max and not _cap_aligned(g0, cap):
+            cap += 64
+        if cap > cap_max:
+            continue
+        g = CMGrid(n=n, cap=cap)
+        edge = min(box.lx / g.nx, box.ly / g.n, box.lz / g.nz)
+        return cap, g, edge / (2.0 * margin)
+    raise ValueError(
+        f"no occupancy-feasible grid with cap <= {cap_max} at any "
+        f"resolution up to n={n_max}")
+
+
+def _cap_aligned(g0: CMGrid, cap: int) -> bool:
+    """The VMEM-safe (grid, cap) alignment contract of
+    choose_cap_and_grid's `aligned` (see its docstring for the measured
+    failure modes): cap % 128 == 0, or exactly 64 under even parity-4
+    windows."""
+    zg = legal_zgroup(g0.npz, cap)
+    if zg == 0:
+        return False
+    if cap % 128 == 0:
+        return True
+    return cap == 64 and zg % 2 == 0 and g0.nz % 2 == 0
 
 
 def interior_mask(grid: CMGrid) -> jnp.ndarray:

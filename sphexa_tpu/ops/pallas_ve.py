@@ -576,6 +576,12 @@ def _xh_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
         need = (nc_sph < ngmin) | (nc_sph - 1.0 > float(cfg.ngmax))
         h_new = hi * 0.5 * jnp.power(
             1.0 + 1023.0 * float(cfg.ng0) / jnp.maximum(nc_sph, 1.0), 0.1)
+        if cfg.h_cap > 0.0:
+            # bounded-h clamp (SphConfig.h_cap): the in-kernel grower
+            # must respect the same roof as update_h or a rarefied
+            # cavity would push h past the 27-stencil support bound
+            # mid-step (silently incomplete candidate sets)
+            h_new = jnp.minimum(h_new, cfg.h_cap)
         hi = jnp.where(need, h_new, hi)
         hinv = 1.0 / hi
         if it < cfg.h_iter - 1:

@@ -73,7 +73,7 @@ def finish_step(state: SimState, ps: Particles, ax, ay, az, du, maxvsignal,
         ps.x_m1, ps.y_m1, ps.z_m1, box,
         h=ps.h, vx=ps.vx, vy=ps.vy, vz=ps.vz)
     temp = temp_update(ps.temp, dt, dt_m1, du, ps.du_m1, cfg.mui, cfg.gamma)
-    h = update_h(cfg.ng0, nc_sph, ps.h)
+    h = update_h(cfg.ng0, nc_sph, ps.h, h_cap=cfg.h_cap)
 
     ps = ps.replace(x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
                     x_m1=dx, y_m1=dy, z_m1=dz, temp=temp, h=h, du_m1=du)

@@ -249,6 +249,8 @@ class ResidentDiag(NamedTuple):
                              # convergence, find_neighbors.hpp:48)
     nf_truncated: jnp.ndarray = 0   # FMM near-field slots beyond leaf_cap
                                     # (dropped pairs — fail-stop signal)
+    n_hclamped: jnp.ndarray = 0     # particles riding the SphConfig.h_cap
+                                    # roof (0 when the clamp is off)
 
 
 class ResidentVE:
@@ -396,7 +398,7 @@ class ResidentVE:
             h=out["h"], vx=rst.vx, vy=rst.vy, vz=rst.vz, fold=False)
         temp = temp_update(rst.temp, dt, dt_m1, out["du"], rst.du_m1,
                            cfg.mui, cfg.gamma)
-        h = update_h(cfg.ng0, out["nc_sph"], out["h"])
+        h = update_h(cfg.ng0, out["nc_sph"], out["h"], h_cap=cfg.h_cap)
         h = jnp.where(validint, h, rst.h)
 
         disp2 = dx * dx + dy * dy + dz * dz
@@ -434,5 +436,8 @@ class ResidentVE:
             need_regrid=(2.0 * h_max * 1.05 >= self.cell_edge),
             h_nonconv=jnp.sum(jnp.where(validint, out["h_nonconv"],
                                         0.0)).astype(jnp.int32),
-            nf_truncated=jnp.int32(nf_trunc))
+            nf_truncated=jnp.int32(nf_trunc),
+            n_hclamped=(jnp.sum(jnp.where(
+                validint & (rst.h >= 0.999 * cfg.h_cap), 1, 0)).astype(
+                    jnp.int32) if cfg.h_cap > 0.0 else jnp.int32(0)))
         return rst, diag

@@ -259,7 +259,8 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
 
 def choose_tiers_auto(box: Box, x, y, z, h, alive=None,
                       cap_max: int = 128, max_tiers: int = 4,
-                      verbose: bool = False):
+                      verbose: bool = False,
+                      cap_max_top: int | None = None):
     """choose_tiers with an adaptive (grid_slack, theta) ladder.
 
     The two knobs trade off against the cap through the same cell-
@@ -284,15 +285,21 @@ def choose_tiers_auto(box: Box, x, y, z, h, alive=None,
     rungs = [(gs, th, 1.6) for gs, th in
              ((1.1, 1.5), (1.1, 1.35), (1.075, 1.35), (1.05, 1.3),
               (1.05, 1.2), (1.025, 1.2), (1.0, 1.5), (1.0, 1.3))]
+    # wide-roof rungs: MORE top-band growth headroom at narrower theta
+    # (the queue9 failure mode was pure top-tier h growth — with the
+    # budgeted clamp these rungs buy many re-tier-free steps)
+    rungs = ([(1.1, 1.35, 2.2), (1.05, 1.3, 2.2), (1.05, 1.2, 2.8)]
+             + rungs)
     # tight fallback: no top-band growth headroom (re-tiers on every
     # h_max advance, but feasible where the oversized top grid is not)
-    rungs += [(gs, th, 1.0) for gs, th, _hr in rungs]
+    rungs += [(gs, th, 1.0) for gs, th, _hr in rungs[3:]]
     for gs, th, hr in rungs:
         try:
             tiers = choose_tiers(box, x, y, z, h, alive=alive,
                                  cap_max=cap_max, theta=th,
                                  max_tiers=max_tiers, grid_slack=gs,
-                                 top_headroom=hr)
+                                 top_headroom=hr,
+                                 cap_max_top=cap_max_top)
         except ValueError as e:
             last = e
             continue
@@ -304,6 +311,46 @@ def choose_tiers_auto(box: Box, x, y, z, h, alive=None,
         last = ValueError(f"band audit violations at slack={gs} "
                           f"theta={th}")
     raise ValueError(f"no feasible (slack, theta) tier ladder rung: {last}")
+
+
+def choose_tiers_robust(box: Box, x, y, z, h, alive=None,
+                        cap_max: int = 128, max_tiers: int = 4,
+                        verbose: bool = False,
+                        cap_max_top: int | None = None,
+                        clip_quantiles=(1.0, 0.995, 0.98, 0.95)):
+    """choose_tiers_auto that NEVER raises (VERDICT r4 item 3: the
+    tiered path must not be able to abort a run).
+
+    Returns (tiers, h_clip): when the raw h distribution admits no
+    feasible ladder (drifted fields mid-run can satisfy no rung —
+    queue9 2026-08-20 aborted Evrard-50 exactly here), the top h tail
+    is clipped at progressively lower quantiles and the ladder re-tried
+    — the caller MUST then clamp the state's h at the returned h_clip
+    (and set SphConfig.h_cap) so ownership bands stay consistent with
+    the clipped distribution; the tail particles ride the bounded-h
+    clamp (vacuum-edge envelopes, the h_cap semantics). Falls through
+    to (None, None) — "use the XLA gather engine" — only when even the
+    clipped ladders fail, so the caller always has a runnable plan.
+    """
+    hv = np.asarray(h, np.float64)
+    av = None if alive is None else np.asarray(alive)
+    ha = hv if av is None else hv[av]
+    for q in clip_quantiles:
+        clip = float(np.quantile(ha, q)) if q < 1.0 else None
+        hq = hv if clip is None else np.minimum(hv, clip)
+        try:
+            tiers = choose_tiers_auto(box, x, y, z, hq, alive=alive,
+                                      cap_max=cap_max,
+                                      max_tiers=max_tiers,
+                                      verbose=verbose,
+                                      cap_max_top=cap_max_top)
+        except ValueError:
+            continue
+        if clip is not None and verbose:
+            print(f"# tier ladder feasible after h-clip at q={q} "
+                  f"({clip:.4g}; {(ha > clip).mean():.2%} clamped)")
+        return tiers, clip
+    return None, None
 
 
 def audit_tiers(tiers, box: Box, x, y, z, h, alive=None,
@@ -762,7 +809,17 @@ def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
                 divv=divv_pf, curlv=curlv_pf, nc_sph=nc_sph_pf,
                 rho=rho_pf, p=p_pf, kx=kx_pf, xm=xm_pf,
                 nonconv=nonconv_pf,
-                fold=overflow + unowned + clamped,
+                # Budgeted clamps (SphConfig.clamp_frac_budget): a
+                # bounded population riding a tier's h support bound is
+                # the h_cap semantics (vacuum-edge envelopes PREDICTABLY
+                # outgrow the top band — queue9 2026-08-20: every
+                # Evrard-50 fold was pure clamp at 1.4% of N), not
+                # truncated physics: the clamped h keeps every candidate
+                # set complete within its tier stencil. Only a clamp
+                # population past the budget folds the step (re-tier).
+                fold=overflow + unowned + jnp.where(
+                    clamped > jnp.int32(cfg.clamp_frac_budget * n),
+                    clamped, 0),
                 fold_parts=jnp.stack([
                     jnp.asarray(overflow, jnp.int32),
                     jnp.asarray(unowned - miss, jnp.int32),

@@ -180,12 +180,18 @@ def artificial_viscosity(alpha_i, alpha_j, c_i, c_j, w_ij):
     return jnp.where(w_ij < 0.0, -vij_signal * w_ij, 0.0)
 
 
-def update_h(ng0: int, nc, h):
+def update_h(ng0: int, nc, h, h_cap: float = 0.0):
     """nc -> h controller: h * 0.5 * (1 + 1023 * ng0/nc)^(1/10)
-    (reference: kernels.hpp:27-32). Fixed point at nc == ng0."""
+    (reference: kernels.hpp:27-32). Fixed point at nc == ng0.
+
+    h_cap > 0 bounds the controller from above (rarefied-region clamp;
+    see SphConfig.h_cap) — clamped particles ride with nc < ng0."""
     c0 = 1023.0
     nc_safe = jnp.maximum(nc.astype(h.dtype), 1.0)
-    return h * 0.5 * jnp.power(1.0 + c0 * ng0 / nc_safe, 0.1)
+    h_new = h * 0.5 * jnp.power(1.0 + c0 * ng0 / nc_safe, 0.1)
+    if h_cap > 0.0:
+        h_new = jnp.minimum(h_new, h.dtype.type(h_cap))
+    return h_new
 
 
 def ts_k_courant(maxvsignal, h, c, kcour: float):
