@@ -103,6 +103,13 @@ class SphConfig:
     # kept for future MXU-heavier geometries (it wins when windows are
     # misaligned: 148 vs 160 ms on 192-lane windows).
     mxu_momentum: bool = False
+    # bf16 operands (fp32 accumulation) for the factored momentum-stage
+    # MXU contraction: an fp32 dot on the MXU decomposes into 3-6 bf16
+    # passes, so casting the pair-weight rows and moment columns to
+    # bf16 cuts MXU work ~3x at ~3-digit operand precision. Decision
+    # spike (VERDICT r4 item 4); accuracy impact measured by
+    # scripts/bf16_spike.py before any default flips.
+    mxu_bf16: bool = False
     gravity_rings: int = 1    # near-field band hops for the sharded FMM
                               # (fixed-width slabs need 1; count-balanced
                               # clustered domains may need 2-3 — the

@@ -1318,6 +1318,11 @@ def _momentum_mm_body(center, get_run, *, K3d, n_w, cfg: SphConfig):
         cols += [cj6[C6[ab]] * vjc[ab[0]] for ab in AB]
         cols += [cj6[C6[ab]] * vjc[ab[0]] * bjc[ab[1]] for ab in AB]
         M = jnp.concatenate(cols, axis=0)  # [49, 3CAP]
+        if cfg.mxu_bf16:
+            # bf16 streams, fp32 accumulation (SphConfig.mxu_bf16):
+            # one MXU pass instead of the 3-6-pass fp32 decomposition
+            L = L.astype(jnp.bfloat16)
+            M = M.astype(jnp.bfloat16)
         mom = mom + jax.lax.dot_general(
             L, M, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [5CAP, 49]

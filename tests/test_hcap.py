@@ -1,0 +1,151 @@
+"""Bounded smoothing length (SphConfig.h_cap) + robust tier planning.
+
+The h_cap lever keeps deep-contrast runs inside the proven cap-128
+Mosaic compile envelope (VERDICT r4 items 1-3): rarefied cavities and
+vacuum-edge envelopes grow h without bound, which otherwise forces
+coarser grids past the structural cap ceiling. These tests cover the
+clamp in the nc->h controller, the occupancy-first grid planner, the
+resident engine's clamp accounting, and the never-abort tier ladder on
+randomized drifted-h distributions (the queue9 2026-08-20 abort mode).
+"""
+
+import numpy as np
+import pytest
+
+from sphexa_tpu.config import SphConfig
+from sphexa_tpu.sfc.box import Box
+from sphexa_tpu.sph.kernels import update_h
+
+
+def test_update_h_cap_clamps():
+    import jax.numpy as jnp
+
+    h = jnp.array([0.1, 0.1, 0.1], jnp.float32)
+    nc = jnp.array([100.0, 5.0, 200.0])   # at target / starved / crowded
+    h_free = update_h(100, nc, h)
+    h_cap = update_h(100, nc, h, h_cap=0.105)
+    assert float(h_free[1]) > 0.105        # starved particle wants growth
+    assert float(h_cap[1]) == pytest.approx(0.105)
+    # non-clamped entries are untouched by the cap
+    hc, hf = np.asarray(h_cap), np.asarray(h_free)
+    assert np.allclose(hc[[0, 2]], hf[[0, 2]])
+
+
+def test_choose_grid_with_hcap_occupancy_first():
+    """The planner must return a cap-feasible grid at ANY h contrast —
+    it sizes by occupancy and returns the h bound the grid supports."""
+    from sphexa_tpu.ops.cellmajor import choose_grid_with_hcap, max_cell_count
+
+    rng = np.random.default_rng(7)
+    n = 20 ** 3
+    box = Box(-0.5, 0.5, -0.5, 0.5, -0.5, 0.5)
+    # clustered: half the points in a r=0.15 ball (the contrast shape
+    # that breaks the h-bounded planner)
+    xs = rng.uniform(-0.5, 0.5, n)
+    ys = rng.uniform(-0.5, 0.5, n)
+    zs = rng.uniform(-0.5, 0.5, n)
+    sel = rng.random(n) < 0.5
+    xs[sel] *= 0.3
+    ys[sel] *= 0.3
+    zs[sel] *= 0.3
+    cap, grid, h_cap = choose_grid_with_hcap(box, n, xs, ys, zs,
+                                             cap_max=128, headroom=8)
+    assert cap <= 128
+    assert h_cap > 0
+    # the realized occupancy fits the returned cap
+    assert max_cell_count(grid, box, xs, ys, zs) + 8 <= cap
+    # the h bound keeps 2h support inside the 27-stencil with margin
+    edge = min(box.lx / grid.nx, box.ly / grid.n, box.lz / grid.nz)
+    assert 2.0 * h_cap * 1.15 <= edge * 1.0001
+
+
+def test_resident_engine_hcap_accounting():
+    """Resident engine under an artificially tight h_cap: h never
+    exceeds the cap and the clamp population is reported."""
+    from sphexa_tpu.init.sedov import init_sedov
+    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
+    from sphexa_tpu.propagator.ve_pallas import ResidentVE
+
+    cfg = SphConfig()
+    state, box, cfg = init_sedov(10, cfg, dt0=1e-5)
+    alive = np.asarray(state.p.alive)
+    h0 = float(np.asarray(state.p.h)[alive].max())
+    # cap a hair under the realized h so the controller hits it at once
+    cfg = cfg.replace(h_cap=h0 * 0.995)
+    state = state.replace(p=state.p.replace(
+        h=np.minimum(np.asarray(state.p.h), cfg.h_cap)))
+    cap, grid = choose_cap_and_grid(
+        box, h0 * 1.2, 1000, np.asarray(state.p.x)[alive],
+        np.asarray(state.p.y)[alive], np.asarray(state.p.z)[alive],
+        headroom=8)
+    eng = ResidentVE(box, grid, cfg, interpret=True)
+    rst = eng.bind(state)
+    rst, diags = eng.steps(rst, 2)
+    h_after = np.asarray(rst.h)[np.asarray(rst.valid & eng.intmask)]
+    assert float(h_after.max()) <= cfg.h_cap * 1.0001
+    assert int(diags.n_hclamped[-1]) > 0
+    assert int(diags.overflow[-1]) == 0
+
+
+def _drift_trials(n_trials, seed=0):
+    """Randomized mid-run h fields on the REAL Evrard IC: lognormal
+    scatter (the h controller keeps h tracking density to a few %
+    between re-tierings), position jitter proportional to h, and an
+    inflated envelope tail — the queue9 2026-08-20 abort signature
+    (vacuum-edge h growth). Measured calibration (this round): the
+    ladder tiers ~80% of such fields and h-clips the tail cases; true
+    fallback-to-XLA stays rare."""
+    from sphexa_tpu.init.evrard import init_evrard
+
+    state, box, _ = init_evrard(16, SphConfig(), dt0=1e-4)
+    alive = np.asarray(state.p.alive)
+    x = np.asarray(state.p.x)
+    y = np.asarray(state.p.y)
+    z = np.asarray(state.p.z)
+    h0 = np.asarray(state.p.h)
+    rng = np.random.default_rng(seed)
+    for _ in range(n_trials):
+        sigma = rng.uniform(0.02, 0.1)
+        h = h0 * np.exp(rng.normal(0, sigma, h0.shape))
+        tail = rng.random(h0.shape) < 0.005
+        h[tail] *= rng.uniform(1.5, 4.0)
+        xs = x + rng.normal(0, 0.1, x.shape) * h
+        ys = y + rng.normal(0, 0.1, x.shape) * h
+        zs = z + rng.normal(0, 0.1, x.shape) * h
+        yield box, xs, ys, zs, h, alive
+
+
+def _run_robust_trials(n_trials, max_fallback_frac):
+    from sphexa_tpu.propagator.ve_tiered import (audit_tiers,
+                                                 choose_tiers_robust)
+
+    fallbacks = 0
+    for trial, (box, xs, ys, zs, h, alive) in enumerate(
+            _drift_trials(n_trials)):
+        tiers, clip = choose_tiers_robust(box, xs, ys, zs, h, alive=alive,
+                                          cap_max=128, cap_max_top=128)
+        if tiers is None:
+            fallbacks += 1
+            continue
+        hq = h if clip is None else np.minimum(h, clip)
+        assert audit_tiers(tiers, box, xs, ys, zs, hq, alive=alive) == 0, (
+            f"trial {trial}: robust plan fails its own band audit")
+        for t in tiers:
+            assert t.grid.cap <= 128
+    # the planner never RAISES (the queue9 abort mode is gone by
+    # construction); the explicit XLA fallback must stay a minority
+    assert fallbacks <= max_fallback_frac * n_trials, (
+        f"{fallbacks}/{n_trials} fell back to XLA")
+
+
+def test_choose_tiers_robust_drifted_smoke():
+    """Fast-tier smoke: 6 drifted fields, no aborts, bounded fallback."""
+    _run_robust_trials(6, max_fallback_frac=0.5)
+
+
+@pytest.mark.medium
+def test_choose_tiers_robust_50_drifted_distributions():
+    """VERDICT r4 item 3 done-criterion: the tier planner returns a
+    runnable plan for 50 randomized drifted-h distributions — the run
+    can no longer abort on 'no feasible tier ladder rung'."""
+    _run_robust_trials(50, max_fallback_frac=0.3)

@@ -79,3 +79,59 @@ def test_slab_mesh_real_devices_functional():
         lambda v: jax.lax.psum(v.sum(), "dom"), mesh=mesh,
         in_specs=(P("dom"),), out_specs=P()))(x)
     assert float(total) == float(np.arange(len(devs) * 4).sum())
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.medium
+@pytest.mark.multichip
+def test_two_slice_virtual_sharded_step():
+    """VERDICT r4 item 8: a VIRTUAL two-slice run — 8 CPU devices as
+    2 mocked slices of 4 chips (DCN topology from config), one full
+    sharded Pallas VE step over the slice-major slab mesh, and the
+    ring's DCN-crossing count asserted. The reference analog is
+    multi-node MPI (SURVEY §2.7): within-slice links ride ICI, the
+    two slice-boundary links (3->4 and the 7->0 wrap) ride DCN."""
+    from sphexa_tpu.config import SphConfig
+    from sphexa_tpu.domain.slab import AXIS, SlabConfig
+    from sphexa_tpu.init.sedov import init_sedov
+    from sphexa_tpu.ops.cellmajor import CMGrid
+    from sphexa_tpu.propagator.ve_pallas_sharded import (
+        make_ve_step_pallas_sharded)
+    from sphexa_tpu.propagator.ve_sharded import distribute
+    from sphexa_tpu.state import SimState, _FIELDS
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_slab_mesh(devs[:8], AXIS, chips_per_slice=4)
+
+    # the mocked 2-slice layout: device k sits in slice k//4; the ±1
+    # slab ring must cross the slice boundary exactly twice
+    order = list(mesh.devices.ravel())
+    slice_of = {d: i // 4 for i, d in enumerate(devs[:8])}
+    crossings = sum(1 for a, b in zip(order, order[1:] + order[:1])
+                    if slice_of[a] != slice_of[b])
+    assert crossings == 2, (
+        f"2-slice slab ring must cross DCN twice, got {crossings}")
+
+    side = 10
+    cfg = SphConfig(chunk=512, cell_cap=96, ngpad=160)
+    state, box, cfg = init_sedov(side, cfg, dt0=1e-5)
+    n = side ** 3
+    grid = CMGrid(n=8, cap=128, nzi=1)
+    sc = SlabConfig(n_slabs=8, cap=n // 8 * 2 + 64, halo_cap=64,
+                    mig_cap=128)
+    host = {f: np.asarray(getattr(state.p, f)) for f in _FIELDS[:-1]}
+    ps = distribute(host, box, sc, mesh)
+    st = SimState(p=ps, ttot=state.ttot, dt=state.dt, dt_m1=state.dt_m1,
+                  iteration=state.iteration)
+    step = make_ve_step_pallas_sharded(box, grid, cfg, sc, mesh,
+                                       interpret=True)
+    st, diag = step(st)
+    jax.block_until_ready(st.p.x)
+    assert int(diag.lost) == 0
+    assert int(diag.overflow) == 0
+    assert int(diag.n_owned) == n
+    assert np.isfinite(float(diag.etot))
