@@ -186,9 +186,14 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done, ck=None,
     while float(state.ttot) < t_end:
         p = state.p
         alive = np.asarray(p.alive)
+        # headroom escalates with the retry count: a re-tier from the
+        # same distribution with the same slot budget reproduces an
+        # overflow fold deterministically (queue10 noh: fold=16 across
+        # 8 identical re-tiers)
         tiers, h_clip = choose_tiers_robust(
             box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128,
-            cap_max_top=128, verbose=True)
+            cap_max_top=128, verbose=True,
+            headroom=8 << min(retier, 4))
         if tiers is None:
             print("# tiering infeasible even with h-clip; falling back",
                   flush=True)

@@ -132,7 +132,8 @@ def _subbox(box: Box, xs, ys, zs, margin: float) -> Box:
 def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
                  theta: float = 1.5, max_tiers: int = 4,
                  n_candidates: int = 16, grid_slack: float = 1.1,
-                 top_headroom: float = 1.6, cap_max_top: int | None = None):
+                 top_headroom: float = 1.6, cap_max_top: int | None = None,
+                 headroom: int = 8):
     """Greedy top-down tier construction from the realized h
     distribution: the coarsest tier takes h_hi = h_max and stretches
     h_lo as deep as the cap budget allows; the remainder recurses on
@@ -198,15 +199,19 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
                  & (y <= sub.ymax) & (z >= sub.zmin) & (z <= sub.zmax))
         frame = inbox & (h >= h_lo / theta)
         try:
-            # headroom=8: slots beyond the realized max count so a few
-            # steps of drift/compression between host re-tierings don't
-            # overflow (measured: fold=29 after 2 rung cycles on the
-            # periodic spiked cluster with zero headroom)
+            # headroom (default 8): slots beyond the realized max count
+            # so a few steps of drift/compression between host
+            # re-tierings don't overflow (measured: fold=29 after 2
+            # rung cycles on the periodic spiked cluster with zero
+            # headroom). Callers ESCALATE it on overflow-fold retries —
+            # a re-tier from the same distribution is otherwise
+            # deterministic futility (noh gate queue10 2026-08-20:
+            # fold=16 reproduced across 8 identical re-tiers)
             cap, grid = choose_cap_and_grid(
                 sub, h_eff, int(frame.sum()),
                 x[frame], y[frame], z[frame], cap_min=32,
                 cap_max=(cap_max_top if top else cap_max),
-                headroom=8)
+                headroom=headroom)
         except ValueError:
             return None
         return grid, sub
@@ -260,7 +265,8 @@ def choose_tiers(box: Box, x, y, z, h, alive=None, cap_max: int = 128,
 def choose_tiers_auto(box: Box, x, y, z, h, alive=None,
                       cap_max: int = 128, max_tiers: int = 4,
                       verbose: bool = False,
-                      cap_max_top: int | None = None):
+                      cap_max_top: int | None = None,
+                      headroom: int = 8):
     """choose_tiers with an adaptive (grid_slack, theta) ladder.
 
     The two knobs trade off against the cap through the same cell-
@@ -299,7 +305,8 @@ def choose_tiers_auto(box: Box, x, y, z, h, alive=None,
                                  cap_max=cap_max, theta=th,
                                  max_tiers=max_tiers, grid_slack=gs,
                                  top_headroom=hr,
-                                 cap_max_top=cap_max_top)
+                                 cap_max_top=cap_max_top,
+                                 headroom=headroom)
         except ValueError as e:
             last = e
             continue
@@ -317,7 +324,8 @@ def choose_tiers_robust(box: Box, x, y, z, h, alive=None,
                         cap_max: int = 128, max_tiers: int = 4,
                         verbose: bool = False,
                         cap_max_top: int | None = None,
-                        clip_quantiles=(1.0, 0.995, 0.98, 0.95)):
+                        clip_quantiles=(1.0, 0.995, 0.98, 0.95),
+                        headroom: int = 8):
     """choose_tiers_auto that NEVER raises (VERDICT r4 item 3: the
     tiered path must not be able to abort a run).
 
@@ -343,7 +351,8 @@ def choose_tiers_robust(box: Box, x, y, z, h, alive=None,
                                       cap_max=cap_max,
                                       max_tiers=max_tiers,
                                       verbose=verbose,
-                                      cap_max_top=cap_max_top)
+                                      cap_max_top=cap_max_top,
+                                      headroom=headroom)
         except ValueError:
             continue
         if clip is not None and verbose:
