@@ -60,6 +60,40 @@ def _pick_cap_grid(state, box, h_eff, n, headroom=0):
                                headroom=headroom)
 
 
+def _plan_128(state, box, cfg, n, headroom):
+    """(cap, grid, cfg, state) INSIDE the proven cap-128 compile
+    envelope (tpu_queue8: the v5e remote compile dies at cap >= 256).
+    First the plain joint scan at the realized h; on deep contrast the
+    bounded-h plan (SphConfig.h_cap, the sedov_gate lever): clamp the
+    rarefied-tail h so the occupancy-sized grid stays legal."""
+    import numpy as np
+
+    from sphexa_tpu.ops.cellmajor import (choose_cap_and_grid,
+                                          choose_grid_with_hcap)
+
+    alive = np.asarray(state.p.alive)
+    xs = np.asarray(state.p.x)[alive]
+    ys = np.asarray(state.p.y)[alive]
+    zs = np.asarray(state.p.z)[alive]
+    h_alive = np.asarray(state.p.h)[alive]
+    h_eff = float(h_alive.max()) * 1.2
+    try:
+        cap, grid = choose_cap_and_grid(box, h_eff, n, xs, ys, zs,
+                                        cap_max=128, headroom=headroom)
+        return cap, grid, cfg, state
+    except ValueError:
+        cap, grid, h_cap = choose_grid_with_hcap(
+            box, n, xs, ys, zs, cap_max=128, headroom=headroom)
+        frac = float((h_alive > h_cap).mean())
+        print(f"# h-cap plan: cap={cap} grid={grid} h_cap={h_cap:.4g} "
+              f"(clamps {100 * frac:.2f}%)", file=__import__("sys").stderr)
+        assert frac < 0.05, f"h_cap would clamp {frac:.1%} of particles"
+        cfg = cfg.replace(h_cap=float(h_cap))
+        state = state.replace(p=state.p.replace(
+            h=np.minimum(np.asarray(state.p.h), h_cap)))
+        return cap, grid, cfg, state
+
+
 def main():
     small = os.environ.get("SPHEXA_BENCH_SMALL")
     # CPU-forcing for verification runs while the TPU tunnel is down
@@ -143,12 +177,16 @@ def main():
                         raise SystemExit("overflow persists after "
                                          "repeated evolve re-grids")
                     state = saved
-                    h_max = float(np.max(np.asarray(state.p.h)
-                                         [np.asarray(state.p.alive)]))
-                    cap, grid = _pick_cap_grid(state, box, h_max * 1.2, n,
-                                               headroom=headroom)
+                    # stay INSIDE the cap-128 compile envelope: the
+                    # unconstrained re-grid picked cap 256 on the
+                    # evolved shock (queue6/queue10) — the v5e compile
+                    # wall — where the bounded-h plan keeps cap 128 by
+                    # clamping the rarefied tail
+                    cap, grid, cfg, state = _plan_128(state, box, cfg, n,
+                                                      headroom)
                     print(f"# evolve re-grid at step {done}: cap->{cap} "
-                          f"(headroom {headroom})", file=_sys.stderr)
+                          f"(headroom {headroom}, hcap={cfg.h_cap:.4g})",
+                          file=_sys.stderr)
                     pre = ResidentVE(box, grid, cfg, interpret=interp)
                     rst = pre.bind(state)
                     continue
@@ -158,12 +196,11 @@ def main():
                   f"before BDT binding", file=__import__('sys').stderr)
             # re-pick the slot geometry for the evolved (compressed)
             # density field, keeping drift headroom for the timed region
-            h_max = float(np.max(np.asarray(state.p.h)
-                                 [np.asarray(state.p.alive)]))
-            cap2, grid2 = _pick_cap_grid(state, box, h_max * 1.2, n,
-                                         headroom=max(headroom, 32))
+            cap2, grid2, cfg, state = _plan_128(state, box, cfg, n,
+                                                max(headroom, 32))
             if grid2 != grid:
-                print(f"# re-grid for evolved state: cap {cap}->{cap2}",
+                print(f"# re-grid for evolved state: cap {cap}->{cap2} "
+                      f"(hcap={cfg.h_cap:.4g})",
                       file=__import__('sys').stderr)
                 cap, grid = cap2, grid2
                 evolve = 0   # pre engine no longer matches the grid

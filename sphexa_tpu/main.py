@@ -61,7 +61,8 @@ def parse_args(argv=None):
                             "nbody", "turbulence-ve", "turbulence-ve-bdt",
                             "std-cooling", "ve-hilbert", "ve-pallas-sharded",
                             "ve-bdt-sharded", "ve-tiered-sharded",
-                            "turbulence-ve-bdt-sharded"],
+                            "turbulence-ve-bdt-sharded",
+                            "ve-pallas-tiles"],
                    help="propagator choice (reference: --prop); ve-hilbert, "
                         "ve-pallas-sharded and ve-bdt-sharded run multi-chip "
                         "over ALL attached devices (the mpiexec-equivalent "
