@@ -411,26 +411,42 @@ def main():
         # re-tier-on-fold (main.py retry semantics): a fold block is
         # DISCARDED, fresh bands follow the drifted h field (vacuum-edge
         # envelopes legitimately outgrow the top band during collapse)
+        from sphexa_tpu.propagator.ve_tiered import choose_tiers_robust
+        cfg_evr = cfg
         for attempt in range(4):
             p = state.p
             alive = np.asarray(p.alive)
-            # adaptive (slack, theta) ladder: h-growth headroom first,
-            # the exact band audit as the correctness gate
-            tiers = choose_tiers_auto(box, p.x, p.y, p.z, p.h,
-                                      alive=alive, cap_max=128)
+            # robust ladder (never raises): the h-clip form caps the
+            # envelope tail via SphConfig.h_cap, so clamp folds cannot
+            # recur every block (queue10: 2.6% of N rode the tier roof
+            # and re-folded each attempt); escalating slot headroom
+            # like the gates
+            tiers, h_clip = choose_tiers_robust(
+                box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128,
+                headroom=8 << min(attempt, 3))
+            assert tiers is not None, (
+                "no tier ladder even with h-clip — the tiered bench "
+                "has no meaning on the XLA fallback")
+            if h_clip is not None:
+                cfg_evr = cfg.replace(h_cap=float(h_clip))
+                state = state.replace(p=state.p.replace(
+                    h=jnp.minimum(state.p.h, h_clip)))
+            else:
+                cfg_evr = cfg
             print(f"# tiers ({'resident' if resident else 'rebuild'}, "
                   f"attempt {attempt}): "
-                  f"{[(t.grid.n, t.grid.cap) for t in tiers]}",
+                  f"{[(t.grid.n, t.grid.cap) for t in tiers]} "
+                  f"hcap={cfg_evr.h_cap:.4g}",
                   file=_sys.stderr)
             if resident:
                 bind, step1 = make_ve_step_pallas_tiered_resident(
-                    box, tiers, cfg, interpret=not on_tpu,
+                    box, tiers, cfg_evr, interpret=not on_tpu,
                     split_gravity=split)
                 st = bind(state)
                 leaf = lambda s: s.state.p.x
                 pstate = lambda s: s.state
             else:
-                step1 = make_ve_step_pallas_tiered(box, tiers, cfg,
+                step1 = make_ve_step_pallas_tiered(box, tiers, cfg_evr,
                                                    interpret=not on_tpu,
                                                    split_gravity=split)
                 st = state
@@ -582,17 +598,29 @@ def main():
         dt_wall = (time.perf_counter() - t0) / iters
 
     pups = n / dt_wall
+    # engine annotation (ADVICE r4): a fallback path's throughput must
+    # be distinguishable from the Pallas engines' in the records
+    if case == "evrard" and (on_tpu or os.environ.get("SPHEXA_BENCH_FORCE")):
+        engine = ("tiered-resident" if os.environ.get(
+            "SPHEXA_BENCH_TIERED", "resident") != "rebuild"
+            else "tiered-rebuild")
+    elif on_tpu:
+        engine = "resident"
+    else:
+        engine = "xla"
     print(json.dumps({
         "metric": f"{case}_particle_updates_per_sec",
         "value": pups,
         "unit": "particles/s",
         "vs_baseline": pups / BASELINE_PUPS,
+        "engine": engine,
     }))
-    _append_history(pups, side, jax.devices()[0].platform, case)
+    _append_history(pups, side, jax.devices()[0].platform, case,
+                    engine=engine)
 
 
 def _append_history(pups: float, side: int, platform: str,
-                    case: str = "sedov"):
+                    case: str = "sedov", engine: str = ""):
     """Regression tracking (the ReFrame-CI analog of the reference's
     nightly perf binaries, .jenkins/reframe_ci.py): append every run to
     BENCH_HISTORY.jsonl with the git revision, and warn on stderr if
@@ -622,9 +650,11 @@ def _append_history(pups: float, side: int, platform: str,
     except FileNotFoundError:
         pass
     with open(path, "a") as f:
-        f.write(json.dumps({"ts": time.time(), "rev": rev, "side": side,
-                            "platform": platform, "case": case,
-                            "pups": pups}) + "\n")
+        rec = {"ts": time.time(), "rev": rev, "side": side,
+               "platform": platform, "case": case, "pups": pups}
+        if engine:
+            rec["engine"] = engine
+        f.write(json.dumps(rec) + "\n")
     if best > 0 and pups < 0.9 * best:
         print(f"# PERF REGRESSION: {pups / 1e6:.2f}M < 90% of best "
               f"{best / 1e6:.2f}M (side={side}, {platform})",
