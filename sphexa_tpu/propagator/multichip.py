@@ -202,13 +202,19 @@ class MultiChipAdapter:
             # VERDICT r4 weak #7)
             from jax.sharding import Mesh
             from sphexa_tpu.domain.hilbert import AXIS as TAXIS
-            from sphexa_tpu.ops.cellmajor import choose_cm_grid
+            from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
             from sphexa_tpu.propagator.ve_pallas_tiles import (
                 TileDomain, distribute_tiles, make_ve_step_pallas_tiles,
                 plan_tile_caps)
 
-            grid = choose_cm_grid(box, h_max * 1.25, self.n_global,
-                                  cap=128)
+            interpret = devices[0].platform != "tpu"
+            # occupancy-joint cap; clustered fields need caps past the
+            # v5e's 128 compile ceiling — interpret mode has no such
+            # ceiling, on hardware the tiered engines serve that regime
+            _cap, grid = choose_cap_and_grid(
+                box, h_max * 1.25, self.n_global, host["x"], host["y"],
+                host["z"], cap_max=4096 if interpret else 128,
+                headroom=16)
             R = 1 << (max(D.bit_length() - 1, 0) // 2)   # R*C = D, R<=C
             C = D // R
             rows_cap, zcols_cap = plan_tile_caps(

@@ -273,6 +273,13 @@ def make_ve_step_pallas_tiles(box: Box, td: TileDomain, cap_cell: int,
                         .astype(jnp.float32))
             sz_d.append(_wrap_shift(iz, ca, cb, n, per_z)[idx]
                         .astype(jnp.float32))
+        import os as _os
+        if _os.environ.get("TILES_DEBUG"):
+            jax.debug.print(
+                "tiles dbg rank={r} lost_mig={m} lost_halo={h} n_own={n} "
+                "rect=[{a},{b}]x[{c},{d}]",
+                r=me, m=lost_mig, h=lost_halo, n=n_own,
+                a=r0, b=r_hi, c=c0, d=c_hi)
         idx_d = jnp.stack(idx_d)          # [D, H]
         sv_d = jnp.stack(sv_d)            # [D, H]
         sx_d = jnp.stack(sx_d) * box.lx   # [D, H] coordinate shifts

@@ -106,8 +106,15 @@ def test_tiles_accept_evrard():
     alive = np.asarray(state.p.alive)
     n_part = int(alive.sum())
     h_alive = np.asarray(state.p.h)[alive]
-    grid = choose_cm_grid(box, float(h_alive.max()) * 1.3, n_part,
-                          cap=128)
+    # occupancy-joint cap: the envelope h bounds the grid at n~2-4, so
+    # the uniform cap must absorb the central occupancy (interpret mode
+    # has no Mosaic cap ceiling; on the v5e this composition runs the
+    # tiered engines instead)
+    from sphexa_tpu.ops.cellmajor import choose_cap_and_grid
+    cap, grid = choose_cap_and_grid(
+        box, float(h_alive.max()) * 1.3, n_part,
+        np.asarray(state.p.x)[alive], np.asarray(state.p.y)[alive],
+        np.asarray(state.p.z)[alive], cap_max=4096, headroom=16)
 
     R, C = 2, 2
     td = _tile_domain(box, state, grid.n, R, C, n_part)
