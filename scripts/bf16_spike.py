@@ -134,19 +134,22 @@ def gather(n=1_000_000, k=160, reps=20):
     # within a +-2000 window, like a sorted Sedov frame)
     base = np.arange(n, dtype=np.int32)[:, None]
     off = rng.integers(-2000, 2000, size=(n, k), dtype=np.int32)
-    idx = jnp.asarray(np.clip(base + off, 0, n - 1))
-    field = jnp.asarray(rng.random(n, dtype=np.float32))
+    # device argument, NOT a closure capture: a captured index array
+    # bakes 640 MB of constants into the program and the tunnel's
+    # remote-compile rejects the upload (HTTP 413, queue10 13:49)
+    idx = jax.device_put(np.clip(base + off, 0, n - 1))
+    field = jax.device_put(rng.random(n, dtype=np.float32))
 
     @jax.jit
-    def one(field):
+    def one(field, idx):
         g = jnp.take(field, idx, axis=0)          # [n, k] gather
         return jnp.sum(g * g, axis=1)             # pair-style reduce
 
-    r = one(field)
+    r = one(field, idx)
     _ = float(r[0])
     t0 = time.perf_counter()
     for _ in range(reps):
-        r = one(field)
+        r = one(field, idx)
     _ = float(r[0])
     dt = (time.perf_counter() - t0) / reps
     bw = n * k * 4 / dt / 1e9
