@@ -207,49 +207,59 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done, ck=None,
         print(f"# tiered engine: {[(t.grid.n, t.grid.cap) for t in tiers]} "
               f"t={float(state.ttot):.5f} hcap={cfg_run.h_cap:.4g}",
               flush=True)
+        saved = state
         try:
             step = make_ve_step_pallas_tiered(box, tiers, cfg_run,
                                               interpret=interp)
             state_try, d = step(state)   # first step compiles
             steps_done += 1
-        except Exception as e:   # Mosaic compile / VMEM failure
-            print(f"# tiered compile failed ({type(e).__name__}: "
-                  f"{str(e)[:200]}); falling back", flush=True)
-            return state, None, cfg, steps_done
-        if int(d.max_cell_count):
-            state_try = state    # discard the folded first step
-        else:
-            state = state_try
-        folded = False
-        while float(state.ttot) < t_end:
-            saved = state
-            fold = 0
-            for _ in range(10):
-                state, d = step(state)
-                steps_done += 1
-                fold = int(d.max_cell_count)
-                if fold or float(state.ttot) >= t_end:
+            if int(d.max_cell_count):
+                state_try = state    # discard the folded first step
+            else:
+                state = state_try
+            folded = False
+            while float(state.ttot) < t_end:
+                saved = state
+                fold = 0
+                for _ in range(10):
+                    state, d = step(state)
+                    steps_done += 1
+                    fold = int(d.max_cell_count)
+                    if fold or float(state.ttot) >= t_end:
+                        break
+                print(f"#   t={float(state.ttot):.5f} "
+                      f"dt={float(d.dt):.3e} fold={fold} "
+                      f"steps={steps_done} "
+                      f"wall={wall0 + time.perf_counter() - t0:.0f}s",
+                      flush=True)
+                if fold:
+                    # h outgrew a tier band / slot overflow: re-tier
+                    # from the last good state (fresh bands follow the
+                    # realized h distribution)
+                    state = saved
+                    retier += 1
+                    if retier >= 8:
+                        print("# re-tiering does not converge; "
+                              "falling back", flush=True)
+                        return state, None, cfg_run, steps_done
+                    folded = True
                     break
-            print(f"#   t={float(state.ttot):.5f} dt={float(d.dt):.3e} "
-                  f"fold={fold} steps={steps_done} "
-                  f"wall={wall0 + time.perf_counter() - t0:.0f}s",
-                  flush=True)
-            if fold:
-                # h outgrew a tier band / slot overflow: re-tier from
-                # the last good state (fresh bands follow the realized
-                # h distribution)
-                state = saved
-                retier += 1
-                if retier >= 8:
-                    print("# re-tiering does not converge; falling back",
-                          flush=True)
-                    return state, None, cfg_run, steps_done
-                folded = True
-                break
-            if ck is not None:
-                ck.save(state, cfg_run, box, steps_done=steps_done,
-                        side=side, phase="tiered",
-                        wall_s=wall0 + time.perf_counter() - t0)
+                if ck is not None:
+                    ck.save(state, cfg_run, box, steps_done=steps_done,
+                            side=side, phase="tiered",
+                            wall_s=wall0 + time.perf_counter() - t0)
+        except Exception as e:
+            # compile failure OR async execution failure (surfaces at
+            # the diag readback — queue11: deterministic
+            # InvalidArgument on the re-tiered engine's first block).
+            # A DEAD backend must propagate so the process-level
+            # resume loop restarts us instead of crashing again in
+            # the XLA phase.
+            if "UNAVAILABLE" in str(e):
+                raise
+            print(f"# tiered engine failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); falling back", flush=True)
+            return saved, None, cfg_run, steps_done
         if not folded:
             break
     return state, tiers, cfg_run, steps_done
