@@ -71,7 +71,21 @@ class GateCkpt:
             self.meta = json.load(f)
         state, box, cfg = load_checkpoint(self.h5, cfg, capacity=capacity)
         self.meta["resumes"] = self.meta.get("resumes", 0) + 1
+        # persist the incremented count NOW: a crash-looping attempt
+        # that never reaches its next snapshot would otherwise report
+        # resumes=1 forever
+        with open(self.meta_path + ".tmp", "w") as f:
+            json.dump(self.meta, f)
+        os.replace(self.meta_path + ".tmp", self.meta_path)
         return state, box, cfg
+
+    def save_meta(self, **meta):
+        """Persist metadata WITHOUT touching the device (usable when
+        the backend is poisoned and no array can be read back)."""
+        self.meta.update(meta)
+        with open(self.meta_path + ".tmp", "w") as f:
+            json.dump(self.meta, f)
+        os.replace(self.meta_path + ".tmp", self.meta_path)
 
     def clear(self):
         for p in (self.h5, self.meta_path):

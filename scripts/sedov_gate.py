@@ -251,14 +251,18 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done, ck=None,
         except Exception as e:
             # compile failure OR async execution failure (surfaces at
             # the diag readback — queue11: deterministic
-            # InvalidArgument on the re-tiered engine's first block).
-            # A DEAD backend must propagate so the process-level
-            # resume loop restarts us instead of crashing again in
-            # the XLA phase.
-            if "UNAVAILABLE" in str(e):
-                raise
+            # InvalidArgument on the re-tiered engine's first block,
+            # which POISONS the backend: every later readback fails
+            # too, so an in-process XLA fallback is impossible). Pin
+            # the resume phase to XLA via a host-only metadata write
+            # and let the process restart; true compile failures
+            # (backend still alive) fall back in-process.
             print(f"# tiered engine failed ({type(e).__name__}: "
                   f"{str(e)[:200]}); falling back", flush=True)
+            if "UNAVAILABLE" in str(e) or "INVALID_ARGUMENT" in str(e):
+                if ck is not None:
+                    ck.save_meta(phase="xla")
+                raise
             return saved, None, cfg_run, steps_done
         if not folded:
             break
