@@ -180,7 +180,14 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done, ck=None,
         choose_tiers_robust, make_ve_step_pallas_tiered)
 
     interp = jax.devices()[0].platform != "tpu"
-    retier = 0
+    # retier persists ACROSS process restarts (ck.meta): on the v5e a
+    # SECOND tiered engine built in one process dies with a
+    # deterministic InvalidArgument that poisons the backend (queue11
+    # attempts 1-9), and the XLA fallback crashes the worker outright
+    # at 100^3 (queue9/queue11 attempt 10) — so each process runs ONE
+    # plan, snapshots at the fold, and exits; the resumed process
+    # re-plans with escalated headroom
+    retier = int(ck.meta.get("retier", 0)) if ck is not None else 0
     tiers = None
     cfg_run = cfg
     while float(state.ttot) < t_end:
@@ -238,10 +245,23 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done, ck=None,
                     # realized h distribution)
                     state = saved
                     retier += 1
-                    if retier >= 8:
+                    if retier >= 24:
                         print("# re-tiering does not converge; "
                               "falling back", flush=True)
                         return state, None, cfg_run, steps_done
+                    if ck is not None:
+                        # process-per-plan (see retier comment above):
+                        # snapshot the last good state + the escalated
+                        # retry count, then hand control back to the
+                        # resume loop — a fresh process builds the
+                        # next plan
+                        ck.save(state, cfg_run, box,
+                                steps_done=steps_done, side=side,
+                                phase="tiered", retier=retier,
+                                wall_s=wall0 + time.perf_counter() - t0)
+                        print(f"# fold -> fresh-process re-tier "
+                              f"(retier={retier})", flush=True)
+                        raise SystemExit(1)
                     folded = True
                     break
                 if ck is not None:
@@ -257,11 +277,16 @@ def run_tiered_phase(state, box, cfg, t_end, t0, steps_done, ck=None,
             # the resume phase to XLA via a host-only metadata write
             # and let the process restart; true compile failures
             # (backend still alive) fall back in-process.
+            if isinstance(e, SystemExit):
+                raise
             print(f"# tiered engine failed ({type(e).__name__}: "
                   f"{str(e)[:200]}); falling back", flush=True)
             if "UNAVAILABLE" in str(e) or "INVALID_ARGUMENT" in str(e):
                 if ck is not None:
-                    ck.save_meta(phase="xla")
+                    # stay on the tiered path in the next process (the
+                    # XLA engine crashes the v5e worker at this size);
+                    # bump retier so the re-plan differs
+                    ck.save_meta(phase="tiered", retier=retier + 1)
                 raise
             return saved, None, cfg_run, steps_done
         if not folded:
