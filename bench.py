@@ -413,7 +413,12 @@ def main():
         # envelopes legitimately outgrow the top band during collapse)
         from sphexa_tpu.propagator.ve_tiered import choose_tiers_robust
         cfg_evr = cfg
-        for attempt in range(4):
+        # ~10 attempts, each advancing ~a block before folding: the
+        # sphere-edge nc-deficiency transient grows edge h every step
+        # for the first ~20 steps (independent of dt0) — re-tiers ride
+        # it out until the edge h settles at nc ~ ng0, after which the
+        # timed region is fold-free
+        for attempt in range(10):
             p = state.p
             alive = np.asarray(p.alive)
             # robust ladder (never raises): the h-clip form caps the
@@ -423,7 +428,8 @@ def main():
             # like the gates
             tiers, h_clip = choose_tiers_robust(
                 box, p.x, p.y, p.z, p.h, alive=alive, cap_max=128,
-                headroom=8 << min(attempt, 3))
+                headroom=8 << min(attempt, 3),
+                clip_quantiles=(1.0, 0.995, 0.98, 0.95, 0.9, 0.8))
             assert tiers is not None, (
                 "no tier ladder even with h-clip — the tiered bench "
                 "has no meaning on the XLA fallback")
@@ -518,7 +524,7 @@ def main():
                   file=_sys.stderr)
             state = pstate(prev)   # discard the folded block
         else:
-            raise AssertionError("tiered folds persist after 4 re-tiers")
+            raise AssertionError("tiered folds persist after 10 re-tiers")
         # physics gate: the bench barely advances t, so the density must
         # still track the analytic IC law rho = M / (2 pi R^2 r)
         # (evrard_solution.py digitizes the later-time PPM profiles)

@@ -137,11 +137,11 @@ class SphConfig:
     # Fraction of alive particles allowed to sit at a tier's h support
     # bound before the tiered engines fold the step (ve_tiered.py).
     # The vacuum-edge envelope of a collapsing cloud legitimately and
-    # PREDICTABLY outgrows the top band (queue9 2026-08-20: every
-    # Evrard-50 fold was pure clamp, 1.4% of N) — a bounded clamp
-    # population is the h_cap semantics, not an error. 0 restores the
-    # strict any-clamp-folds behavior.
-    clamp_frac_budget: float = 0.02
+    # PREDICTABLY outgrows the top band (queue9/12 2026-08-20: every
+    # Evrard-50 fold was pure clamp at ~2.6% of the alive set) — a
+    # bounded clamp population is the h_cap semantics, not an error.
+    # 0 restores the strict any-clamp-folds behavior.
+    clamp_frac_budget: float = 0.03
 
     # neighbor-engine shape parameters (static!)
     cell_cap: int = 64        # max particles per search cell

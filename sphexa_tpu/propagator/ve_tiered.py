@@ -821,13 +821,16 @@ def _tiered_forces(ps, dt_prev, layouts, engines, box: Box,
                 # Budgeted clamps (SphConfig.clamp_frac_budget): a
                 # bounded population riding a tier's h support bound is
                 # the h_cap semantics (vacuum-edge envelopes PREDICTABLY
-                # outgrow the top band — queue9 2026-08-20: every
-                # Evrard-50 fold was pure clamp at 1.4% of N), not
-                # truncated physics: the clamped h keeps every candidate
-                # set complete within its tier stencil. Only a clamp
-                # population past the budget folds the step (re-tier).
+                # outgrow the top band — queue9/12 2026-08-20: every
+                # Evrard-50 fold was pure clamp at ~2.6% of the alive
+                # set), not truncated physics: the clamped h keeps every
+                # candidate set complete within its tier stencil. Only a
+                # clamp population past the budget folds the step
+                # (re-tier). Budget base = the OWNED row count (the
+                # frame capacity over-counts padding).
                 fold=overflow + unowned + jnp.where(
-                    clamped > jnp.int32(cfg.clamp_frac_budget * n),
+                    clamped > (cfg.clamp_frac_budget
+                               * jnp.sum(owned)).astype(jnp.int32),
                     clamped, 0),
                 fold_parts=jnp.stack([
                     jnp.asarray(overflow, jnp.int32),

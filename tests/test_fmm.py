@@ -78,6 +78,7 @@ def test_fmm_nonuniform_cluster():
     assert rms < 0.03, rms
 
 
+@pytest.mark.medium
 def test_min_sep_accuracy_classes():
     """min_sep is the MAC theta analog (reference evaluates a MAC per
     cell pair, ryoanji traversal; here the separation class is the

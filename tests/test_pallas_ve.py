@@ -125,6 +125,7 @@ def test_resident_engine_matches_compat():
         assert np.abs(b - a).max() / scale < 2e-3, f
 
 
+@pytest.mark.medium
 def test_unbind_snapshot_survives_donation():
     """bind/unbind snapshots must not alias the resident frame: steps()
     donates the frame, and an aliased scalar made an overflow-retry

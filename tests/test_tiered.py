@@ -335,6 +335,7 @@ def test_choose_tiers_auto_ladder():
         assert tier_support_bound(t) >= min(t.h_hi, h.max()) * 0.999
 
 
+@pytest.mark.medium
 def test_split_gravity_matches_fused():
     """The split-gravity step (SPH and FMM in separate programs — the
     v5e second-combined-program workaround) must match the fused step
