@@ -265,7 +265,8 @@ def resident_advance(state, box, cfg, t_end, t0, ck, side,
                 snap = eng.unbind(rst, state.p.n)
                 ck.save(snap, cfg_run, box, steps_done=steps_done,
                         headroom=headroom, n_alive=n, side=side,
-                        hcap_mode=hcap_mode, wall_s=wall)
+                        hcap_mode=hcap_mode, phase="resident",
+                        wall_s=wall)
         if not overflowed:
             state = eng.unbind(rst, state.p.n)
             break

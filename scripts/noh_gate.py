@@ -69,20 +69,38 @@ def main():
     eng = grid = None
     cfg_run = cfg
     steps_done = int(ck.meta.get("steps_done", 0))
-    if ck.meta.get("phase") in ("tiered", "xla"):
-        # resume directly into the deep phase (re-planning the uniform
-        # engine at the snapshot's contrast would just bounce back)
+    phase = ck.meta.get("phase")
+    if phase in ("tiered", "xla", "resident"):
+        # resume directly into the recorded phase (re-planning the
+        # early uniform engine at the snapshot's contrast would just
+        # bounce back)
         pass
     else:
         state, cfg_run, eng, grid, steps_done = resident_advance(
             state, box, cfg, t_end, t0, ck, side, deep="return")
     if float(state.ttot) < t_end:
         wall0 = float(ck.meta.get("wall_s", 0.0))
-        if ck.meta.get("phase") != "xla":
+        if phase not in ("xla", "resident"):
             state, tiers, cfg_run, steps_done = run_tiered_phase(
                 state, box, cfg, t_end, t0, steps_done, ck=ck, side=side,
                 wall0=wall0)
-        if tiers is None and float(state.ttot) < t_end:
+        if tiers is None and phase != "xla" \
+                and float(state.ttot) < t_end:
+            # bounded-h resident plan: Noh's 1/r density is integrable
+            # — the occupancy-sized grid holds ~100 particles in the
+            # central cell and the h bound clamps only the nc-starved
+            # cube-corner tail. The ladder goes infeasible once the
+            # wall's steep h gradient mixes bands (t >~ 0.015 at
+            # side 100), and the XLA path crashes the v5e worker —
+            # this is the engine that carries the rest of the run
+            # (the sedov-gate lever, resident_advance deep="hcap").
+            try:
+                state, cfg_run, eng, grid, steps_done = resident_advance(
+                    state, box, cfg, t_end, t0, ck, side, deep="hcap")
+            except AssertionError as e:
+                print(f"# bounded-h plan rejected ({e}); falling back "
+                      "to the XLA engine", flush=True)
+        if eng is None and tiers is None and float(state.ttot) < t_end:
             state, steps_done = run_xla_phase(
                 state, box, cfg, t_end, t0, steps_done, ck=ck, side=side,
                 wall0=wall0)

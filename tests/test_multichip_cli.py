@@ -99,3 +99,20 @@ def test_cli_ve_tiered_sharded_evrard(tmp_path):
     assert int(alive.sum()) > 0      # evrard carves a sphere from the cube
     assert np.isfinite(np.asarray(state.p.x)[alive]).all()
     assert np.isfinite(np.asarray(state.p.temp)[alive]).all()
+
+
+@pytest.mark.multichip
+@pytest.mark.slow
+@pytest.mark.medium
+def test_cli_ve_pallas_tiles_sedov(tmp_path):
+    """Balanced 2-D tile domain x Pallas engine from the front end on
+    8 virtual devices (--prop ve-pallas-tiles, VERDICT r4 item 7)."""
+    state = main(["--init", "sedov", "-n", "10", "-s", "2",
+                  "--prop", "ve-pallas-tiles", "--quiet",
+                  "--constants", str(tmp_path / "c.txt"),
+                  "-o", str(tmp_path / "d.h5")])
+    alive = np.asarray(state.p.alive)
+    assert int(alive.sum()) == 10 ** 3
+    assert np.isfinite(np.asarray(state.p.x)[alive]).all()
+    lines = (tmp_path / "c.txt").read_text().strip().splitlines()
+    assert len(lines) == 3  # header + 2 steps
