@@ -84,6 +84,12 @@ def main():
             state, tiers, cfg_run, steps_done = run_tiered_phase(
                 state, box, cfg, t_end, t0, steps_done, ck=ck, side=side,
                 wall0=wall0)
+        if tiers is None and phase not in ("xla", "resident") \
+                and float(state.ttot) < t_end:
+            # cache the infeasibility verdict: re-running the full
+            # robust ladder (25 rungs x 6 clip quantiles x exact
+            # audits) costs ~20 min per resumed attempt on this host
+            ck.save_meta(phase="resident")
         if tiers is None and phase != "xla" \
                 and float(state.ttot) < t_end:
             # bounded-h resident plan: Noh's 1/r density is integrable
