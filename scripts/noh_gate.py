@@ -101,8 +101,13 @@ def main():
             # this is the engine that carries the rest of the run
             # (the sedov-gate lever, resident_advance deep="hcap").
             try:
+                # hclamp budget 15%: the Noh h_cap sits just ABOVE the
+                # bulk h0 (margin 1.08), so clamped rows run at most a
+                # few % below their natural h (nc ~ 85-100) — mild,
+                # and the L1 gate measures the real physics impact
                 state, cfg_run, eng, grid, steps_done = resident_advance(
-                    state, box, cfg, t_end, t0, ck, side, deep="hcap")
+                    state, box, cfg, t_end, t0, ck, side, deep="hcap",
+                    hclamp_frac_max=0.15)
             except AssertionError as e:
                 print(f"# bounded-h plan rejected ({e}); falling back "
                       "to the XLA engine", flush=True)

@@ -218,7 +218,7 @@ def choose_cap_and_grid(box: Box, h_eff: float, n_global: int, xs, ys, zs,
 
 def choose_grid_with_hcap(box: Box, n_global: int, xs, ys, zs,
                           cap_max: int = 128, headroom: int = 8,
-                          margin: float = 1.15):
+                          margin: float = 1.08):
     """(cap, grid, h_cap): the COARSEST interior resolution whose
     realized occupancy (+headroom) fits a legal aligned cap <= cap_max,
     plus the bounded smoothing length that grid supports.
@@ -236,7 +236,15 @@ def choose_grid_with_hcap(box: Box, n_global: int, xs, ys, zs,
     fraction against its physics budget. Scans n upward (coarse ->
     fine), so the first feasible grid maximizes h_cap and therefore
     minimizes clamping. Raises ValueError if nothing fits below
-    cap_max (pathological clustering at every resolution)."""
+    cap_max (pathological clustering at every resolution).
+
+    margin trades clamp population against rebin cadence: 1.08 leaves
+    ~3% stencil slack beyond the hard 2h bound plus a thin drift
+    budget (the resident engine then rebins nearly every step — an
+    in-graph lax.cond, acceptable), while 1.15 once pushed the Noh
+    h_cap a hair BELOW the bulk h0 and would have clamped 75% of
+    particles (queue14 2026-08-20) where 1.08 clamps only the
+    nc-starved corner tail."""
     import math
 
     L = min(box.lx, box.ly, box.lz)

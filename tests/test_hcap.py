@@ -56,7 +56,7 @@ def test_choose_grid_with_hcap_occupancy_first():
     assert max_cell_count(grid, box, xs, ys, zs) + 8 <= cap
     # the h bound keeps 2h support inside the 27-stencil with margin
     edge = min(box.lx / grid.nx, box.ly / grid.n, box.lz / grid.nz)
-    assert 2.0 * h_cap * 1.15 <= edge * 1.0001
+    assert 2.0 * h_cap * 1.08 <= edge * 1.0001
 
 
 def test_resident_engine_hcap_accounting():
