@@ -128,7 +128,7 @@ def write_artifact(name: str, out: dict, passed: bool) -> str:
 def resident_advance(state, box, cfg, t_end, t0, ck, side,
                      cap_struct: int = 128, block: int = 20,
                      snapshot_every: int = 2, hclamp_frac_max: float = 0.05,
-                     deep: str = "hcap"):
+                     deep: str = "hcap", on_budget: str = "raise"):
     """Advance `state` to t_end on the resident cell-major Pallas
     engine, staying INSIDE the structural cap ceiling for the whole
     run. Crash-resumable: snapshots via `ck` every `snapshot_every`
@@ -150,7 +150,18 @@ def resident_advance(state, box, cfg, t_end, t0, ck, side,
     contrast like Noh/Evrard — takes over): the return is then
     (state, cfg, None, None, steps_done).
 
-    Returns (state, cfg_used, eng, grid, steps_done) at t >= t_end.
+    on_budget="stop": when the NEXT bounded-h plan would exceed the
+    clamp budget (a growing structure like the Noh plateau eventually
+    defeats every cap-128 uniform grid), return the farthest VALID
+    state instead of raising — the caller gates at the reached time.
+
+    Overflow handling backs the block size off (20 -> 5 -> 1) before
+    escalating headroom, so the good prefix of a partially-overflowing
+    block is kept, and the escalated headroom persists in the gate
+    metadata (a crash-restart would otherwise replay the same plan).
+
+    Returns (state, cfg_used, eng, grid, steps_done) at t >= t_end
+    (or at the budget stop).
     """
     import jax
 
@@ -205,8 +216,17 @@ def resident_advance(state, box, cfg, t_end, t0, ck, side,
             h=np.minimum(np.asarray(state.p.h), h_cap)))
         return cap, grid, state
 
+    block_cur = block
     while float(state.ttot) < t_end or eng is None:
-        cap, grid, state = plan(state)
+        try:
+            cap, grid, state = plan(state)
+        except AssertionError:
+            if on_budget == "stop" and eng is not None:
+                print(f"# bounded-h envelope exhausted at "
+                      f"t={float(state.ttot):.5f}; gating at the "
+                      f"reached time", flush=True)
+                return state, cfg_run, eng, grid, steps_done
+            raise
         if cap is None:   # deep contrast, caller's deep phase takes over
             ck.meta.update(steps_done=steps_done, headroom=headroom)
             return state, cfg, None, None, steps_done
@@ -221,7 +241,7 @@ def resident_advance(state, box, cfg, t_end, t0, ck, side,
             assert headroom <= 256, "bind overflow persists at headroom 256"
             continue
         overflowed = False
-        good_blocks = 0
+        steps_since_snap = 0
         while float(rst.ttot) < t_end:
             # snapshot the retry point BEFORE stepping: steps() donates
             # the frame, and an overflowed frame has silently DROPPED
@@ -229,10 +249,13 @@ def resident_advance(state, box, cfg, t_end, t0, ck, side,
             saved = eng.unbind(rst, state.p.n)
             # trim the final blocks so the run doesn't overshoot t_end
             # by a whole block once dt has grown; quantized sizes keep
-            # the number of distinct scan compiles bounded
+            # the number of distinct scan compiles bounded. block_cur
+            # also backs off after an overflow (salvage the good
+            # prefix of a partially-overflowing block).
             need = max(1, int((t_end - float(rst.ttot))
                               / max(float(rst.dt), 1e-30)) + 1)
-            k = next(b for b in (block, 5, 1) if b <= max(need, 1))
+            k = next(b for b in (block_cur, 5, 1)
+                     if b <= max(need, 1) and b <= block_cur)
             rst, diags = eng.steps(rst, k)
             steps_done += k
             ovf = int(diags.overflow[-1])
@@ -243,8 +266,20 @@ def resident_advance(state, box, cfg, t_end, t0, ck, side,
                   f"wall={wall:.0f}s", flush=True)
             if ovf:
                 state = saved
+                steps_done -= k   # the overflowed block is discarded
+                if block_cur > 1:
+                    # back the block off first: keep the good prefix
+                    # instead of replaying 20 steps into the same wall
+                    block_cur = 5 if block_cur > 5 else 1
+                    rst = eng.bind(state)
+                    if int(np.asarray(rst.overflow)) == 0:
+                        continue
                 headroom *= 2
-                assert headroom <= 256, "overflow persists at headroom 256"
+                assert headroom <= 1024, ("overflow persists at "
+                                          "headroom 1024")
+                # persist: a crash-restart must not replay the same
+                # exhausted plan (queue14: identical plan/ovf cycles)
+                ck.save_meta(headroom=headroom)
                 overflowed = True
                 break
             if ncl:
@@ -260,8 +295,10 @@ def resident_advance(state, box, cfg, t_end, t0, ck, side,
                 state = eng.unbind(rst, state.p.n)
                 overflowed = True   # re-enter the planning loop
                 break
-            good_blocks += 1
-            if good_blocks % snapshot_every == 0:
+            steps_since_snap += k
+            block_cur = min(block, block_cur * 2)   # recover after backoff
+            if steps_since_snap >= snapshot_every * block:
+                steps_since_snap = 0
                 snap = eng.unbind(rst, state.p.n)
                 ck.save(snap, cfg_run, box, steps_done=steps_done,
                         headroom=headroom, n_alive=n, side=side,

@@ -107,10 +107,27 @@ def main():
                 # and the L1 gate measures the real physics impact
                 state, cfg_run, eng, grid, steps_done = resident_advance(
                     state, box, cfg, t_end, t0, ck, side, deep="hcap",
-                    hclamp_frac_max=0.15)
+                    hclamp_frac_max=0.15, on_budget="stop")
             except AssertionError as e:
-                print(f"# bounded-h plan rejected ({e}); falling back "
-                      "to the XLA engine", flush=True)
+                if float(state.ttot) >= 0.4 * t_end:
+                    # the growing plateau eventually defeats every
+                    # cap-128 uniform grid; gate at the farthest
+                    # VALID time (the relaxed re-plan only builds the
+                    # engine for the forces-only density pass — zero
+                    # steps run at t >= t_end)
+                    print(f"# bounded-h budget exhausted "
+                          f"(t={float(state.ttot):.5f} >= 40% of "
+                          f"t_end); gating at the reached time",
+                          flush=True)
+                    t_end = float(state.ttot)
+                    state, cfg_run, eng, grid, steps_done = \
+                        resident_advance(
+                            state, box, cfg, t_end, t0, ck, side,
+                            deep="hcap", hclamp_frac_max=1.0,
+                            on_budget="stop")
+                else:
+                    print(f"# bounded-h plan rejected ({e}); falling "
+                          "back to the XLA engine", flush=True)
         if eng is None and tiers is None and float(state.ttot) < t_end:
             state, steps_done = run_xla_phase(
                 state, box, cfg, t_end, t0, steps_done, ck=ck, side=side,
