@@ -33,21 +33,23 @@ def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "A"
     from sphexa_tpu.config import SphConfig
     from sphexa_tpu.init.evrard import init_evrard
-    from sphexa_tpu.propagator.ve_tiered import (choose_tiers,
-                                                 make_ve_step_pallas_tiered)
+    from sphexa_tpu.propagator.ve_tiered import (
+        make_ve_step_pallas_tiered)
 
     cfg = SphConfig()
-    state, box, cfg = init_evrard(24, cfg, dt0=3e-5)
+    state, box, cfg = init_evrard(30, cfg, dt0=3e-5)
     cfg = cfg.replace(gravG=0.0)
     p = state.p
     alive = np.asarray(p.alive)
     interp = jax.devices()[0].platform != "tpu"
 
-    tiers1 = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                          cap_max=128, cap_max_top=128, theta=1.5,
-                          grid_slack=1.1)
+    from sphexa_tpu.propagator.ve_tiered import choose_tiers_auto
+    tiers1 = choose_tiers_auto(box, p.x, p.y, p.z, p.h, alive=alive,
+                               cap_max=128, cap_max_top=128)
     step1 = make_ve_step_pallas_tiered(box, tiers1, cfg, interpret=interp)
-    s, d = step1(state)
+    s = state
+    for _ in range(5):   # drift the field like the real re-tier flow
+        s, d = step1(s)
     print(f"# engine1 ok: t={float(s.ttot):.6f} fold={int(d.max_cell_count)}",
           flush=True)
 
@@ -59,10 +61,11 @@ def main():
         gc.collect()
         print("# dropped engine1 refs", flush=True)
 
-    tiers2 = choose_tiers(box, p.x, p.y, p.z, p.h, alive=alive,
-                          cap_max=128, cap_max_top=128, theta=1.35,
-                          grid_slack=1.05)
-    step2 = make_ve_step_pallas_tiered(box, tiers2, cfg, interpret=interp)
+    # engine 2: SAME tiers, one fold-threshold constant changed —
+    # guaranteed-compilable distinct program (isolates the
+    # second-program-family effect from plan feasibility)
+    cfg2 = cfg.replace(clamp_frac_budget=cfg.clamp_frac_budget + 1e-3)
+    step2 = make_ve_step_pallas_tiered(box, tiers1, cfg2, interpret=interp)
     s2, d2 = step2(s)
     print(f"# engine2 ok ({variant}): t={float(s2.ttot):.6f} "
           f"fold={int(d2.max_cell_count)}", flush=True)
