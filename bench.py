@@ -125,6 +125,14 @@ def main():
     # steps (observed at dt0=1e-4: overflow from step ~21).
     case = os.environ.get("SPHEXA_BENCH_CASE", "sedov")
     cfg = SphConfig()
+    if os.environ.get("SPHEXA_CLAMP_BUDGET"):
+        # looser tier-roof clamp budget for bench runs: rides out the
+        # sphere-edge nc-deficiency transient (up to ~14% of alive at
+        # evrard-30) in ONE plan — a re-tier would build a second
+        # differing-plan engine, the v5e poison (DESIGN.md 'The v5e
+        # second-engine poison')
+        cfg = cfg.replace(clamp_frac_budget=float(
+            os.environ["SPHEXA_CLAMP_BUDGET"]))
     if case == "noh":
         from sphexa_tpu.init.noh import init_noh
         state, box, cfg = init_noh(side, cfg, dt0=1e-5)
